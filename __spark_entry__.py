@@ -3,36 +3,66 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Queries live in streaming_data_pipeline_spark/plans/*; each plans module
+exposes a QUERIES dict (Spark callables) and an ORACLE dict (DuckDB SQL
+twins). This file only merges them.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Full ETL chain (parse -> validate -> enrich -> quality-filter) feeding
+    the A1 event-type rollup — the reference's core end-to-end path.
+    """
+    from streaming_data_pipeline_spark.plans.reference_queries import event_type_rollup
+
+    return event_type_rollup(spark, SF_SMOKE_DIR)
+
+
+def _plan_modules():
+    from streaming_data_pipeline_spark.plans import reference_queries
+
+    mods = [reference_queries]
+    for name in ("tpch_queries", "llm_queries", "streaming_queries"):
+        try:
+            mods.append(
+                __import__(
+                    f"streaming_data_pipeline_spark.plans.{name}",
+                    fromlist=[name],
+                )
+            )
+        except ImportError:
+            pass
+    return mods
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _plan_modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin per query (omitted for the few
+    genuinely non-SQL-expressible ops -> driver does rows-only check)."""
+    out: dict[str, str] = {}
+    for mod in _plan_modules():
+        out.update(getattr(mod, "ORACLE", {}))
+    return out

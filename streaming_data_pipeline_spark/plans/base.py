@@ -1,0 +1,59 @@
+"""Shared plan helpers: the enriched-events view on both engines.
+
+The Spark side builds the enriched table with the transform chain
+(operators.transforms.enrich_raw_events); the oracle side re-derives the
+identical table in one DuckDB CTE so every downstream query can be
+cross-checked. Keeping both here, adjacent, is the parity contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streaming_data_pipeline_spark.operators.transforms import enrich_raw_events
+from streaming_data_pipeline_spark.schema import OPTIONAL_FIELDS
+from streaming_data_pipeline_spark.sources.batch import load_table
+
+# Fixed clock: one tick past the fixture's last event (events span
+# 2024-01-01 .. 2024-01-30; TESTDATA.md). All freshness predicates are
+# relative to this.
+AS_OF = "2024-01-31 00:00:00"
+
+
+def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> full 19-column enriched table (quality-filtered)."""
+    return enrich_raw_events(load_table(spark, sf_dir, "events"), as_of=AS_OF)
+
+
+_OPTIONAL_SQL = ",\n      ".join(
+    f"json_extract_string(props, '$.{f}') AS {f}" for f in OPTIONAL_FIELDS
+)
+
+# DuckDB twin of enrich_raw_events + quality filter. Must stay in lockstep
+# with operators/transforms.py:enrich_raw_events.
+ENRICHED_CTE = f"""
+WITH enriched AS (
+  SELECT * FROM (
+    SELECT
+      CAST(event_id AS VARCHAR) AS id,
+      ts AS "timestamp",
+      props AS message,
+      CAST(user_id AS VARCHAR) AS user_id,
+      event_type,
+      COALESCE(value, 0.0) AS value,
+      TIMESTAMP '{AS_OF}' AS processed_at,
+      {_OPTIONAL_SQL},
+      CAST(length(COALESCE(props, '')) AS BIGINT) AS message_length,
+      CAST(COALESCE(hour(ts), 0) AS BIGINT) AS event_hour,
+      CAST(
+          (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> ''
+                 AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END)
+        + (CASE WHEN props IS NOT NULL AND props <> '' THEN 25 ELSE 0 END)
+        + (CASE WHEN COALESCE(value, 0.0) > 0.0 THEN 25 ELSE 0 END)
+        + (CASE WHEN ts IS NOT NULL THEN 25 ELSE 0 END)
+      AS BIGINT) AS data_quality_score
+    FROM events
+  )
+  WHERE data_quality_score >= 50
+)
+"""

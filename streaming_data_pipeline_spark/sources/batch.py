@@ -1,0 +1,59 @@
+"""Batch parquet sources for the fixture tables.
+
+Scale notes (100 TB posture):
+- Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+  pushdown, column pruning, and partition pruning (check with
+  ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+- The events table carries parquet TIMESTAMP(NANOS) which Spark's
+  vectorized reader rejects; we flip the runtime conf
+  ``spark.sql.legacy.parquet.nanosAsLong`` and convert the raw int64
+  nanos to TIMESTAMP_NTZ with integer arithmetic — still fully
+  codegen'd, no UDF, no driver materialization.
+- At warehouse scale the sink side writes date-partitioned parquet
+  (see streaming_data_pipeline_spark.streaming.sinks), so the 10min/1h/24h
+  freshness predicates (SURVEY.md §2.7 P2) prune partitions instead of
+  scanning history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_spark.session import apply_runtime_confs
+
+
+def _events_from_nanos(df: DataFrame) -> DataFrame:
+    """Convert the raw nanos-as-long ``ts`` to TIMESTAMP_NTZ.
+
+    Integer floor-division to micros matches DuckDB's nanos->micros
+    truncation of the same file, so both engines see identical wall-clock
+    values. The session timeZone is pinned to UTC (apply_runtime_confs) so
+    the TIMESTAMP->NTZ cast is the identity on wall clock.
+    """
+    # Integer DIV, not `/`: float division of an int64 epoch-nanos loses
+    # sub-microsecond precision (doubles hold 53 bits) and rounds up.
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame with canonical types."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = _events_from_nanos(df)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (mirrors the DuckDB
+    oracle's pre-registered views) so queries can be written in pure SQL."""
+    from streaming_data_pipeline_spark.schema import ALL_TABLES
+
+    for name in ALL_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,96 @@
+"""Shared fixtures: one SparkSession per test run + the DuckDB oracle
+cross-check helper mirroring the driver's compare (row-count + schema +
+order-insensitive value comparison with columns sorted by name)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from streaming_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_confs={"spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    from streaming_data_pipeline_spark.schema import ALL_TABLES
+
+    con = duckdb.connect()
+    for sf_dir in {SF_DIR, SF_DIR_MID}:
+        pass  # views are registered per-call in oracle_df (sf_dir varies)
+    yield con
+    con.close()
+
+
+def oracle_df(con: duckdb.DuckDBPyConnection, sql: str, sf_dir: str) -> pd.DataFrame:
+    """Run oracle SQL with the fixture tables registered as views —
+    exactly the driver's setup."""
+    from streaming_data_pipeline_spark.schema import ALL_TABLES
+
+    for name in ALL_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    """Canonicalize a result frame: columns sorted by name, every cell
+    stringified, rows sorted — the shape the driver's value-hash sees."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "<null>"
+        if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
+            return "<null>"
+        if isinstance(v, float):
+            # repr round-trips doubles exactly; -0.0 normalized
+            return repr(v + 0.0)
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def assert_query_matches_oracle(spark, con, name: str, sf_dir: str):
+    """The full driver-style check for one named query."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    got = q(spark, sf_dir).toPandas()
+    assert sql is not None, f"{name}: no oracle SQL (rows-only check)"
+    want = oracle_df(con, sql, sf_dir)
+    assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
+    assert sorted(got.columns) == sorted(
+        want.columns
+    ), f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    g, w = canon(got), canon(want)
+    mism = [i for i, (a, b) in enumerate(zip(g, w)) if a != b][:5]
+    assert g == w, f"{name}: value mismatch at sorted rows {mism}:\n" + "\n".join(
+        f"  spark={g[i]}\n  duck ={w[i]}" for i in mism
+    )
