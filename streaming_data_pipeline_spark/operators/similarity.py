@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Two paths:
+- brute-force cosine top-k: exact baseline. The probe set is broadcast
+  (it is small by definition); the candidate scan is a single codegen'd
+  projection — no shuffle until the per-probe top-k (TakeOrdered-like
+  window). O(n*d) per probe: fine as the *oracle* path and for modest
+  probe counts even at scale.
+- random-hyperplane LSH: probes and candidates hash to sign-pattern
+  buckets; the join is bucket-equality (shuffle keyed by an 8-bit code),
+  shrinking the scored set ~2^bits-fold. The hyperplanes are fixed +-1
+  literals derived from a seeded PRNG at plan-build time, so the DuckDB
+  oracle (and any rerun) sees the identical partitioning.
+
+At 100 TB you would additionally: pre-compute+store bucket codes and
+norms at ingest, bucket the table on the code (co-located join), and
+multi-probe neighboring codes for recall.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_spark.functions.vectors import cosine, sign_bucket
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic +-1 hyperplanes (seeded PRNG, engine-independent)."""
+    rng = random.Random(seed)
+    return [[1 if rng.random() < 0.5 else -1 for _ in range(dim)] for _ in range(n_planes)]
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for every probe vector (probe broadcast)."""
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(pr))
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: only candidates in the probe's LSH
+    bucket are scored (bucket-equality join instead of a cross join)."""
+    planes = hyperplanes(n_planes, dim, seed)
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(pr), "bucket")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets (few
+    planes -> coarse buckets -> higher recall, more comparisons)."""
+    planes = hyperplanes(n_planes, dim, seed)
+    tagged = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,438 @@
+"""LLM training-data pipeline plans (north star, SURVEY.md §2.12):
+dedup (exact / token-set / MinHash-LSH / SimHash), similarity search
+(brute-force + random-hyperplane LSH), text analysis (stats, lang-id,
+token counting, fingerprints), multimodal plumbing.
+
+Every query is paired with a DuckDB oracle. Portability contract:
+- all hashing via md5 (identical hex in both engines);
+- tokenization: single-space split, drop empties;
+- ratios/averages derived from integer sums only (no float-order drift);
+- vector math: element-wise double casts, left-to-right folds; the
+  oracle embeds a generated explicit sum chain with the same order;
+- LSH hyperplanes are +-1 literals from a seeded PRNG at plan-build
+  time, shared verbatim by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_spark.functions.text import (
+    LANG_CUES,
+    STOPWORDS,
+    lang_id,
+    punct_ratio,
+    regex_token_count,
+    text_fingerprint,
+    token_count,
+    token_set_fingerprint,
+    tokens,
+)
+from streaming_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash64,
+    token_set_dedup_groups,
+)
+from streaming_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from streaming_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_topk,
+    near_dup_pairs,
+)
+from streaming_data_pipeline_spark.sources.batch import load_table
+
+N_PROBES = 5  # probe set: vec_id < 5
+DIM = 64
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats; every metric is a ratio of integer
+    sums, so cross-engine equality is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("tc"),
+        F.length("text").cast("long").alias("nchars"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), 0))
+        .cast("long")
+        .alias("punct"),
+        F.size(F.filter(tokens(F.col("text")), lambda t: t.isin(*[F.lit(s) for s in STOPWORDS])))
+        .cast("long")
+        .alias("stops"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.sum("tc") / F.count("*"), 4).alias("avg_tokens"),
+            F.round(F.sum("nchars") / F.count("*"), 4).alias("avg_chars"),
+            F.round(F.sum("punct") / F.sum("nchars"), 6).alias("punct_char_ratio"),
+            F.round(F.sum("stops") / F.sum("tc"), 6).alias("stopword_token_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs punctuation-aware (BPE-ish regex) token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            token_count(F.col("text")).alias("ws"),
+            regex_token_count(F.col("text")).alias("re"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("ws").alias("total_ws_tokens"),
+            F.sum("re").alias("total_regex_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cue-word language id per document + agreement with the label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    ).withColumn(
+        "agrees", (F.col("labeled_lang") == F.col("predicted_lang")).cast("boolean")
+    ).orderBy("doc_id")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text and order-insensitive token-set fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_fingerprint(F.col("text")).alias("text_fp"),
+        token_set_fingerprint(F.col("text")).alias("token_fp"),
+    ).orderBy("doc_id")
+
+
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogramming (integer x10 scores -> exact avg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    q10 = (
+        F.when((n >= 20) & (n <= 10000), F.lit(4)).otherwise(F.lit(0))
+        + F.when(punct_ratio(F.col("text")) <= 0.2, F.lit(3)).otherwise(F.lit(0))
+        + F.when(
+            F.size(F.filter(tokens(F.col("text")), lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))) > 0,
+            F.lit(3),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        docs.select("source", q10.alias("q10"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.sum("q10") / (F.count("*") * 10), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("fp")
+
+
+def dedup_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only groups with >1 member (the removable near-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_set_dedup_groups(docs)
+        .filter(F.col("dup_count") > 1)
+        .orderBy("fp")
+    )
+
+
+def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
+        "probe_id", "rank"
+    )
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
+        "probe_id", "rank"
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas (Arrow) -> deterministic fake
+    features; the oracle reproduces the arithmetic over octet_length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs)).orderBy("doc_id")
+
+
+QUERIES = {
+    "text_stats_by_lang": text_stats_by_lang,
+    "token_counts_by_source": token_counts_by_source,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprints": doc_fingerprints,
+    "doc_quality_by_source": doc_quality_by_source,
+    "dedup_exact_text": dedup_exact_text,
+    "dedup_token_set": dedup_token_set,
+    "dedup_near_minhash_lsh": dedup_near_minhash_lsh,
+    "simhash_signatures": simhash_signatures,
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_ann_lsh": similarity_ann_lsh,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "multimodal_decode_fake": multimodal_decode_fake,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (generated where the expression is dimension- or
+# hash-family-parameterized, so both engines share one source of truth)
+# --------------------------------------------------------------------------
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_DTOKS = f"list_distinct({_TOKS})"
+_STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
+    """Explicit left-to-right sum chain: matches the Spark fold order."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+def _sql_plane_dot(v: str, plane: list[int]) -> str:
+    return " + ".join(
+        f"CAST({v}[{i + 1}] AS DOUBLE) * {float(c)}" for i, c in enumerate(plane)
+    )
+
+
+def _sql_bucket(v: str, planes: list[list[int]]) -> str:
+    bits = [
+        f"(CASE WHEN ({_sql_plane_dot(v, p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    ]
+    return " || ".join(bits)
+
+
+def _sql_minhash_sig(k: int = 16) -> str:
+    elems = ", ".join(
+        f"list_min(list_transform(ts, t -> md5('{j}:' || t)))" for j in range(k)
+    )
+    return f"[{elems}]"
+
+
+def _sql_simhash_bits() -> str:
+    parts = []
+    for b in range(64):
+        pos, shift = b // 4 + 1, 3 - b % 4
+        term = (
+            f"COALESCE(list_sum(list_transform(hs, h -> "
+            f"(((position(substring(h, {pos}, 1) IN '0123456789abcdef') - 1) >> {shift}) & 1) * 2 - 1)), 0)"
+        )
+        parts.append(f"(CASE WHEN {term} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+def _sql_lang_id() -> str:
+    score = {
+        lang: f"len(list_filter({_TOKS}, x -> x IN ({', '.join(repr(c) for c in cues)})))"
+        for lang, cues in sorted(LANG_CUES.items())
+    }
+    langs = sorted(score)
+    # same fold as functions.text.lang_id: strict > replaces, tie keeps earlier
+    best_lang_expr = f"'{langs[0]}'"
+    best_score_expr = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best_lang_expr = (
+            f"(CASE WHEN s_{lang} > {best_score_expr} THEN '{lang}' ELSE {best_lang_expr} END)"
+        )
+        best_score_expr = (
+            f"(CASE WHEN s_{lang} > {best_score_expr} THEN s_{lang} ELSE {best_score_expr} END)"
+        )
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {scores_sql} FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           {best_lang_expr} AS predicted_lang,
+           (lang = {best_lang_expr}) AS agrees
+    FROM scored ORDER BY doc_id
+    """
+
+
+ORACLE = {
+    "text_stats_by_lang": f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len({_TOKS}) AS BIGINT) AS tc,
+             CAST(length(text) AS BIGINT) AS nchars,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS punct,
+             CAST(len(list_filter({_TOKS}, x -> x IN ({_STOPS_IN}))) AS BIGINT) AS stops
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           CAST(SUM(tc) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(tc) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+           round(CAST(SUM(nchars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           round(CAST(SUM(punct) AS DOUBLE) / SUM(nchars), 6) AS punct_char_ratio,
+           round(CAST(SUM(stops) AS DOUBLE) / SUM(tc), 6) AS stopword_token_ratio
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    "token_counts_by_source": f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+             AS total_regex_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    "lang_id_heuristic": _sql_lang_id(),
+    "doc_fingerprints": f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_fp,
+           md5(array_to_string(list_sort({_DTOKS}), ' ')) AS token_fp
+    FROM documents ORDER BY doc_id
+    """,
+    "doc_quality_by_source": f"""
+    WITH per_doc AS (
+      SELECT source,
+             (CASE WHEN length(text) >= 20 AND length(text) <= 10000 THEN 4 ELSE 0 END
+            + CASE WHEN (CASE WHEN length(text) > 0
+                         THEN round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text), 6)
+                         ELSE 0.0 END) <= 0.2 THEN 3 ELSE 0 END
+            + CASE WHEN len(list_filter({_TOKS}, x -> x IN ({_STOPS_IN}))) > 0 THEN 3 ELSE 0 END
+             ) AS q10
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           round(CAST(SUM(q10) AS DOUBLE) / (COUNT(*) * 10), 4) AS avg_quality
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "dedup_exact_text": """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1 ORDER BY fp
+    """,
+    "dedup_token_set": f"""
+    SELECT md5(array_to_string(list_sort({_DTOKS}), ' ')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp
+    """,
+    "dedup_near_minhash_lsh": f"""
+    WITH toks AS (SELECT doc_id AS id, {_DTOKS} AS ts FROM documents),
+    sigs AS (SELECT id, ts, {_sql_minhash_sig(16)} AS sig FROM toks),
+    banded AS (
+      SELECT id, ts,
+             md5(CAST(b AS VARCHAR) || '|' || sig[b*2+1] || '|' || sig[b*2+2]) AS bucket
+      FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+    FROM cand JOIN toks ta ON cand.id_a = ta.id JOIN toks tb ON cand.id_b = tb.id
+    WHERE round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    "simhash_signatures": f"""
+    WITH h AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents)
+    SELECT doc_id, {_sql_simhash_bits()} AS simhash
+    FROM h ORDER BY doc_id
+    """,
+    "similarity_topk_bruteforce": f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < {N_PROBES}),
+    cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT probe_id, cand_id,
+             ({_sql_dot('pv', 'cv')})
+               / (sqrt({_sql_dot('pv', 'pv')}) * sqrt({_sql_dot('cv', 'cv')})) AS cos
+      FROM probes, cand WHERE probe_id <> cand_id)
+    SELECT probe_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    WHERE rank <= 10 ORDER BY probe_id, rank
+    """,
+    "similarity_ann_lsh": f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv,
+                           {_sql_bucket('embedding', hyperplanes(8, DIM, 42))} AS bucket
+                    FROM embeddings WHERE vec_id < {N_PROBES}),
+    cand AS (SELECT vec_id AS cand_id, embedding AS cv,
+                    {_sql_bucket('embedding', hyperplanes(8, DIM, 42))} AS bucket
+             FROM embeddings),
+    scored AS (
+      SELECT probe_id, cand_id,
+             ({_sql_dot('pv', 'cv')})
+               / (sqrt({_sql_dot('pv', 'pv')}) * sqrt({_sql_dot('cv', 'cv')})) AS cos
+      FROM probes JOIN cand USING (bucket) WHERE probe_id <> cand_id)
+    SELECT probe_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    WHERE rank <= 10 ORDER BY probe_id, rank
+    """,
+    "embedding_near_dup_pairs": f"""
+    WITH tagged AS (SELECT vec_id AS id, embedding AS v,
+                           {_sql_bucket('embedding', hyperplanes(4, DIM, 7))} AS bucket
+                    FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(({_sql_dot('a.v', 'b.v')})
+                 / (sqrt({_sql_dot('a.v', 'a.v')}) * sqrt({_sql_dot('b.v', 'b.v')})), 6) AS cosine
+    FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE ({_sql_dot('a.v', 'b.v')})
+          / (sqrt({_sql_dot('a.v', 'a.v')}) * sqrt({_sql_dot('b.v', 'b.v')})) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    "multimodal_decode_fake": """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 640 + 1 AS BIGINT) AS fake_width,
+           CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS fake_height
+    FROM documents ORDER BY doc_id
+    """,
+}
