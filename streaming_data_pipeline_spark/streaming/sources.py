@@ -1,0 +1,99 @@
+"""Streaming sources (SURVEY.md §2.4 / §2.1 S1, W4).
+
+The reference consumes JSON text messages from Pub/Sub
+(Streamingdag.py:288-294). The Spark-native analogs:
+
+- ``text_message_stream``: a drop-directory of JSON-lines files — each
+  line is one message payload, exactly the Pub/Sub byte-message model.
+  (In production this would be ``format("kafka")`` with the same
+  downstream chain; the transform functions don't care.)
+- ``events_fixture_stream``: the events fixture replayed through the
+  streaming engine (parquet streaming source over the existing file).
+- ``synthetic_event_stream``: rate-source-driven generator mirroring the
+  producer app's distributions (web-application.py:432-471) — the
+  streaming twin of sources/generator.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_pipeline_spark.session import apply_runtime_confs
+
+# Raw fixture schema with ts as LongType: the parquet file stores
+# TIMESTAMP(NANOS), which the streaming reader (like batch) surfaces as
+# int64 nanos under the nanosAsLong conf.
+_RAW_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+EVENT_TYPES = ["login", "logout", "purchase", "page_view", "click", "error", "signup"]
+
+
+def text_message_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """One JSON message per line, column named ``value`` (Pub/Sub analog)."""
+    apply_runtime_confs(spark)
+    return spark.readStream.format("text").load(drop_dir)
+
+
+def events_fixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events.parquet through the micro-batch engine with the
+    same canonical (ts -> TIMESTAMP_NTZ) conversion as the batch path."""
+    apply_runtime_confs(spark)
+    # the file-stream source wants a directory: point it at sf_dir and
+    # glob-filter to the events file
+    raw = (
+        spark.readStream.schema(_RAW_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )
+
+
+def synthetic_event_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Rate-source generator producing wire-format JSON payloads with the
+    producer app's field distributions (purchase rows gain product_id/
+    currency, page_view rows gain page/referrer). Deterministic given the
+    rate source's monotonically increasing ``value``."""
+    apply_runtime_confs(spark)
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    i = F.col("value")
+    etype = F.element_at(
+        F.array(*[F.lit(t) for t in EVENT_TYPES]), (F.pmod(i, F.lit(len(EVENT_TYPES))) + 1).cast("int")
+    )
+    base = rate.select(
+        F.md5(F.concat(F.lit("evt-"), i.cast("string"))).alias("id"),
+        F.date_format(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("event_ts"),
+        F.concat(F.lit("message #"), i.cast("string")).alias("message"),
+        F.concat(F.lit("user_"), F.pmod(i, F.lit(50)).cast("string")).alias("user_id"),
+        etype.alias("event_type"),
+        F.round(F.pmod(i * F.lit(7919) + F.lit(13), F.lit(49999)) / 100.0, 2).alias("value"),
+        F.lit("rate_generator").alias("source"),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("id"),
+            F.col("event_ts").alias("timestamp"),
+            "message",
+            "user_id",
+            "event_type",
+            "value",
+            "source",
+            F.when(F.col("event_type") == "purchase", F.lit("prod_42")).alias("product_id"),
+            F.when(F.col("event_type") == "purchase", F.lit("USD")).alias("currency"),
+            F.when(F.col("event_type") == "page_view", F.lit("/home")).alias("page"),
+            F.when(F.col("event_type") == "page_view", F.lit("google")).alias("referrer"),
+        )
+    )
+    return base.select(payload.alias("value"))

@@ -1,0 +1,173 @@
+"""Structured Streaming tests: end-to-end drop-dir ETL, windowed aggs,
+streaming dedup, rate generator, and the streaming plans vs oracle."""
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+AS_OF = "2024-01-31 00:00:00"
+
+
+@pytest.fixture
+def tmpdirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    (tmp_path / "in").mkdir()
+    yield d
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _write_messages(path, events, name="batch0.jsonl"):
+    with open(f"{path}/{name}", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+EVENTS = [
+    {
+        "id": f"e{i:03d}",
+        "timestamp": f"2024-01-15T10:{i % 60:02d}:00Z",
+        "message": f"msg {i}",
+        "user_id": f"u{i % 5}",
+        "event_type": ["login", "purchase", "click"][i % 3],
+        "value": round(1.0 + i * 0.5, 2),
+    }
+    for i in range(30)
+]
+
+
+def test_streaming_etl_end_to_end_matches_batch(spark, tmpdirs):
+    """Drop-dir -> streaming ETL -> partitioned parquet == batch chain."""
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+    from streaming_data_pipeline_spark.streaming.pipeline import run_pipeline
+
+    bad = [{"id": "bad1"}, "not json at all"]
+    _write_messages(tmpdirs["in"], EVENTS + [bad[0]])
+    with open(f"{tmpdirs['in']}/garbage.jsonl", "w") as f:
+        f.write("{not json\n")
+
+    q = run_pipeline(
+        spark, tmpdirs["in"], tmpdirs["out"], tmpdirs["ckpt"],
+        available_now=True, as_of=AS_OF,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(tmpdirs["out"])
+    batch_in = spark.createDataFrame([(json.dumps(e),) for e in EVENTS + [bad[0]]], "value string")
+    want = wire_pipeline(batch_in, as_of=AS_OF)
+    assert got.count() == want.count() == 30  # invalid/malformed dropped
+    g = {r.id: r for r in got.collect()}
+    for r in want.collect():
+        assert g[r.id].data_quality_score == r.data_quality_score
+        assert g[r.id].event_hour == r.event_hour
+    # partitioned sink: event_date directories exist (partition pruning path)
+    assert g["e000"].event_date is not None
+
+
+def test_streaming_windowed_agg_matches_batch_groupby(spark, tmpdirs):
+    from streaming_data_pipeline_spark.streaming.pipeline import transform
+    from streaming_data_pipeline_spark.streaming.sources import text_message_stream
+    from streaming_data_pipeline_spark.streaming.windows import tumbling_window_counts
+
+    _write_messages(tmpdirs["in"], EVENTS)
+    stream = transform(text_message_stream(spark, tmpdirs["in"]), as_of=AS_OF)
+    agg = tumbling_window_counts(stream, width="300 seconds")
+    q = (
+        agg.writeStream.format("memory").queryName("win_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.event_type): r.event_count
+        for r in spark.table("win_test").collect()
+    }
+    batch = spark.createDataFrame([(json.dumps(e),) for e in EVENTS], "value string")
+    want_df = (
+        transform(batch, as_of=AS_OF)
+        .groupBy(F.window("timestamp", "300 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {
+        (r.w.start.isoformat(), r.event_type): r.n for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmpdirs):
+    from streaming_data_pipeline_spark.streaming.pipeline import transform
+    from streaming_data_pipeline_spark.streaming.sources import text_message_stream
+    from streaming_data_pipeline_spark.streaming.windows import streaming_dedup
+
+    dups = EVENTS[:10] + EVENTS[:10] + EVENTS[10:12]  # 10 duplicated ids
+    _write_messages(tmpdirs["in"], dups)
+    stream = transform(text_message_stream(spark, tmpdirs["in"]), as_of=AS_OF)
+    q = (
+        streaming_dedup(stream).writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ids = [r.id for r in spark.table("dedup_test").collect()]
+    assert sorted(ids) == sorted({e["id"] for e in dups})
+
+
+def test_session_windows(spark, tmpdirs):
+    from streaming_data_pipeline_spark.streaming.pipeline import transform
+    from streaming_data_pipeline_spark.streaming.sources import text_message_stream
+    from streaming_data_pipeline_spark.streaming.windows import session_window_stats
+
+    # one user, two bursts separated by > 5 min gap
+    evs = [
+        dict(EVENTS[0], id=f"s{i}", timestamp=f"2024-01-15T10:0{i}:00Z", user_id="alice")
+        for i in range(3)
+    ] + [
+        dict(EVENTS[0], id=f"t{i}", timestamp=f"2024-01-15T11:0{i}:00Z", user_id="alice")
+        for i in range(2)
+    ]
+    _write_messages(tmpdirs["in"], evs)
+    stream = transform(text_message_stream(spark, tmpdirs["in"]), as_of=AS_OF)
+    q = (
+        session_window_stats(stream).writeStream.format("memory").queryName("sess_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(spark.table("sess_test").collect(), key=lambda r: r.session_start)
+    assert [r.event_count for r in rows] == [3, 2]
+
+
+def test_rate_generator_produces_valid_wire_events(spark, tmpdirs):
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+    from streaming_data_pipeline_spark.streaming.sources import synthetic_event_stream
+
+    stream = synthetic_event_stream(spark, rows_per_second=500)
+    q = (
+        wire_pipeline(stream).writeStream.format("memory").queryName("gen_test")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("gen_test").count() == 0:
+            time.sleep(1)
+        rows = spark.table("gen_test").limit(50).collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    for r in rows[:10]:
+        assert r.data_quality_score == 100 and r.source == "rate_generator"
+        assert r.event_type in {"login", "logout", "purchase", "page_view", "click", "error", "signup"}
+    purchases = [r for r in rows if r.event_type == "purchase"]
+    if purchases:
+        assert purchases[0].product_id == "prod_42"
+
+
+@pytest.mark.parametrize("name", ["streaming_windowed_counts", "streaming_user_sessions"])
+def test_streaming_plans_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
