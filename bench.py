@@ -1,0 +1,91 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is forced with the `noop` sink (full pipeline runs, nothing is
+collected to the driver), so timings measure scan -> shuffle -> agg work,
+not result serialization. One tiny warm-up query amortizes JVM/codegen
+startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per major surface — full ETL chain, the reference's
+# analytical queries, TPC-H joins/aggs, window functions, LLM data ops.
+HEADLINE = [
+    "etl_enrich_events",
+    "event_type_rollup",
+    "health_check",
+    "windowed_counts_60s",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "revenue_by_region",
+    "top_order_per_customer",
+    "monthly_revenue_momentum",
+    "asof_last_login_value",
+    "dedup_exact_text",
+    "dedup_near_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_stats_by_lang",
+]
+
+
+def _force(df) -> None:
+    """Fully execute a plan without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from streaming_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # Warm-up: spin the JVM, codegen, and the parquet footer cache.
+    _force(qs["event_type_rollup"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

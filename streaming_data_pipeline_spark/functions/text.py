@@ -124,14 +124,14 @@ def token_set_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(text))))
 
 
-def minhash_signature(text: Column, k: int = 16) -> Column:
-    """k-element MinHash signature over the distinct-token set.
+def minhash_signature_from_tokens(toks: Column, k: int = 16) -> Column:
+    """k-element MinHash signature over an (already-distinct) token array.
 
     Hash family: md5('<j>:' || token) for j in 0..k-1 — uniform hex
     strings whose lexicographic MIN is a valid minhash permutation proxy.
     Portable: DuckDB computes the identical signature (md5 is md5).
+    Order-insensitive: MIN over the set ignores array order.
     """
-    toks = distinct_tokens(text)
 
     def hash_with_prefix(prefix: str):
         return lambda t: F.md5(F.concat(F.lit(prefix), t))
@@ -142,6 +142,11 @@ def minhash_signature(text: Column, k: int = 16) -> Column:
             for j in range(k)
         ]
     )
+
+
+def minhash_signature(text: Column, k: int = 16) -> Column:
+    """k-element MinHash signature over the text's distinct-token set."""
+    return minhash_signature_from_tokens(distinct_tokens(text), k)
 
 
 def lsh_band_buckets(sig: Column, bands: int = 8, rows: int = 2) -> Column:

@@ -363,10 +363,11 @@ ORACLE = {
     """,
     "dedup_near_minhash_lsh": f"""
     WITH toks AS (SELECT doc_id AS id, {_DTOKS} AS ts FROM documents),
-    sigs AS (SELECT id, ts, {_sql_minhash_sig(16)} AS sig FROM toks),
+    sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
     banded AS (
       SELECT id, ts,
-             md5(CAST(b AS VARCHAR) || '|' || sig[b*2+1] || '|' || sig[b*2+2]) AS bucket
+             md5(CAST(b AS VARCHAR) || '|' || sig[b*4+1] || '|' || sig[b*4+2]
+                 || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bucket
       FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
     ),
     cand AS (
