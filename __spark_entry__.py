@@ -38,7 +38,13 @@ def _plan_modules():
     from streaming_data_pipeline_spark.plans import reference_queries
 
     mods = [reference_queries]
-    for name in ("tpch_queries", "llm_queries", "streaming_queries"):
+    for name in (
+        "tpch_queries",
+        "tpch_extra_queries",
+        "llm_queries",
+        "streaming_queries",
+        "sql_surface_queries",
+    ):
         try:
             mods.append(
                 __import__(

@@ -1,0 +1,251 @@
+"""SQL-surface widening: operator families beyond the reference's
+GROUP-BY rollups (SURVEY.md §2.11 declared absences) that any warehouse
+user reaches for next — grouping sets, pivot, exact percentiles, JSON
+path extraction, collect/array aggregation, approximate distinct counts,
+RANGE window frames, and rank-family analytics.
+
+Oracle notes:
+- percentiles: Spark ``percentile`` and DuckDB ``quantile_cont`` share
+  the linear-interpolation definition; results are rounded at the
+  comparison boundary.
+- dayofweek: Spark is 1=Sunday..7=Saturday, DuckDB 0=Sunday..6=Saturday;
+  the oracle adds 1.
+- approx_count_distinct is engine-specific (HLL++ vs HLL) — that query
+  ships without an oracle entry, so the driver records rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_spark.sources.batch import load_table, register_views
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_D2_SUM_SQL = "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)"
+
+
+def _d2_sum():
+    return (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()) + grouping_id — the
+    general form behind rollup/cube, via the SQL entry point."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_count,
+               {_D2_SUM_SQL} AS revenue,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY grp, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority pivoted on the status values.
+    Explicit value list keeps the plan a single pass (no distinct scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("long").alias("cnt_f"),
+            F.col("O").cast("long").alias("cnt_o"),
+            F.col("P").cast("long").alias("cnt_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90/p99) per priority — Spark
+    ``percentile``, matched by DuckDB ``quantile_cont``."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events ``props`` payload
+    (get_json_object -> typed column -> bucket aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+def collect_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted distinct set of sources per language,
+    rendered to a string so the cross-engine compare is canonical."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+            F.count("*").alias("doc_count"),
+        )
+        .orderBy("lang")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count — the
+    100 TB-scale variant of SURVEY.md §2.5 A4. Engine-specific sketch,
+    so no oracle (driver does the rows-only check); the test suite
+    asserts the estimate is within 5% of exact."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event-time: per order, revenue of all
+    orders by the same customer within the preceding 7 days."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(38,2)) AS DOUBLE) AS weekly_revenue
+        FROM orders
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank family: ntile quartiles + percent_rank + cume_dist over
+    account balance within each market segment."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+QUERIES = {
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "pivot_priority_by_status": pivot_priority_by_status,
+    "order_price_percentiles": order_price_percentiles,
+    "json_props_extract": json_props_extract,
+    "collect_sources_per_lang": collect_sources_per_lang,
+    "approx_distinct_users": approx_distinct_users,
+    "rolling_weekly_revenue": rolling_weekly_revenue,
+    "customer_balance_quartiles": customer_balance_quartiles,
+}
+
+ORACLE = {
+    "grouping_sets_revenue": f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count,
+           {_D2_SUM_SQL} AS revenue,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY grp, o_orderstatus, o_orderpriority
+    """,
+    "pivot_priority_by_status": """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "order_price_percentiles": """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "json_props_extract": """
+    WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+               FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL)
+    SELECT k % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM k GROUP BY 1 ORDER BY 1
+    """,
+    "collect_sources_per_lang": """
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "rolling_weekly_revenue": """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,2)) AS DOUBLE) AS weekly_revenue
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    "customer_balance_quartiles": """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+}

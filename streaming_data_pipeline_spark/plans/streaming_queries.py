@@ -12,29 +12,34 @@ the DuckDB oracle computes.
 from __future__ import annotations
 
 import itertools
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_spark.operators.transforms import enrich_raw_events
 from streaming_data_pipeline_spark.plans.base import AS_OF, ENRICHED_CTE
+from streaming_data_pipeline_spark.sources.batch import load_table
 from streaming_data_pipeline_spark.streaming.sources import events_fixture_stream
 from streaming_data_pipeline_spark.streaming.windows import (
     session_window_stats,
+    sliding_window_counts,
+    streaming_dedup,
     tumbling_window_counts,
 )
 
 _counter = itertools.count()
 
 
-def _drain_complete(agg: DataFrame, spark: SparkSession) -> DataFrame:
-    """Run a streaming aggregation to completion into a memory sink and
-    hand back the materialized result as a plain DataFrame."""
+def _drain(agg: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink and hand
+    back the materialized result as a plain DataFrame."""
     name = f"stream_result_{next(_counter)}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -43,6 +48,10 @@ def _drain_complete(agg: DataFrame, spark: SparkSession) -> DataFrame:
     out = spark.createDataFrame(snapshot.toPandas(), schema=snapshot.schema)
     spark.catalog.dropTempView(name)
     return out
+
+
+def _drain_complete(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    return _drain(agg, spark, "complete")
 
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,9 +75,133 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_complete(agg, spark).orderBy("user_id", "session_start")
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2 h windows sliding every 1 h over the replayed
+    stream. Oracle: each event lands in exactly two epoch-aligned
+    windows — trunc(ts, hour) and the hour before."""
+    stream = events_fixture_stream(spark, sf_dir)
+    agg = sliding_window_counts(
+        stream, ts_col="ts", width="2 hours", slide="1 hour", watermark="4 hours"
+    )
+    return _drain_complete(agg, spark).orderBy("window_start")
+
+
+def streaming_dedup_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type): first
+    arrival per key within the watermark horizon. Projected to the key
+    columns so the result set equals batch SELECT DISTINCT."""
+    stream = events_fixture_stream(spark, sf_dir)
+    deduped = streaming_dedup(
+        stream, id_cols=("user_id", "event_type"), ts_col="ts", watermark="30 days"
+    ).select("user_id", "event_type")
+    return _drain(deduped, spark, "append").orderBy("user_id", "event_type")
+
+
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value min/max kept in explicit GroupState
+    (the engine's escape hatch for operators Spark lacks natively).
+    Count/min/max are order-independent, so the result is deterministic
+    under any batch split; the memory-sink updates are collapsed to the
+    final (max-count) row per user."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_user(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cnt, mn, mx = state.get
+        else:
+            cnt, mn, mx = 0, None, None
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            vmin = float(pdf["value"].min())
+            vmax = float(pdf["value"].max())
+            mn = vmin if mn is None else min(mn, vmin)
+            mx = vmax if mx is None else max(mx, vmax)
+        state.update((cnt, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_count": [cnt],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    stream = events_fixture_stream(spark, sf_dir)
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType="user_id bigint, event_count bigint, min_value double, max_value double",
+        stateStructType="cnt bigint, mn double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(totals, spark, "update")
+    final = drained.groupBy("user_id").agg(
+        F.max("event_count").alias("event_count"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return final.orderBy("user_id")
+
+
+def streaming_etl_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full S1 -> T1-T9/E1-E4 -> S2 path end-to-end: fixture events
+    serialized to wire-format JSON lines (the producer's Pub/Sub payload,
+    microsecond-lossless timestamps), streamed through the ETL with an
+    availableNow drain into a date-partitioned parquet sink + checkpoint,
+    read back and aggregated. The oracle computes the same aggregate from
+    the enriched CTE — proving wire parse/validate/enrich/sink parity."""
+    from streaming_data_pipeline_spark.streaming.pipeline import run_pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("id"),
+                F.concat(
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z")
+                ).alias("timestamp"),
+                F.col("props").alias("message"),
+                F.col("user_id").cast("string").alias("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        ).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_etl_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        wire.write.mode("overwrite").text(in_dir)
+        q = run_pipeline(
+            spark, in_dir, out_dir, ckpt, available_now=True, as_of=AS_OF
+        )
+        q.awaitTermination()
+        sunk = spark.read.parquet(out_dir)
+        out = (
+            sunk.groupBy("event_type")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum("message_length").alias("total_msg_len"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                F.countDistinct("event_date").alias("active_days"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_user_sessions": streaming_user_sessions,
+    "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_dedup_user_event": streaming_dedup_user_event,
+    "streaming_stateful_user_totals": streaming_stateful_user_totals,
+    "streaming_etl_file_roundtrip": streaming_etl_file_roundtrip,
 }
 
 ORACLE = {
@@ -107,5 +240,35 @@ ORACLE = {
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_start
+    """,
+    "streaming_sliding_counts": """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS window_start FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+    "streaming_dedup_user_event": """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+    "streaming_stateful_user_totals": """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "streaming_etl_file_roundtrip": ENRICHED_CTE
+    + """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(SUM(message_length) AS BIGINT) AS total_msg_len,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(COUNT(DISTINCT CAST("timestamp" AS DATE)) AS BIGINT) AS active_days
+    FROM enriched GROUP BY event_type ORDER BY event_type
     """,
 }
