@@ -35,8 +35,13 @@ HEADLINE = [
     "asof_last_login_value",
     "dedup_exact_text",
     "dedup_near_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_near_dup",
     "similarity_topk_bruteforce",
+    "similarity_ivf",
     "text_stats_by_lang",
+    "rolling_weekly_revenue",
+    "grouping_sets_revenue",
 ]
 
 

@@ -43,6 +43,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined), order-preserving tokens.
+    Documents shorter than n tokens yield an empty set. The n-gram set
+    is the classic unit for document-level Jaccard dedup — far more
+    order-sensitive than the bag of words."""
+    toks = tokens(text)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def regex_token_count(text: Column) -> Column:
     """BPE-ish tokenization proxy: runs of alphanumerics OR single
     punctuation marks, counted via regexp (same RE in DuckDB)."""

@@ -62,8 +62,13 @@ def minhash_lsh_pairs(
     bands: int = 8,
     rows: int = 4,
     threshold: float = 0.8,
+    tokens_fn=None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+
+    ``tokens_fn`` maps the text Column to the set-element array the
+    Jaccard is computed over — ``distinct_tokens`` (bag-of-words,
+    default) or ``word_shingles`` (n-gram Jaccard, order-sensitive).
 
     Semantics: pair (a,b) is emitted iff their banded minhash signatures
     share >= 1 bucket AND exact token-set Jaccard >= threshold. Both
@@ -100,10 +105,12 @@ def minhash_lsh_pairs(
     # measured in the composed plan). Both tables are collapsed/narrow —
     # groups is one row per DISTINCT token set — so caching is cheap and
     # turns the plan into compute-once + fan-out.
+    if tokens_fn is None:
+        tokens_fn = distinct_tokens
     members = (
         df.select(
             F.col(id_col).alias("id"),
-            F.array_sort(distinct_tokens(F.col(text_col))).alias("toks"),
+            F.array_sort(tokens_fn(F.col(text_col))).alias("toks"),
         )
         .withColumn("fp", F.md5(F.concat_ws(" ", "toks")))
         .cache()
@@ -198,6 +205,81 @@ def minhash_lsh_pairs(
         .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), "jaccard")
     )
 
+    return cross.unionByName(within)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one of
+    ``chunks`` equal-width signature chunks (pigeonhole: any pair within
+    hamming <= chunks-1 must share a chunk), verified by exact Hamming
+    distance <= max_hamming.
+
+    Same scale design as minhash_lsh_pairs: docs collapse to DISTINCT
+    signature groups first (signature depends only on the token set), the
+    chunk join and Hamming verification run group-level, and verified
+    group pairs expand back to doc pairs. Returns (id_a, id_b, hamming).
+    """
+    width = 64 // chunks
+    members = simhash64(df, text_col, id_col).select(
+        F.col("doc_id").alias("id"), "simhash"
+    ).cache()
+    groups = members.groupBy("simhash").agg(F.count("*").alias("cnt")).cache()
+
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pos"),
+                F.substring("simhash", p * width + 1, width).alias("chunk"),
+            )
+            for p in range(chunks)
+        ]
+    )
+    banded = groups.select("simhash", F.explode(chunk_arr).alias("c")).select(
+        "simhash", "c.pos", "c.chunk"
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sh_a", i + 1, 1) != F.substring("sh_b", i + 1, 1)).cast("int")
+        for i in range(64)
+    ).cast("long")
+    verified = cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= F.lit(max_hamming)
+    )
+
+    m_a = members.select(F.col("simhash").alias("sh_a"), F.col("id").alias("ida"))
+    m_b = members.select(F.col("simhash").alias("sh_b"), F.col("id").alias("idb"))
+    cross = verified.join(m_a, "sh_a").join(m_b, "sh_b").select(
+        F.least("ida", "idb").alias("id_a"),
+        F.greatest("ida", "idb").alias("id_b"),
+        "hamming",
+    )
+    within = (
+        groups.filter(F.col("cnt") > 1)
+        .join(members.withColumnRenamed("id", "ida"), "simhash")
+        .join(members.withColumnRenamed("id", "idb"), "simhash")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
     return cross.unionByName(within)
 
 

@@ -106,6 +106,65 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the table is partitioned
+    into centroid-owned lists; each probe scans only its ``nprobe``
+    nearest lists.
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic, training-free seeding so the DuckDB oracle reproduces
+    the identical partitioning. (At 100 TB you would k-means the
+    centroids offline, store each row's list id at ingest, and bucket
+    the table by list id so a probe touches only its lists' files —
+    the assignment/probe/scan dataflow below is unchanged.)
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    cand = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    w_assign = Window.partitionBy("cand_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    assigned = (
+        cand.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("cand_vec"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w_assign))
+        .filter(F.col("arank") == 1)
+        .select("cand_id", "cand_vec", "cent_id")
+    )
+    pr = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+    w_probe = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), F.asc("cent_id"))
+    probe_lists = (
+        pr.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", cosine(F.col("probe_vec"), F.col("cent_vec")))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= nprobe)
+        .select("probe_id", "probe_vec", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_lists), "cent_id")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,

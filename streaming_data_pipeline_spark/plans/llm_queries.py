@@ -29,10 +29,12 @@ from streaming_data_pipeline_spark.functions.text import (
     token_set_fingerprint,
     tokens,
 )
+from streaming_data_pipeline_spark.functions.text import word_shingles
 from streaming_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     simhash64,
+    simhash_near_dup_pairs,
     token_set_dedup_groups,
 )
 from streaming_data_pipeline_spark.operators.multimodal import (
@@ -42,6 +44,7 @@ from streaming_data_pipeline_spark.operators.multimodal import (
 from streaming_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     hyperplanes,
+    ivf_topk,
     lsh_topk,
     near_dup_pairs,
 )
@@ -175,6 +178,21 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs).orderBy("doc_id")
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs — order-sensitive dedup (the
+    bag-of-words Jaccard above can't tell reshuffled documents apart)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8, tokens_fn=word_shingles).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: chunk-match candidates, Hamming <= 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -200,6 +218,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
 
 
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nprobe nearest centroid lists per probe."""
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
+        "probe_id", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -219,9 +245,12 @@ QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "dedup_token_set": dedup_token_set,
     "dedup_near_minhash_lsh": dedup_near_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "simhash_signatures": simhash_signatures,
+    "simhash_near_dup": simhash_near_dup,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ivf": similarity_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "multimodal_decode_fake": multimodal_decode_fake,
 }
@@ -234,6 +263,14 @@ QUERIES = {
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 _DTOKS = f"list_distinct({_TOKS})"
 _STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+# word-3-gram shingle set (mirrors functions.text.word_shingles: 1-based
+# positions 1..len-2, space-joined, distinct; <3 tokens -> empty set)
+_SHINGLES = (
+    f"(CASE WHEN len({_TOKS}) >= 3 THEN list_distinct(list_transform("
+    f"range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]"
+    f")) ELSE CAST([] AS VARCHAR[]) END)"
+)
 
 
 def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
@@ -387,6 +424,43 @@ ORACLE = {
     SELECT doc_id, {_sql_simhash_bits()} AS simhash
     FROM h ORDER BY doc_id
     """,
+    "dedup_ngram_jaccard": f"""
+    WITH toks AS (SELECT doc_id AS id, {_SHINGLES} AS ts FROM documents),
+    sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
+    banded AS (
+      SELECT id, ts,
+             md5(CAST(b AS VARCHAR) || '|' || sig[b*4+1] || '|' || sig[b*4+2]
+                 || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bucket
+      FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+    FROM cand JOIN toks ta ON cand.id_a = ta.id JOIN toks tb ON cand.id_b = tb.id
+    WHERE round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    "simhash_near_dup": f"""
+    WITH hs AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents),
+    h AS (SELECT doc_id AS id, {_sql_simhash_bits()} AS simhash FROM hs),
+    banded AS (
+      SELECT id, simhash, p, substring(simhash, p*16 + 1, 16) AS chunk
+      FROM h CROSS JOIN (SELECT unnest(range(4)) AS p)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.p = b.p AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(hamming(ha.simhash, hb.simhash) AS BIGINT) AS hamming
+    FROM cand JOIN h ha ON cand.id_a = ha.id JOIN h hb ON cand.id_b = hb.id
+    WHERE hamming(ha.simhash, hb.simhash) <= 3
+    ORDER BY id_a, id_b
+    """,
     "similarity_topk_bruteforce": f"""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < {N_PROBES}),
     cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
@@ -412,6 +486,47 @@ ORACLE = {
              ({_sql_dot('pv', 'cv')})
                / (sqrt({_sql_dot('pv', 'pv')}) * sqrt({_sql_dot('cv', 'cv')})) AS cos
       FROM probes JOIN cand USING (bucket) WHERE probe_id <> cand_id)
+    SELECT probe_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    WHERE rank <= 10 ORDER BY probe_id, rank
+    """,
+    "similarity_ivf": f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id < 8),
+    assigned AS (
+      SELECT cand_id, cand_vec, cent_id FROM (
+        SELECT e.vec_id AS cand_id, e.embedding AS cand_vec, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ({_sql_dot('e.embedding', 'c.cv')})
+                          / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                             * sqrt({_sql_dot('c.cv', 'c.cv')})) DESC,
+                          c.cent_id
+               ) AS arank
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE arank = 1
+    ),
+    probe_lists AS (
+      SELECT probe_id, probe_vec, cent_id FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY ({_sql_dot('p.embedding', 'c.cv')})
+                          / (sqrt({_sql_dot('p.embedding', 'p.embedding')})
+                             * sqrt({_sql_dot('c.cv', 'c.cv')})) DESC,
+                          c.cent_id
+               ) AS prank
+        FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < {N_PROBES}
+      ) WHERE prank <= 2
+    ),
+    scored AS (
+      SELECT probe_id, cand_id,
+             ({_sql_dot('probe_vec', 'cand_vec')})
+               / (sqrt({_sql_dot('probe_vec', 'probe_vec')})
+                  * sqrt({_sql_dot('cand_vec', 'cand_vec')})) AS cos
+      FROM assigned JOIN probe_lists USING (cent_id)
+      WHERE probe_id <> cand_id)
     SELECT probe_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
           FROM scored)

@@ -179,7 +179,47 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CSV export sink (web-application.py:362-371, S4):
+    enriched events written as header'd CSV, read back with an explicit
+    schema (never inferSchema), aggregated. Oracle recomputes from the
+    enriched CTE — proving the export is lossless for the exported cols."""
+    import shutil
+    import tempfile
+
+    from streaming_data_pipeline_spark.plans.base import enriched_events
+
+    enriched = enriched_events(spark, sf_dir).select(
+        "id", "event_type", "value", "message_length", "data_quality_score"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    try:
+        enriched.write.mode("overwrite").option("header", True).csv(base)
+        back = (
+            spark.read.schema(
+                "id string, event_type string, value double, "
+                "message_length bigint, data_quality_score bigint"
+            )
+            .option("header", True)
+            .csv(base)
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum("message_length").alias("total_msg_len"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
+    "csv_export_roundtrip": csv_export_roundtrip,
     "grouping_sets_revenue": grouping_sets_revenue,
     "pivot_priority_by_status": pivot_priority_by_status,
     "order_price_percentiles": order_price_percentiles,
@@ -190,7 +230,18 @@ QUERIES = {
     "customer_balance_quartiles": customer_balance_quartiles,
 }
 
+from streaming_data_pipeline_spark.plans.base import ENRICHED_CTE  # noqa: E402
+
 ORACLE = {
+    "csv_export_roundtrip": ENRICHED_CTE
+    + """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(SUM(message_length) AS BIGINT) AS total_msg_len,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM enriched GROUP BY event_type ORDER BY event_type
+    """,
     "grouping_sets_revenue": f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS order_count,
