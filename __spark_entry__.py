@@ -41,6 +41,7 @@ def _plan_modules():
     for name in (
         "tpch_queries",
         "tpch_extra_queries",
+        "tpch_wide_queries",
         "llm_queries",
         "streaming_queries",
         "sql_surface_queries",

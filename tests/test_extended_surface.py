@@ -65,6 +65,47 @@ def test_streaming_extra_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_ngram_jaccard",
+        "simhash_near_dup",
+        "similarity_ivf",
+        "csv_export_roundtrip",
+    ],
+)
+def test_new_llm_ops_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_ngram_jaccard_order_sensitive(spark):
+    """Word-shingle Jaccard must distinguish reordered documents that
+    bag-of-words Jaccard conflates."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from streaming_data_pipeline_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "dog lazy the over jumps fox brown quick the"),
+        ],
+        "doc_id long, text string",
+    )
+    word_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    shingle_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.8, tokens_fn=word_shingles).collect()
+    }
+    assert (1, 2) in word_pairs and (1, 3) in word_pairs
+    assert (1, 2) in shingle_pairs and (1, 3) not in shingle_pairs
+
+
 def test_q6_filters_pushed_to_scan(spark):
     """Q6's predicates must reach the parquet scan (PushedFilters)."""
     from streaming_data_pipeline_spark.plans.tpch_extra_queries import q6_forecast_revenue
@@ -86,3 +127,8 @@ def test_q7_broadcasts_dims(spark):
         q7_volume_shipping(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", _names("tpch_wide_queries"))
+def test_tpch_wide_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
