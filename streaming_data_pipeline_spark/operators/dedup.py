@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from streaming_data_pipeline_spark.functions.text import (
     distinct_tokens,
     lsh_band_buckets,
-    minhash_signature_from_tokens,
     text_fingerprint,
     token_set_fingerprint,
 )
@@ -80,16 +79,16 @@ def minhash_lsh_pairs(
     2. groups: one representative token array per fp (groupBy fp) —
        typically orders of magnitude fewer rows than docs, since corpora
        with heavy duplication are exactly when near-dup dedup runs;
-    3. exact intersections via INVERTED INDEX, not per-pair array ops:
-       explode group tokens -> self-join on token -> count per pair.
-       One shuffle keyed by token; Jaccard from sizes alone
-       (|A∪B| = |A|+|B|-|A∩B|), no array_intersect/array_union row work;
-    4. LSH banding candidacy as an arrays_overlap FILTER: a high-Jaccard
-       group pair survives iff the two bucket arrays share an element —
-       never materializing the bucket self-join (quadratic per bucket,
-       badly skewed on duplicate-heavy corpora). Defaults k=32/b=8/r=4
-       put the s-curve knee at (1/8)^(1/4) ~ 0.59 with ~98.5% recall at
-       J=0.8 (vs b=8/r=2 whose knee at 0.35 floods the candidate set);
+    3. LSH banding generates candidates: signature via one codegen
+       hash-aggregate, explode(band buckets) -> self-join on bucket ->
+       distinct group pairs. Group-level banding keeps the per-bucket
+       join tiny (duplicates already collapsed into one group). Defaults
+       k=32/b=8/r=4 put the s-curve knee at (1/8)^(1/4) ~ 0.59 with
+       ~98.5% recall at J=0.8 (vs b=8/r=2 whose knee at 0.35 floods the
+       candidate set);
+    4. exact Jaccard verifies CANDIDATES ONLY via array_intersect —
+       never an all-pairs (or shared-token inverted-index) computation,
+       which stopword-sharing makes quadratic in documents;
     5. expand: verified group pairs join members twice (member frames
        broadcast under AQE); within-group doc pairs get the self-Jaccard
        of their shared token set (empty set -> 0/0 -> NULL -> dropped,
@@ -123,59 +122,65 @@ def minhash_lsh_pairs(
         F.any_value("toks").alias("toks"), F.count("*").alias("cnt")
     ).cache()
 
-    # --- exact pairwise intersections via inverted index ---------------
-    tok = groups.select("fp", F.size("toks").alias("n"), F.explode("toks").alias("t"))
-    inter_counts = (
-        tok.alias("a")
-        .join(tok.alias("b"), (F.col("a.t") == F.col("b.t")) & (F.col("a.fp") < F.col("b.fp")))
-        .groupBy(
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+    # --- LSH banding: candidates FIRST ---------------------------------
+    # The banding self-join runs on GROUPS (distinct token sets), where a
+    # bucket collision means 4 agreeing minhashes — the s-curve keeps the
+    # candidate set ~linear in true near-dups. The tempting alternative
+    # (inverted index: explode tokens, self-join on token, count per
+    # pair) computes exact intersections for every pair sharing ANY
+    # token; natural-language corpora share stopwords, so that join is
+    # effectively quadratic in documents (OOM'd at sf0.1: ~10^8 pairs
+    # from 5k docs). Banding-first touches only pairs the signatures
+    # already vouch for.
+    #
+    # Signatures via explode -> ONE codegen hash-aggregate (k min()
+    # columns in a single pass). The transform()-HOF formulation
+    # (k lambda passes per row) evaluates interpreted, outside
+    # whole-stage codegen, and was the next-largest cost after the join.
+    tok = groups.select("fp", F.explode("toks").alias("t"))
+    sig = tok.groupBy("fp").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("t")))).alias(f"h{j}")
+            for j in range(k)
+        ]
     )
-    high_j = (
-        inter_counts.withColumn(
+    bucketed = sig.select(
+        "fp",
+        F.explode(
+            lsh_band_buckets(
+                F.array(*[F.col(f"h{j}") for j in range(k)]), bands, rows
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+
+    # --- exact-Jaccard verification, candidates only -------------------
+    ga = groups.select(F.col("fp").alias("fp_a"), F.col("toks").alias("toks_a"))
+    gb = groups.select(F.col("fp").alias("fp_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cand.join(ga, "fp_a")
+        .join(gb, "fp_b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                / (
+                    F.size("toks_a") + F.size("toks_b") - F.col("inter")
+                ).cast("double"),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("fp_a", "fp_b", "jaccard")
-    )
-
-    # --- LSH banding candidacy gate ------------------------------------
-    # Materialize the buckets array in its own Project BEFORE explode:
-    # Generate evaluates its generator input outside whole-stage codegen
-    # (no subexpression elimination), so exploding the composite
-    # minhash+banding expression directly re-evaluates the full md5 tree
-    # per band (~7x slower, measured at sf0.1).
-    bucketed = groups.select(
-        "fp",
-        lsh_band_buckets(
-            minhash_signature_from_tokens(F.col("toks"), k), bands, rows
-        ).alias("buckets"),
-    )
-    # Bucket-share is a FILTER on the (already small) high-Jaccard pair
-    # set, so no bucket self-join is ever materialized — that join is
-    # quadratic per bucket and skews badly on duplicate-heavy corpora.
-    # Instead each side's full bucket array rides along (bands elements)
-    # and arrays_overlap checks candidacy per pair.
-    verified = (
-        high_j.join(
-            bucketed.select(F.col("fp").alias("fp_a"), F.col("buckets").alias("buckets_a")),
-            "fp_a",
-        )
-        .join(
-            bucketed.select(F.col("fp").alias("fp_b"), F.col("buckets").alias("buckets_b")),
-            "fp_b",
-        )
-        .filter(F.arrays_overlap("buckets_a", "buckets_b"))
         .select("fp_a", "fp_b", "jaccard")
     )
 
@@ -291,24 +296,37 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Integer-only math + md5 => identical in the DuckDB oracle (which
     extracts the nibble value via position() instead of conv — same
     values, engine-native syntax).
+
+    All 64 bit-sums run in ONE whole-stage-codegen hash aggregate over
+    exploded tokens (md5 computed once per token, nibble decoded once,
+    64 integer sum() columns). The aggregate()-HOF formulation — 64
+    interpreted lambda passes over the token array per document — was
+    ~20x slower at sf0.1. explode_outer keeps empty/null-token documents
+    as all-zero-contribution rows, so they still get the all-'0' hash.
     """
-    hashed = df.select(
+    tok = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(distinct_tokens(F.col(text_col)), lambda t: F.md5(t)).alias("hs"),
-    )
-    # two-arg closure factory: HOF lambdas must take exactly the callback
-    # arity (extra default args become bound lambda-variable Columns)
-    def bit_acc(pos: int, shift: int):
-        return (
-            lambda acc, h: acc
-            + F.shiftright(F.conv(F.substring(h, pos, 1), 16, 10).cast("int"), shift)
-            .bitwiseAND(F.lit(1))
+        F.explode_outer(distinct_tokens(F.col(text_col))).alias("t"),
+    ).withColumn("h", F.md5("t"))
+    nibs = [
+        F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"nib{i}")
+        for i in range(16)
+    ]
+    nibbled = tok.select("doc_id", *nibs)
+
+    def contrib(b: int):
+        bit = (
+            F.shiftright(F.col(f"nib{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))
             * F.lit(2)
             - F.lit(1)
         )
+        return F.coalesce(bit, F.lit(0))
 
-    bit_chars = []
-    for b in range(64):
-        contrib = F.aggregate(F.col("hs"), F.lit(0), bit_acc(b // 4 + 1, 3 - b % 4))
-        bit_chars.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
-    return hashed.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+    sums = nibbled.groupBy("doc_id").agg(
+        *[F.sum(contrib(b)).alias(f"s{b}") for b in range(64)]
+    )
+    bit_chars = [
+        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(64)
+    ]
+    return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))

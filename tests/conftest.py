@@ -61,6 +61,12 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(cell(x) for x in v) + "]"
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "<null>"
         if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
