@@ -45,6 +45,7 @@ def _plan_modules():
         "llm_queries",
         "streaming_queries",
         "sql_surface_queries",
+        "scale_queries",
     ):
         try:
             mods.append(

@@ -74,3 +74,55 @@ def extract_features(df: DataFrame, use_stub: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long"
+
+
+def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-ish payloads.
+
+    The payload is treated as consecutive ``frame_size``-byte frames
+    (the stand-in for decoded video frames); every ``stride``-th frame
+    is emitted as its own row — the classic keyframe-sampling shape. The
+    fan-out runs inside ``mapInPandas`` so one input batch yields one
+    Arrow batch of frame rows; at 100 TB the downstream per-frame work
+    (embedding, OCR, ...) hangs off this exploded, repartitionable
+    relation rather than off whole videos (which skew: one 2 GB video
+    must not pin one task).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                n_frames = (n + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_len"].append(min(frame_size, n - i * frame_size))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_dims(df: DataFrame, target_w: int = 224) -> DataFrame:
+    """Aspect-preserving resize planning over decoded dimensions.
+
+    Pure integer column arithmetic (floor division — identical in every
+    engine) over the feature relation from :func:`extract_features`; the
+    actual pixel resample is the decoder's job (stubbed in this
+    container), but the dimension plan, schema, and partition shape are
+    the real thing.
+    """
+    return df.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        F.lit(target_w).cast("long").alias("new_width"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(fake_height * {target_w}) div fake_width"),
+        ).alias("new_height"),
+    )

@@ -236,6 +236,24 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(docs)).orderBy("doc_id")
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-sampling plumbing: payload exploded into 64-byte frames,
+    every 4th kept — one row per sampled frame (mapInPandas fan-out)."""
+    from streaming_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_idx")
+
+
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over fake-decoded dimensions
+    (decode via Arrow batches, dimension plan via integer expressions)."""
+    from streaming_data_pipeline_spark.operators.multimodal import resize_dims
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_dims(extract_features(with_binary_payload(docs))).orderBy("doc_id")
+
+
 QUERIES = {
     "text_stats_by_lang": text_stats_by_lang,
     "token_counts_by_source": token_counts_by_source,
@@ -253,6 +271,8 @@ QUERIES = {
     "similarity_ivf": similarity_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "multimodal_decode_fake": multimodal_decode_fake,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize_plan": multimodal_resize_plan,
 }
 
 
@@ -550,5 +570,29 @@ ORACLE = {
            CAST(length(text) % 640 + 1 AS BIGINT) AS fake_width,
            CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS fake_height
     FROM documents ORDER BY doc_id
+    """,
+    "multimodal_frame_sample": """
+    WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+    f AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx, n
+      FROM d, UNNEST(range(CAST((n + 63) // 64 AS BIGINT))) AS u(i)
+      WHERE CAST(u.i AS BIGINT) % 4 = 0
+    )
+    SELECT doc_id, frame_idx,
+           CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_len
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    "multimodal_resize_plan": """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(length(text) % 640 + 1 AS BIGINT) AS fake_width,
+             CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS fake_height
+      FROM documents
+    )
+    SELECT doc_id, fake_width, fake_height,
+           CAST(224 AS BIGINT) AS new_width,
+           greatest(CAST(1 AS BIGINT), (fake_height * 224) // fake_width)
+             AS new_height
+    FROM dims ORDER BY doc_id
     """,
 }

@@ -1,0 +1,240 @@
+"""Scale-posture operators: the pieces that make the engine hold up at
+100 TB, each verified for correctness at sf0.01 by the DuckDB oracle.
+
+- ``partitioned_sink_pruning`` — the warehouse sink the reference
+  only *recommends* (README.md:354 suggests date-partitioned BigQuery
+  tables): a date-partitioned parquet write whose read-back carries the
+  freshness predicate as a PartitionFilter, so a 10min/1h/24h query
+  (SURVEY.md §2.7 P2) touches days, not history.
+- ``embedding_centroids_by_label`` — element-wise vector mean per
+  label, the reduce step of distributed k-means / class prototypes.
+  posexplode -> (label, pos) hash-agg -> re-assemble keeps every stage a
+  built-in whole-stage-codegen operator; no driver-side vectors.
+- ``sessionize_events_batch`` — gap-based sessionization (30 min
+  inactivity splits a session) as two window functions + one agg; the
+  batch twin of streaming/windows.session_window_stats.
+- ``skew_salted_join`` — explicit salt-and-replicate equi-join for the
+  hot-key case where one join key carries a disproportionate share of
+  the fact rows and the dim is too big to broadcast whole. AQE's skew
+  handling covers sort-merge spills at runtime; salting is the static
+  variant that also spreads the *aggregation* that follows. Results are
+  provably identical to the plain join (the oracle IS the plain join).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_spark.sources.batch import load_table
+
+_D2 = "decimal(18,2)"
+
+
+def partitioned_sink_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet sink + partition-pruned read-back.
+
+    The read plan's scan node shows ``PartitionFilters: [...event_date...]``
+    — only 7 of 30 day-directories are listed/read. At 100 TB this is the
+    difference between scanning ~23 TB and ~5 TB for a week-window query.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_part_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        back = spark.read.parquet(base).filter(
+            F.col("event_date").between("2024-01-08", "2024-01-14")
+        )
+        out = (
+            back.withColumn(
+                "event_date", F.col("event_date").cast("timestamp_ntz")
+            )
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
+            )
+            .orderBy("event_date", "event_type")
+        )
+        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column.
+
+    posexplode fans each vector into (pos, component) rows, a single
+    hash aggregate averages per (label, pos), and sort_array over
+    collected (pos, mean) structs reassembles ordered vectors — all
+    JVM-side built-ins, linear in rows x dim, no skew (dim is uniform).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return (
+        parts.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mean_x"))),
+                lambda s: s.mean_x,
+            ).alias("centroid"),
+            F.count("*").cast("long").alias("dim"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "centroid",
+            "dim",
+        )
+        .orderBy("label")
+    )
+
+
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: a >30-minute silence starts a new session.
+
+    lag() marks boundaries, a running sum numbers sessions, one agg
+    collapses them — two window passes over the same (user_id, ts)
+    ordering, so Spark sorts each user partition once and reuses it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFrame:
+    """Salted equi-join of events against a per-type stats dim.
+
+    The fact side gets a uniform salt in [0, salt); the dim side is
+    replicated salt times; the join key becomes (event_type, salt), so a
+    hot event_type spreads over ``salt`` reducers instead of one. The
+    salt derives from event_id (deterministic), and the post-join
+    aggregate is salt-invariant, so output == unsalted join (the oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy(F.col("event_type").alias("d_type"))
+        .agg(F.avg(F.col("value")).alias("type_avg"))
+    )
+    salted_dim = dim.withColumn(
+        "d_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(salt)).cast("int"))
+    joined = fact.join(
+        salted_dim,
+        (fact.event_type == salted_dim.d_type) & (fact.salt == salted_dim.d_salt),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("value") - F.col("type_avg")), 4).alias(
+                "avg_delta"
+            ),
+            F.sum(
+                F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+            ).alias("above_avg_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "partitioned_sink_pruning": partitioned_sink_pruning,
+    "embedding_centroids_by_label": embedding_centroids_by_label,
+    "sessionize_events_batch": sessionize_events_batch,
+    "skew_salted_join": skew_salted_join,
+}
+
+
+ORACLE = {
+    "partitioned_sink_pruning": """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "embedding_centroids_by_label": """
+    WITH parts AS (
+      SELECT label, CAST(u.i AS INT) AS pos,
+             CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    means AS (
+      SELECT label, pos, round(AVG(x), 6) AS mean_x
+      FROM parts GROUP BY label, pos
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           list(mean_x ORDER BY pos) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS dim
+    FROM means GROUP BY label ORDER BY label
+    """,
+    "sessionize_events_batch": """
+    WITH numbered AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, event_id, ts, value,
+               CAST(epoch(ts) AS BIGINT) AS epoch,
+               lag(CAST(epoch(ts) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch
+        FROM events
+      )
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    "skew_salted_join": """
+    WITH dim AS (
+      SELECT event_type AS d_type, AVG(value) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(AVG(value - type_avg), 4) AS avg_delta,
+           CAST(SUM(CASE WHEN value > type_avg THEN 1 ELSE 0 END) AS BIGINT)
+             AS above_avg_count
+    FROM events JOIN dim ON event_type = d_type
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+}

@@ -132,3 +132,35 @@ def test_q7_broadcasts_dims(spark):
 @pytest.mark.parametrize("name", _names("tpch_wide_queries"))
 def test_tpch_wide_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+@pytest.mark.parametrize("name", _names("scale_queries"))
+def test_scale_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """The partitioned warehouse read must carry the date predicate as a
+    PartitionFilter (pruned listing), not a post-scan filter."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_prune_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        back = spark.read.parquet(base).filter(
+            F.col("event_date").between("2024-01-08", "2024-01-14")
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "event_date" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
