@@ -42,6 +42,12 @@ HEADLINE = [
     "text_stats_by_lang",
     "rolling_weekly_revenue",
     "grouping_sets_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_order_histogram",
+    "tpch_q21_waiting_suppliers",
+    "sessionize_events_batch",
+    "embedding_centroids_by_label",
+    "multimodal_frame_sample",
 ]
 
 

@@ -14,6 +14,8 @@ results are bit-identical cross-engine:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -137,6 +139,26 @@ def token_set_fingerprint(text: Column) -> Column:
     """Order-insensitive near-dup fingerprint: md5 of the sorted distinct
     token set (catches reordered/duplicated-word documents)."""
     return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(text))))
+
+
+# --- multiply-shift MinHash family -----------------------------------
+# h_j(x) = (A[j] * x + B[j]) div 2^31  over  x = value of the first 7
+# hex chars of md5(token) (28 bits). One md5 per token total; the k
+# per-permutation hashes are integer multiply-shift (Dietzfelbinger
+# universal hashing — high product bits, well mixed). A[j] odd 29-bit,
+# B[j] 28-bit, so a*x+b < 2^57: no 64-bit overflow in either engine
+# (Spark ANSI mode would throw; DuckDB would wrap). Constants are
+# md5-derived at import — deterministic, and embedded literally in the
+# DuckDB oracle SQL so both engines compute identical signatures.
+MINHASH_K = 32
+MINHASH_A = [
+    int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) * 2 + 1
+    for j in range(MINHASH_K)
+]
+MINHASH_B = [
+    int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16)
+    for j in range(MINHASH_K)
+]
 
 
 def minhash_signature_from_tokens(toks: Column, k: int = 16) -> Column:

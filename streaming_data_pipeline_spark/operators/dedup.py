@@ -137,10 +137,28 @@ def minhash_lsh_pairs(
     # columns in a single pass). The transform()-HOF formulation
     # (k lambda passes per row) evaluates interpreted, outside
     # whole-stage codegen, and was the next-largest cost after the join.
-    tok = groups.select("fp", F.explode("toks").alias("t"))
+    # One md5 per token; the k permutation hashes are multiply-shift
+    # integer arithmetic (functions.text.MINHASH_A/B) — k md5 calls per
+    # token would be ~k/2x the CPU of the whole signature stage.
+    from streaming_data_pipeline_spark.functions.text import MINHASH_A, MINHASH_B
+
+    if k > len(MINHASH_A):
+        raise ValueError(f"k={k} exceeds MINHASH_K={len(MINHASH_A)}")
+    tok = groups.select("fp", F.explode("toks").alias("t")).withColumn(
+        "x", F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("long")
+    )
+    # The min() emits STRING: with 32 bigint agg outputs feeding the
+    # bucket-explode Generate, whole-stage codegen emits a doConsume
+    # method janino refuses to compile (interpreted fallback measured
+    # 4x slower end-to-end); string outputs keep the Generate input
+    # identical to a compiling shape.
     sig = tok.groupBy("fp").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("t")))).alias(f"h{j}")
+            F.min(
+                F.expr(f"({MINHASH_A[j]}L * x + {MINHASH_B[j]}L) div 2147483648L")
+            )
+            .cast("string")
+            .alias(f"h{j}")
             for j in range(k)
         ]
     )
@@ -259,12 +277,37 @@ def simhash_near_dup_pairs(
         .select(F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
         .distinct()
     )
+    # Hamming via integer XOR + popcount over the chunk values, not 64
+    # per-character substring compares: chunks are decoded to longs ONCE
+    # per distinct signature (pre-join), so each candidate pair costs
+    # ``chunks`` xor+bit_count ops.
+    ints = groups.select(
+        "simhash",
+        *[
+            F.conv(F.substring("simhash", p * width + 1, width), 2, 10)
+            .cast("long")
+            .alias(f"i{p}")
+            for p in range(chunks)
+        ],
+    )
+    a_ints = ints.select(
+        F.col("simhash").alias("sh_a"),
+        *[F.col(f"i{p}").alias(f"a{p}") for p in range(chunks)],
+    )
+    b_ints = ints.select(
+        F.col("simhash").alias("sh_b"),
+        *[F.col(f"i{p}").alias(f"b{p}") for p in range(chunks)],
+    )
     hamming = sum(
-        (F.substring("sh_a", i + 1, 1) != F.substring("sh_b", i + 1, 1)).cast("int")
-        for i in range(64)
+        F.bit_count(F.col(f"a{p}").bitwiseXOR(F.col(f"b{p}")))
+        for p in range(chunks)
     ).cast("long")
-    verified = cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= F.lit(max_hamming)
+    verified = (
+        cand.join(a_ints, "sh_a")
+        .join(b_ints, "sh_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("sh_a", "sh_b", "hamming")
     )
 
     m_a = members.select(F.col("simhash").alias("sh_a"), F.col("id").alias("ida"))

@@ -315,8 +315,16 @@ def _sql_bucket(v: str, planes: list[list[int]]) -> str:
 
 
 def _sql_minhash_sig(k: int = 16) -> str:
+    """Multiply-shift MinHash signature, mirroring
+    operators/dedup.minhash_lsh_pairs: x = first-7-hex-chars of
+    md5(token) as BIGINT; h_j = (A[j]*x + B[j]) // 2^31."""
+    from streaming_data_pipeline_spark.functions.text import MINHASH_A, MINHASH_B
+
+    x = "CAST('0x' || substring(md5(t), 1, 7) AS BIGINT)"
     elems = ", ".join(
-        f"list_min(list_transform(ts, t -> md5('{j}:' || t)))" for j in range(k)
+        f"list_min(list_transform(ts, t -> "
+        f"({MINHASH_A[j]} * {x} + {MINHASH_B[j]}) // 2147483648))"
+        for j in range(k)
     )
     return f"[{elems}]"
 
@@ -423,8 +431,9 @@ ORACLE = {
     sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
     banded AS (
       SELECT id, ts,
-             md5(CAST(b AS VARCHAR) || '|' || sig[b*4+1] || '|' || sig[b*4+2]
-                 || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bucket
+             md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*4+1] AS VARCHAR) || '|'
+                 || CAST(sig[b*4+2] AS VARCHAR) || '|' || CAST(sig[b*4+3] AS VARCHAR)
+                 || '|' || CAST(sig[b*4+4] AS VARCHAR)) AS bucket
       FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
     ),
     cand AS (
@@ -449,8 +458,9 @@ ORACLE = {
     sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
     banded AS (
       SELECT id, ts,
-             md5(CAST(b AS VARCHAR) || '|' || sig[b*4+1] || '|' || sig[b*4+2]
-                 || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bucket
+             md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*4+1] AS VARCHAR) || '|'
+                 || CAST(sig[b*4+2] AS VARCHAR) || '|' || CAST(sig[b*4+3] AS VARCHAR)
+                 || '|' || CAST(sig[b*4+4] AS VARCHAR)) AS bucket
       FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
     ),
     cand AS (

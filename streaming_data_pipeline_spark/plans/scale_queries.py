@@ -238,3 +238,56 @@ ORACLE = {
     ORDER BY event_type
     """,
 }
+
+
+def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events against promo time windows.
+
+    A non-equi BETWEEN join has no hash key, so Spark plans a nested-loop
+    join — viable at 100 TB only if the interval side broadcasts (it
+    does: promo calendars are tiny) or, for large interval sets, after
+    bucketing both sides by coarse time bucket to recover an equi
+    prefix. The explicit F.broadcast pins the viable plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    promos = spark.createDataFrame(
+        [
+            ("winter_sale", "2024-01-05 00:00:00", "2024-01-12 00:00:00"),
+            ("flash", "2024-01-15 00:00:00", "2024-01-16 00:00:00"),
+            ("month_end", "2024-01-25 00:00:00", "2024-01-31 00:00:00"),
+        ],
+        "promo string, start_ts string, end_ts string",
+    ).select(
+        "promo",
+        F.col("start_ts").cast("timestamp_ntz").alias("start_ts"),
+        F.col("end_ts").cast("timestamp_ntz").alias("end_ts"),
+    )
+    return (
+        ev.join(
+            F.broadcast(promos),
+            (ev.ts >= promos.start_ts) & (ev.ts < promos.end_ts),
+        )
+        .groupBy("promo")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
+        )
+        .orderBy("promo")
+    )
+
+
+QUERIES["range_join_promo_windows"] = range_join_promo_windows
+ORACLE["range_join_promo_windows"] = """
+WITH promos(promo, start_ts, end_ts) AS (VALUES
+  ('winter_sale', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+  ('flash',       TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-16 00:00:00'),
+  ('month_end',   TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-31 00:00:00'))
+SELECT promo,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events JOIN promos ON ts >= start_ts AND ts < end_ts
+GROUP BY promo
+ORDER BY promo
+"""

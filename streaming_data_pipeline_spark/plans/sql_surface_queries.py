@@ -300,3 +300,47 @@ ORACLE = {
     ORDER BY c_custkey
     """,
 }
+
+
+def json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (the reference's wire format as
+    a batch surface): enriched events written as JSON, read back with an
+    explicit schema (never inferSchema — SURVEY.md §1.3), aggregated.
+    Oracle recomputes from the enriched CTE."""
+    import shutil
+    import tempfile
+
+    from streaming_data_pipeline_spark.plans.base import enriched_events
+
+    enriched = enriched_events(spark, sf_dir).select(
+        "id", "event_type", "value", "message_length", "data_quality_score"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_json_")
+    try:
+        enriched.write.mode("overwrite").json(base)
+        back = spark.read.schema(
+            "id string, event_type string, value double, "
+            "message_length bigint, data_quality_score bigint"
+        ).json(base)
+        out = (
+            back.groupBy("data_quality_score")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.round(F.avg("message_length"), 4).alias("avg_msg_len"),
+                F.countDistinct("event_type").alias("event_types"),
+            )
+            .orderBy("data_quality_score")
+        )
+        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["json_export_roundtrip"] = json_export_roundtrip
+ORACLE["json_export_roundtrip"] = ENRICHED_CTE + """
+SELECT data_quality_score,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       round(AVG(message_length), 4) AS avg_msg_len,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS event_types
+FROM enriched GROUP BY data_quality_score ORDER BY data_quality_score
+"""

@@ -272,3 +272,68 @@ ORACLE = {
     FROM enriched GROUP BY event_type ORDER BY event_type
     """,
 }
+
+
+def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent warehouse upsert via foreachBatch (SURVEY.md §2.1 S2's
+    exactly-once variant): each micro-batch MERGEs into a keyed parquet
+    state table, keeping the latest event per user (ts, then event_id as
+    tiebreak). The final state equals last-event-per-user over the whole
+    fixture — the oracle computes exactly that window. At warehouse
+    scale the merge target would be Delta/Iceberg MERGE INTO; the batch
+    logic here is the same algebra (union -> row_number -> keep rn=1)."""
+    from pyspark.sql import Window
+
+    state_dir = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    target = f"{state_dir}/state"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        try:
+            current = sp.read.parquet(target)
+        except Exception:
+            current = None
+        merged = (
+            current.unionByName(batch_df) if current is not None else batch_df
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # overwrite-after-read needs a materialization barrier
+        latest.toPandas().pipe(
+            lambda pdf: sp.createDataFrame(pdf, schema=latest.schema)
+        ).write.mode("overwrite").parquet(target)
+
+    try:
+        stream = events_fixture_stream(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{state_dir}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(target).orderBy("user_id")
+        return spark.createDataFrame(final.toPandas(), schema=final.schema)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+QUERIES["streaming_foreach_batch_upsert"] = streaming_foreach_batch_upsert
+ORACLE["streaming_foreach_batch_upsert"] = """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""

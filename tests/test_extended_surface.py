@@ -59,6 +59,7 @@ def test_approx_distinct_within_tolerance(spark):
         "streaming_dedup_user_event",
         "streaming_stateful_user_totals",
         "streaming_etl_file_roundtrip",
+        "streaming_foreach_batch_upsert",
     ],
 )
 def test_streaming_extra_matches_oracle(spark, duck, name):
