@@ -169,8 +169,11 @@ def dedup_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No orderBy: the output is millions of pairs on this corpus and the
+    # driver's value compare is order-insensitive — a final total sort
+    # would be pure shuffle cost (same for the other pair queries).
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(docs, threshold=0.8)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,15 +185,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs — order-sensitive dedup (the
     bag-of-words Jaccard above can't tell reshuffled documents apart)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.8, tokens_fn=word_shingles).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_lsh_pairs(docs, threshold=0.8, tokens_fn=word_shingles)
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: chunk-match candidates, Hamming <= 3."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs).orderBy("id_a", "id_b")
+    return simhash_near_dup_pairs(docs)
 
 
 # --------------------------------------------------------------------------

@@ -165,3 +165,37 @@ def test_partitioned_sink_prunes_partitions(spark):
         )[1].split("]")[0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Pre-bucketed tables on the join key must sort-merge-join with NO
+    Exchange (the 100 TB co-located-join pattern: bucket layout replaces
+    the per-query shuffle)."""
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_bkt")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("customer_bkt")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            spark.table("orders_bkt").o_custkey
+            == spark.table("customer_bkt").c_custkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
