@@ -30,24 +30,33 @@ def event_hour_lenient(ts_string: Column) -> Column:
     """Hour of an ISO-8601 timestamp string; ANY parse failure -> 0.
 
     Reference: datetime.fromisoformat(ts.replace('Z','+00:00')).hour with a
-    bare except returning 0 (Streamingdag.py:207-212). ``to_timestamp``
-    returns NULL (not an error) on bad input, so coalesce(.., 0) reproduces
-    the fallback without per-row exception handling.
+    bare except returning 0 (Streamingdag.py:207-212). Two subtleties:
+
+    - ``try_to_timestamp`` returns NULL (not an ANSI error) on bad input,
+      so coalesce(.., 0) reproduces the bare-except fallback;
+    - ``.hour`` of an offset-aware datetime is the WALL-CLOCK hour as
+      written ('...T10:30:00+05:30' -> 10), while Spark's parser would
+      convert to session time — so the trailing offset/Z is stripped and
+      the local part parsed as a naive timestamp.
     """
-    # try_to_timestamp: NULL (not an ANSI error) on malformed input
-    parsed = F.try_to_timestamp(F.regexp_replace(ts_string, "Z$", "+00:00"))
-    return F.coalesce(F.hour(parsed), F.lit(0)).cast("long")
+    naive = F.regexp_replace(ts_string, "(Z|[+-]\\d{2}:?\\d{2})$", "")
+    return F.coalesce(F.hour(F.try_to_timestamp(naive)), F.lit(0)).cast("long")
 
 
 def data_quality_score(
-    user_id: Column, message: Column, value: Column, timestamp: Column
+    user_id: Column, message: Column, value: Column, timestamp_truthy: Column
 ) -> Column:
     """Sum of four independent +25 rules (Streamingdag.py:214-225):
 
     (a) user_id truthy AND != 'unknown'
     (b) message truthy (non-empty)
     (c) value > 0 (NULL value -> coerced 0.0 earlier -> rule fails)
-    (d) timestamp truthy/non-null
+    (d) ``timestamp_truthy`` — a BOOLEAN the caller derives from its
+        timestamp representation. The reference scores truthiness of the
+        RAW WIRE STRING (`if data.get('timestamp')`, Streamingdag.py:222)
+        — a non-empty-but-unparseable timestamp still earns +25 — so the
+        wire path passes ``truthy_str(event_time_str)``; the typed
+        fixture path passes ``ts.isNotNull()`` (equivalent there).
     Result in {0, 25, 50, 75, 100}.
     """
     rule = lambda cond: F.when(cond, F.lit(25)).otherwise(F.lit(0))  # noqa: E731
@@ -55,5 +64,5 @@ def data_quality_score(
         rule(truthy_str(user_id) & (user_id != F.lit("unknown")))
         + rule(truthy_str(message))
         + rule(F.coalesce(value, F.lit(0.0)) > F.lit(0.0))
-        + rule(timestamp.isNotNull())
+        + rule(timestamp_truthy)
     ).cast("long")

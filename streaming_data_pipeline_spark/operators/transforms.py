@@ -25,6 +25,7 @@ from streaming_data_pipeline_spark.functions.scalars import (
     data_quality_score,
     event_hour_lenient,
     message_length,
+    truthy_str,
 )
 from streaming_data_pipeline_spark.schema import (
     ENRICHED_COLUMNS,
@@ -103,7 +104,12 @@ def enrich(df: DataFrame) -> DataFrame:
         .withColumn(
             "data_quality_score",
             data_quality_score(
-                F.col("user_id"), F.col("message"), F.col("value"), F.col("timestamp")
+                F.col("user_id"),
+                F.col("message"),
+                F.col("value"),
+                # reference scores the RAW wire string's truthiness, not
+                # parse success (Streamingdag.py:222)
+                truthy_str(F.col("event_time_str")),
             ),
         )
     )
@@ -152,7 +158,10 @@ def enrich_raw_events(df: DataFrame, as_of: str | None = None) -> DataFrame:
         .withColumn(
             "data_quality_score",
             data_quality_score(
-                F.col("user_id"), F.col("message"), F.col("value"), F.col("timestamp")
+                F.col("user_id"),
+                F.col("message"),
+                F.col("value"),
+                F.col("timestamp").isNotNull(),
             ),
         )
     )

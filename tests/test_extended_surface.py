@@ -199,3 +199,28 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "etl_enrich_events",
+        "event_type_rollup",
+        "tpch_q1_pricing_summary",
+        "dedup_near_minhash_lsh",
+        "similarity_topk_bruteforce",
+        "text_stats_by_lang",
+        "sessionize_events_batch",
+    ],
+)
+def test_no_python_udf_on_hot_path(spark, name):
+    """SURVEY.md §2.9: the batch surface must stay JVM-side — no
+    row-at-a-time or Arrow Python evaluation nodes in these plans
+    (multimodal ops are the sanctioned mapInPandas exception)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan

@@ -171,3 +171,61 @@ def test_rate_generator_produces_valid_wire_events(spark, tmpdirs):
 @pytest.mark.parametrize("name", ["streaming_windowed_counts", "streaming_user_sessions"])
 def test_streaming_plans_match_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_watermark_drops_late_event(spark, tmpdirs):
+    """Append-mode windowed agg with a 5-minute watermark: an event whose
+    timestamp is far behind the checkpointed watermark high-mark must be
+    EXCLUDED from its (already-finalized) window. Two sequential
+    availableNow drains against ONE checkpoint make the watermark
+    advance deterministic (it persists in the checkpoint between runs)."""
+    from pyspark.sql import functions as F
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+
+    on_time = [
+        {"id": "a1", "timestamp": "2024-01-15T10:00:30Z", "message": "m",
+         "user_id": "u1", "event_type": "click", "value": 1.0},
+        {"id": "a2", "timestamp": "2024-01-15T11:00:00Z", "message": "m",
+         "user_id": "u2", "event_type": "click", "value": 1.0},
+    ]
+    late = [  # 54+ min behind the 10:55 watermark; window long finalized
+        {"id": "late1", "timestamp": "2024-01-15T10:00:40Z", "message": "m",
+         "user_id": "u3", "event_type": "click", "value": 1.0},
+    ]
+
+    def drain():
+        stream = spark.readStream.format("text").load(tmpdirs["in"])
+        enriched = wire_pipeline(stream, as_of=AS_OF).withColumn(
+            "timestamp", F.col("timestamp").cast("timestamp")  # watermark needs LTZ
+        )
+        agg = (
+            enriched.withWatermark("timestamp", "5 minutes")
+            .groupBy(F.window("timestamp", "60 seconds").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tmpdirs["out"])
+            .option("checkpointLocation", tmpdirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            (r.wstart.isoformat(), r.n)
+            for r in spark.read.parquet(tmpdirs["out"]).collect()
+        ]
+
+    _write_messages(tmpdirs["in"], on_time, name="batch0.jsonl")
+    first = drain()
+    # run 1 ends with watermark 10:55; the 10:00 window (ends 10:01) is
+    # finalized and emitted with exactly the on-time event
+    assert first == [("2024-01-15T10:00:00", 1)]
+
+    _write_messages(tmpdirs["in"], late, name="batch1.jsonl")
+    second = drain()
+    # run 2 restores watermark 10:55 from the checkpoint; late1
+    # (10:00:40) is behind it -> dropped, NOT re-emitted nor re-counted
+    assert second == [("2024-01-15T10:00:00", 1)]

@@ -100,8 +100,9 @@ def test_bad_timestamp_hour_fallback_zero(spark):
     e = dict(GOOD, timestamp="not-a-timestamp")
     [r] = run(spark, [e])
     assert r.event_hour == 0  # E2 bare-except -> 0
-    # timestamp rule counts string truthiness (raw key present & non-empty)
-    assert r.data_quality_score == 75  # ts parse failed -> NULL -> rule (d) fails
+    # rule (d) scores RAW-string truthiness (Streamingdag.py:222): an
+    # unparseable-but-non-empty timestamp still earns its 25
+    assert r.data_quality_score == 100
 
 
 def test_quality_filter_threshold(spark):
