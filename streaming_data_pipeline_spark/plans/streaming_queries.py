@@ -44,8 +44,11 @@ def _drain(agg: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    snapshot = spark.table(name)
-    out = spark.createDataFrame(snapshot.toPandas(), schema=snapshot.schema)
+    # localCheckpoint materializes the snapshot into executor storage
+    # and cuts the lineage to the (about-to-be-dropped) memory-sink
+    # view — a distributed barrier, so result size is bounded by the
+    # cluster, never by the driver heap.
+    out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
 
@@ -285,16 +288,20 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import Window
 
     state_dir = tempfile.mkdtemp(prefix="spark_graft_upsert_")
-    target = f"{state_dir}/state"
+    # Version pointer for the copy-on-write state table: each batch
+    # reads vN and writes vN+1, so the directory being read is never
+    # the one being written. The pointer flip is the atomic commit —
+    # the same shape as Delta/Iceberg's snapshot swap, with executors
+    # writing every byte (no driver-side materialization at any batch
+    # or state size).
+    cur = {"path": None, "ver": 0}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        try:
-            current = sp.read.parquet(target)
-        except Exception:
-            current = None
         merged = (
-            current.unionByName(batch_df) if current is not None else batch_df
+            sp.read.parquet(cur["path"]).unionByName(batch_df)
+            if cur["path"] is not None
+            else batch_df
         )
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts"), F.desc("event_id")
@@ -304,10 +311,12 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        # overwrite-after-read needs a materialization barrier
-        latest.toPandas().pipe(
-            lambda pdf: sp.createDataFrame(pdf, schema=latest.schema)
-        ).write.mode("overwrite").parquet(target)
+        cur["ver"] += 1
+        new_path = f"{state_dir}/v{cur['ver']}"
+        latest.write.mode("errorifexists").parquet(new_path)
+        old, cur["path"] = cur["path"], new_path
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
 
     try:
         stream = events_fixture_stream(spark, sf_dir).select(
@@ -320,8 +329,13 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(target).orderBy("user_id")
-        return spark.createDataFrame(final.toPandas(), schema=final.schema)
+        # localCheckpoint pins the final state in executor storage so
+        # the temp dir can be reclaimed without driver materialization.
+        return (
+            spark.read.parquet(cur["path"])
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
 
