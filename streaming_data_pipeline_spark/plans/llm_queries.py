@@ -46,6 +46,7 @@ from streaming_data_pipeline_spark.operators.similarity import (
     hyperplanes,
     ivf_topk,
     lsh_topk,
+    multiprobe_lsh_topk,
     near_dup_pairs,
 )
 from streaming_data_pipeline_spark.sources.batch import load_table
@@ -215,6 +216,46 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: probe bucket + every Hamming-1 neighbor
+    bucket, recovering most of what single-bucket LSH loses at the sign
+    boundaries, with stored codes never reshuffled (broadcast probes)."""
+    emb = _emb(spark, sf_dir)
+    return multiprobe_lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
+        "probe_id", "rank"
+    )
+
+
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of each ANN path against the exact brute-force top-10,
+    per probe — the approximation-quality measurement the ANN designs
+    owe. Also demonstrates multiprobe >= single-bucket LSH recall."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    bf = brute_force_topk(emb, probes).select("probe_id", "cand_id")
+    approx = {
+        "lsh_recall": lsh_topk(emb, probes),
+        "multiprobe_recall": multiprobe_lsh_topk(emb, probes),
+        "ivf_recall": ivf_topk(emb, probes),
+    }
+    out = bf
+    for name, df in approx.items():
+        hit = df.select("probe_id", "cand_id").withColumn(name, F.lit(1))
+        out = out.join(hit, ["probe_id", "cand_id"], "left")
+    return (
+        out.groupBy("probe_id")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.coalesce(F.col(n), F.lit(0))) / F.count("*"), 4
+                ).alias(n)
+                for n in approx
+            ]
+        )
+        .orderBy("probe_id")
+    )
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
 
@@ -269,6 +310,8 @@ QUERIES = {
     "simhash_near_dup": simhash_near_dup,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_multiprobe_lsh": similarity_multiprobe_lsh,
+    "similarity_recall_at_k": similarity_recall_at_k,
     "similarity_ivf": similarity_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "multimodal_decode_fake": multimodal_decode_fake,
@@ -313,6 +356,22 @@ def _sql_bucket(v: str, planes: list[list[int]]) -> str:
         for p in planes
     ]
     return " || ".join(bits)
+
+
+def _sql_bucket_flip(v: str, planes: list[list[int]], j: int) -> str:
+    """The bucket code with bit j inverted (multi-probe neighbor)."""
+    bits = []
+    for idx, p in enumerate(planes):
+        then, els = ("'0'", "'1'") if idx == j else ("'1'", "'0'")
+        bits.append(f"(CASE WHEN ({_sql_plane_dot(v, p)}) >= 0 THEN {then} ELSE {els} END)")
+    return " || ".join(bits)
+
+
+def _sql_probe_code_list(v: str, planes: list[list[int]]) -> str:
+    codes = [_sql_bucket(v, planes)] + [
+        _sql_bucket_flip(v, planes, j) for j in range(len(planes))
+    ]
+    return "[" + ", ".join(codes) + "]"
 
 
 def _sql_minhash_sig(k: int = 16) -> str:
@@ -606,4 +665,120 @@ ORACLE = {
              AS new_height
     FROM dims ORDER BY doc_id
     """,
+    "similarity_multiprobe_lsh": f"""
+    WITH cand AS (SELECT vec_id AS cand_id, embedding AS cv,
+                         {_sql_bucket('embedding', hyperplanes(8, DIM, 42))} AS bucket
+                  FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+               WHERE vec_id < {N_PROBES}),
+    pcodes AS (SELECT probe_id, unnest({_sql_probe_code_list('pv', hyperplanes(8, DIM, 42))}) AS bucket
+               FROM probes),
+    pairs AS (
+      SELECT DISTINCT probe_id, cand_id
+      FROM pcodes JOIN cand USING (bucket)
+      WHERE probe_id <> cand_id
+    ),
+    scored AS (
+      SELECT pr.probe_id, c.cand_id,
+             ({_sql_dot('pr.pv', 'c.cv')})
+               / (sqrt({_sql_dot('pr.pv', 'pr.pv')}) * sqrt({_sql_dot('c.cv', 'c.cv')})) AS cos
+      FROM pairs JOIN probes pr USING (probe_id) JOIN cand c USING (cand_id))
+    SELECT probe_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    WHERE rank <= 10 ORDER BY probe_id, rank
+    """,
 }
+
+
+def _sql_recall_oracle() -> str:
+    """Recall@10 oracle: brute-force / LSH / multiprobe / IVF top-10
+    recomputed in DuckDB from the same hyperplanes and centroid seeding,
+    then per-probe hit fractions against the brute-force truth."""
+    p8 = hyperplanes(8, DIM, 42)
+    topk = (
+        "SELECT probe_id, cand_id FROM ("
+        "SELECT probe_id, cand_id, row_number() OVER "
+        "(PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank FROM ({scored})"
+        ") WHERE rank <= 10"
+    )
+    cos = (
+        f"({_sql_dot('pv', 'cv')}) / "
+        f"(sqrt({_sql_dot('pv', 'pv')}) * sqrt({_sql_dot('cv', 'cv')}))"
+    )
+    bf_scored = (
+        "SELECT probe_id, cand_id, " + cos + " AS cos "
+        "FROM probes, cand WHERE probe_id <> cand_id"
+    )
+    lsh_scored = (
+        "SELECT probe_id, cand_id, " + cos + " AS cos "
+        "FROM lshp JOIN lshc USING (bucket) WHERE probe_id <> cand_id"
+    )
+    mp_scored = (
+        "SELECT pr.probe_id, c.cand_id, "
+        f"({_sql_dot('pr.pv', 'c.cv')}) / "
+        f"(sqrt({_sql_dot('pr.pv', 'pr.pv')}) * sqrt({_sql_dot('c.cv', 'c.cv')})) AS cos "
+        "FROM mpairs JOIN probes pr USING (probe_id) JOIN cand c USING (cand_id)"
+    )
+    ivf_scored = (
+        "SELECT probe_id, cand_id, "
+        f"({_sql_dot('probe_vec', 'cand_vec')}) / "
+        f"(sqrt({_sql_dot('probe_vec', 'probe_vec')}) * sqrt({_sql_dot('cand_vec', 'cand_vec')})) AS cos "
+        "FROM assigned JOIN probe_lists USING (cent_id) WHERE probe_id <> cand_id"
+    )
+    return f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+                    WHERE vec_id < {N_PROBES}),
+    cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    bf AS ({topk.format(scored=bf_scored)}),
+    lshp AS (SELECT probe_id, pv, {_sql_bucket('pv', p8)} AS bucket FROM probes),
+    lshc AS (SELECT cand_id, cv, {_sql_bucket('cv', p8)} AS bucket FROM cand),
+    lsh AS ({topk.format(scored=lsh_scored)}),
+    pcodes AS (SELECT probe_id, unnest({_sql_probe_code_list('pv', p8)}) AS bucket
+               FROM probes),
+    mpairs AS (
+      SELECT DISTINCT probe_id, cand_id
+      FROM pcodes JOIN lshc USING (bucket) WHERE probe_id <> cand_id
+    ),
+    mp AS ({topk.format(scored=mp_scored)}),
+    cents AS (SELECT vec_id AS cent_id, embedding AS ctv FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT cand_id, cand_vec, cent_id FROM (
+        SELECT e.vec_id AS cand_id, e.embedding AS cand_vec, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ({_sql_dot('e.embedding', 'c.ctv')})
+                          / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                             * sqrt({_sql_dot('c.ctv', 'c.ctv')})) DESC,
+                          c.cent_id
+               ) AS arank
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE arank = 1
+    ),
+    probe_lists AS (
+      SELECT probe_id, probe_vec, cent_id FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY ({_sql_dot('p.embedding', 'c.ctv')})
+                          / (sqrt({_sql_dot('p.embedding', 'p.embedding')})
+                             * sqrt({_sql_dot('c.ctv', 'c.ctv')})) DESC,
+                          c.cent_id
+               ) AS prank
+        FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < {N_PROBES}
+      ) WHERE prank <= 2
+    ),
+    ivf AS ({topk.format(scored=ivf_scored)})
+    SELECT b.probe_id,
+           round(CAST(COUNT(l.cand_id) AS DOUBLE) / COUNT(*), 4) AS lsh_recall,
+           round(CAST(COUNT(m.cand_id) AS DOUBLE) / COUNT(*), 4) AS multiprobe_recall,
+           round(CAST(COUNT(i.cand_id) AS DOUBLE) / COUNT(*), 4) AS ivf_recall
+    FROM bf b
+    LEFT JOIN lsh l ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id
+    LEFT JOIN mp  m ON b.probe_id = m.probe_id AND b.cand_id = m.cand_id
+    LEFT JOIN ivf i ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
+    GROUP BY b.probe_id ORDER BY b.probe_id
+    """
+
+
+ORACLE["similarity_recall_at_k"] = _sql_recall_oracle()

@@ -73,6 +73,11 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate averages per (label, pos), and sort_array over
     collected (pos, mean) structs reassembles ordered vectors — all
     JVM-side built-ins, linear in rows x dim, no skew (dim is uniform).
+
+    The reassembled centroid is emitted as a canonical fixed-precision
+    string (not array<double>): the driver's order-insensitive value
+    hasher cannot hash array columns, and '%.6f' after round(.,6)+0.0
+    renders the identical double identically in Spark and DuckDB.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     parts = emb.select(
@@ -80,12 +85,15 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         parts.groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mean_x"))
         .groupBy("label")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "mean_x"))),
-                lambda s: s.mean_x,
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mean_x"))),
+                    lambda s: F.format_string("%.6f", s.mean_x),
+                ),
             ).alias("centroid"),
             F.count("*").cast("long").alias("dim"),
         )
@@ -154,7 +162,10 @@ def skew_salted_join(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFra
         joined.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(F.col("value") - F.col("type_avg")), 4).alias(
+            # + 0.0 normalizes IEEE signed zero: the delta is mathematically
+            # 0 per group, so each engine's summation order leaves a ±ε
+            # residual and round() can yield -0.0 on one side only.
+            (F.round(F.avg(F.col("value") - F.col("type_avg")), 4) + F.lit(0.0)).alias(
                 "avg_delta"
             ),
             F.sum(
@@ -190,11 +201,11 @@ ORACLE = {
       FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
     ),
     means AS (
-      SELECT label, pos, round(AVG(x), 6) AS mean_x
+      SELECT label, pos, round(AVG(x), 6) + 0.0 AS mean_x
       FROM parts GROUP BY label, pos
     )
     SELECT CAST(label AS BIGINT) AS label,
-           list(mean_x ORDER BY pos) AS centroid,
+           array_to_string(list(printf('%.6f', mean_x) ORDER BY pos), ',') AS centroid,
            CAST(COUNT(*) AS BIGINT) AS dim
     FROM means GROUP BY label ORDER BY label
     """,
@@ -230,7 +241,7 @@ ORACLE = {
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           round(AVG(value - type_avg), 4) AS avg_delta,
+           round(AVG(value - type_avg), 4) + 0.0 AS avg_delta,
            CAST(SUM(CASE WHEN value > type_avg THEN 1 ELSE 0 END) AS BIGINT)
              AS above_avg_count
     FROM events JOIN dim ON event_type = d_type

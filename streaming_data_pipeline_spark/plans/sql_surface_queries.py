@@ -11,7 +11,8 @@ Oracle notes:
 - dayofweek: Spark is 1=Sunday..7=Saturday, DuckDB 0=Sunday..6=Saturday;
   the oracle adds 1.
 - approx_count_distinct is engine-specific (HLL++ vs HLL) — that query
-  ships without an oracle entry, so the driver records rows-only.
+  is self-validating: it emits the exact count + a within-5%-of-exact
+  boolean, and the oracle emits the exact count + literal TRUE.
 """
 
 from __future__ import annotations
@@ -127,16 +128,20 @@ def collect_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) next to the exact count — the
-    100 TB-scale variant of SURVEY.md §2.5 A4. Engine-specific sketch,
-    so no oracle (driver does the rows-only check); the test suite
-    asserts the estimate is within 5% of exact."""
+    """approx_count_distinct (HLL++) validated against the exact count —
+    the 100 TB-scale variant of SURVEY.md §2.5 A4. HLL sketch values are
+    engine-specific, so the query is self-validating: it emits the exact
+    count plus a boolean asserting the estimate lands within 5%, and the
+    oracle emits the exact count plus literal TRUE. A drifting sketch
+    turns the row red instead of being unverifiable."""
     ev = _t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id")
+    exact = F.countDistinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            exact.alias("exact_users"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -280,6 +285,12 @@ ORACLE = {
            array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
            CAST(COUNT(*) AS BIGINT) AS doc_count
     FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "approx_distinct_users": """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
     """,
     "rolling_weekly_revenue": """
     SELECT o_orderkey, o_custkey, o_orderdate,

@@ -29,27 +29,20 @@ def test_tpch_extra_matches_oracle_sf001(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR_MID)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [n for n in _names("sql_surface_queries") if n != "approx_distinct_users"],
-)
+@pytest.mark.parametrize("name", _names("sql_surface_queries"))
 def test_sql_surface_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """approx_count_distinct has no cross-engine oracle; assert the
-    HLL++ estimate lands within 5% of the exact count."""
+    """The self-validating HLL++ query must report the estimate within 5%
+    of exact for every group (its oracle asserts literal TRUE)."""
     import __spark_entry__ as entrymod
 
     rows = entrymod.queries()["approx_distinct_users"](spark, SF_DIR_MID).collect()
     assert len(rows) > 0
     for r in rows:
-        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), (
-            r.event_type,
-            r.approx_users,
-            r.exact_users,
-        )
+        assert r.approx_within_5pct, (r.event_type, r.exact_users)
 
 
 @pytest.mark.parametrize(
