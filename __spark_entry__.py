@@ -34,11 +34,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return event_type_rollup(spark, SF_SMOKE_DIR)
 
 
+# The driver sweeps queries() in dict (insertion) order with a 50-query
+# budget per round. This explicit priority list rotates coverage:
+# queries that were red last round and queries that have never had a
+# driver row come first, then the tranche whose last green row is
+# oldest (the 33 TPC-H + 2 reference-tail queries last verified in r1),
+# then everything verified most recently. 43 names below + 7 of the
+# freshest-green tail fit the 50 budget, so one round refreshes every
+# stale row while re-verifying the fixes.
+_SWEEP_PRIORITY = [
+    # red in CORRECTNESS_r02 — fixed this round
+    "skew_salted_join",
+    "embedding_centroids_by_label",
+    "approx_distinct_users",
+    # new in round 3 — never driver-checked
+    "streaming_windowed_append",
+    "streaming_rate_source_etl",
+    "retention_expire_partitions",
+    "similarity_multiprobe_lsh",
+    "similarity_recall_at_k",
+    # last green row is round 1 (r2's 50-query budget skipped these)
+    "top5_latest",
+    "windowed_counts_60s",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "revenue_by_region",
+    "customers_with_orders",
+    "customers_without_orders",
+    "top_order_per_customer",
+    "monthly_revenue_momentum",
+    "nation_key_set_ops",
+    "rollup_order_status",
+    "cube_returnflag_status",
+    "distinct_mktsegments",
+    "sql_cte_priority_revenue",
+    "asof_last_login_value",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q2_cheapest_part_per_brand",
+    "tpch_q22_idle_customers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_part_value_concentration",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_customer_order_histogram",
+    "tpch_q16_supplier_count_by_part",
+    "tpch_q19_or_predicate_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+]
+
+
 def _plan_modules():
-    # Order matters: the driver sweeps queries() in dict (insertion)
-    # order under a budget, so the LLM-pipeline / streaming / scale
-    # modules — the differentiating surface — come FIRST, followed by
-    # the reference's own analytics and the TPC-H tranche.
     mods = []
     for name in (
         "llm_queries",
@@ -63,10 +117,13 @@ def _plan_modules():
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    """One entry per implemented operator from SURVEY.md §2, reordered
+    so the driver's 50-query budget lands on the stalest evidence."""
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _plan_modules():
-        out.update(getattr(mod, "QUERIES", {}))
+        merged.update(getattr(mod, "QUERIES", {}))
+    out = {n: merged[n] for n in _SWEEP_PRIORITY if n in merged}
+    out.update(merged)
     return out
 
 

@@ -70,20 +70,24 @@ def main() -> None:
     # Warm-up: spin the JVM, codegen, and the parquet footer cache.
     _force(qs["event_type_rollup"](spark, sf_dir))
 
-    # Per-query protocol: one UNTIMED warm-up execution, then min-of-2
-    # timed runs. The warm-up pays the one-time whole-stage-codegen
-    # (janino) compile for that query's stage shapes — measured at
-    # ~7s extra on the first execution of the near-dup plans — so the
-    # timed runs report steady-state throughput, which is what a
-    # long-running engine delivers. min-of-2 because this box shows
-    # multi-x run-to-run noise (virtualized host steal); the min is
-    # the standard steal-robust estimator and every run (warm-up
-    # included) executes the FULL plan with caches cleared between.
+    # Per-query protocol: the first execution is TIMED as the cold run
+    # (it pays the one-time whole-stage-codegen / janino compile for
+    # that query's stage shapes — measured at ~7s extra on the near-dup
+    # plans), then min-of-2 timed runs give the steady-state number a
+    # long-running engine delivers. Both totals are published so rounds
+    # stay comparable whichever protocol an earlier round used (r1
+    # totals were cold-inclusive, r2 totals steady-state). min-of-2
+    # because this box shows multi-x run-to-run noise (virtualized host
+    # steal); the min is the standard steal-robust estimator and every
+    # run executes the FULL plan with caches cleared between.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         best = float("inf")
         for _ in range(2):
@@ -96,6 +100,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -108,6 +113,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": cold_total,
+                "cold_queries": cold,
                 "sf": sf_val,
             }
         )

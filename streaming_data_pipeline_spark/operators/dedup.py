@@ -30,6 +30,28 @@ from streaming_data_pipeline_spark.functions.text import (
 # Spark and DuckDB, so value = position(ch IN alphabet) - 1.
 _HEX = "0123456789abcdef"
 
+# Cached frames from the most recent near-dup plan. A correctness sweep
+# runs ~90 queries in one session; without release, each near-dup call
+# leaves its caches pinned in storage memory until LRU eviction. Each
+# entry point releases the previous call's caches up front (the lazy
+# returned plan is consumed before the next query starts), bounding
+# live cache to one query's worth.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical (normalized) texts: keep lowest id as canonical,
@@ -112,21 +134,22 @@ def minhash_lsh_pairs(
     # turns the plan into compute-once + fan-out.
     if tokens_fn is None:
         tokens_fn = distinct_tokens
-    members = (
+    _release_caches()
+    members = _cached(
         df.select(
             F.col(id_col).alias("id"),
             F.array_sort(tokens_fn(F.col(text_col))).alias("toks"),
-        )
-        .withColumn("fp", F.md5(F.concat_ws(" ", "toks")))
-        .cache()
+        ).withColumn("fp", F.md5(F.concat_ws(" ", "toks")))
     )
     member_ids = members.select("id", "fp")
 
     # All toks arrays within a group are identical (sorted same set), so
     # any() is deterministic in content.
-    groups = members.groupBy("fp").agg(
-        F.any_value("toks").alias("toks"), F.count("*").alias("cnt")
-    ).withColumn("sz", F.size("toks")).cache()
+    groups = _cached(
+        members.groupBy("fp")
+        .agg(F.any_value("toks").alias("toks"), F.count("*").alias("cnt"))
+        .withColumn("sz", F.size("toks"))
+    )
 
     # --- LSH banding: candidates FIRST ---------------------------------
     # The banding self-join runs on GROUPS (distinct token sets), where a
@@ -176,15 +199,17 @@ def minhash_lsh_pairs(
     # here cut steady-state sf0.1 wall time from ~6.5s to ~4.4s and
     # cold-run from ~13s to ~11s). The table is one row per (group,
     # band) — bands x distinct-token-sets — so the cache is tiny.
-    bucketed = sig.join(groups.select("fp", "sz"), "fp").select(
-        "fp",
-        "sz",
-        F.explode(
-            lsh_band_buckets(
-                F.array(*[F.col(f"h{j}") for j in range(k)]), bands, rows
-            )
-        ).alias("bucket"),
-    ).cache()
+    bucketed = _cached(
+        sig.join(groups.select("fp", "sz"), "fp").select(
+            "fp",
+            "sz",
+            F.explode(
+                lsh_band_buckets(
+                    F.array(*[F.col(f"h{j}") for j in range(k)]), bands, rows
+                )
+            ).alias("bucket"),
+        )
+    )
     # Size-ratio prefilter: round(J, 6) >= threshold implies
     # J >= threshold - 5e-7, and J <= min(sz)/max(sz) always, so any
     # surviving pair must have least(sz)/greatest(sz) >= threshold-5e-7.
@@ -275,10 +300,13 @@ def simhash_near_dup_pairs(
     group pairs expand back to doc pairs. Returns (id_a, id_b, hamming).
     """
     width = 64 // chunks
-    members = simhash64(df, text_col, id_col).select(
-        F.col("doc_id").alias("id"), "simhash"
-    ).cache()
-    groups = members.groupBy("simhash").agg(F.count("*").alias("cnt")).cache()
+    _release_caches()
+    members = _cached(
+        simhash64(df, text_col, id_col).select(
+            F.col("doc_id").alias("id"), "simhash"
+        )
+    )
+    groups = _cached(members.groupBy("simhash").agg(F.count("*").alias("cnt")))
 
     chunk_arr = F.array(
         *[

@@ -6,6 +6,9 @@
   tables): a date-partitioned parquet write whose read-back carries the
   freshness predicate as a PartitionFilter, so a 10min/1h/24h query
   (SURVEY.md §2.7 P2) touches days, not history.
+- ``retention_expire_partitions`` — the reference's 30-day warehouse
+  expiration (README.md:308-315) as an O(days) partition drop over the
+  same date-partitioned sink: no rows read or rewritten.
 - ``embedding_centroids_by_label`` — element-wise vector mean per
   label, the reduce step of distributed k-means / class prototypes.
   posexplode -> (label, pos) hash-agg -> re-assemble keeps every stage a
@@ -61,7 +64,48 @@ def partitioned_sink_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_date", "event_type")
         )
-        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+        # detach from the about-to-be-deleted sink dir without a driver
+        # pandas roundtrip
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def retention_expire_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 30-day warehouse expiration (README.md:308-315)
+    as a partition-level retention op: write the date-partitioned sink,
+    drop every day-partition older than the cutoff (a filesystem/
+    metadata operation — zero rows read or rewritten), read back.
+
+    The read-back aggregate proves both halves: expired dates are gone
+    (any surviving old partition would add rows the oracle doesn't
+    have) and retained dates are byte-intact (counts and sums match the
+    source restricted to >= cutoff).
+    """
+    from streaming_data_pipeline_spark.operators.retention import (
+        expire_old_partitions,
+    )
+
+    cutoff = "2024-01-20"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_ret_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        expire_old_partitions(base, "event_date", cutoff)
+        back = spark.read.parquet(base)
+        out = (
+            back.groupBy(
+                F.col("event_date").cast("timestamp_ntz").alias("event_date")
+            )
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
+            )
+            .orderBy("event_date")
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -178,6 +222,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFra
 
 QUERIES = {
     "partitioned_sink_pruning": partitioned_sink_pruning,
+    "retention_expire_partitions": retention_expire_partitions,
     "embedding_centroids_by_label": embedding_centroids_by_label,
     "sessionize_events_batch": sessionize_events_batch,
     "skew_salted_join": skew_salted_join,
@@ -193,6 +238,14 @@ ORACLE = {
     WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
     GROUP BY 1, 2
     ORDER BY 1, 2
+    """,
+    "retention_expire_partitions": """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+    GROUP BY 1 ORDER BY 1
     """,
     "embedding_centroids_by_label": """
     WITH parts AS (

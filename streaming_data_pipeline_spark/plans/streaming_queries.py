@@ -3,10 +3,14 @@ Structured Streaming (micro-batch engine, availableNow drain), results
 materialized from a memory sink so the driver can oracle-check them like
 any batch query.
 
-complete output mode is used deliberately: it emits every window
-regardless of watermark progress, so a full drain is deterministic and
-equals the batch aggregation over the same data — which is exactly what
-the DuckDB oracle computes.
+complete output mode is used for most windowed drains: it emits every
+window regardless of watermark progress, so a full drain is
+deterministic and equals the batch aggregation over the same data —
+which is exactly what the DuckDB oracle computes.
+``streaming_windowed_append`` exercises the production path instead:
+append mode with a real watermark gate, where only windows the final
+watermark has closed are ever emitted (the oracle applies the same
+cutoff to the batch aggregation).
 """
 
 from __future__ import annotations
@@ -21,7 +25,10 @@ from pyspark.sql import functions as F
 from streaming_data_pipeline_spark.operators.transforms import enrich_raw_events
 from streaming_data_pipeline_spark.plans.base import AS_OF, ENRICHED_CTE
 from streaming_data_pipeline_spark.sources.batch import load_table
-from streaming_data_pipeline_spark.streaming.sources import events_fixture_stream
+from streaming_data_pipeline_spark.streaming.sources import (
+    events_fixture_stream,
+    synthetic_event_stream,
+)
 from streaming_data_pipeline_spark.streaming.windows import (
     session_window_stats,
     sliding_window_counts,
@@ -46,8 +53,10 @@ def _drain(agg: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     q.awaitTermination()
     # localCheckpoint materializes the snapshot into executor storage
     # and cuts the lineage to the (about-to-be-dropped) memory-sink
-    # view — a distributed barrier, so result size is bounded by the
-    # cluster, never by the driver heap.
+    # view, removing the extra driver-side pandas roundtrip the old
+    # toPandas() detach made. (The memory sink itself still buffers the
+    # streaming result on the driver — fine for these grouped
+    # aggregates; an unbounded-result drain should use a file sink.)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
@@ -65,6 +74,27 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enrich_raw_events(stream, as_of=AS_OF)
     agg = tumbling_window_counts(enriched, ts_col="timestamp")
     return _drain_complete(agg, spark).orderBy("window_start", "event_type")
+
+
+def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked tumbling windows — the production
+    streaming-aggregation path (SURVEY.md §2.4 W2; the reference's
+    FixedWindows at Streamingdag.py:302-308 with a real lateness gate).
+
+    Unlike the complete-mode drains, a window row here is emitted
+    exactly once: when the watermark — max observed event time minus
+    the 2 h delay, advanced at micro-batch boundaries — passes the
+    window's end. Windows the final watermark never closes (the last
+    ~2-3 hours of the fixture) stay in state and are NOT in the output;
+    the oracle applies the identical cutoff to the batch aggregation,
+    so this query proves watermark-gated emission, not just window
+    arithmetic.
+    """
+    stream = events_fixture_stream(spark, sf_dir)
+    agg = tumbling_window_counts(
+        stream, ts_col="ts", width="1 hour", watermark="2 hours"
+    )
+    return _drain(agg, spark, "append").orderBy("window_start", "event_type")
 
 
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,13 +223,16 @@ def streaming_etl_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
-        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+        # detach from the about-to-be-deleted sink dir without a driver
+        # pandas roundtrip (same pattern as _drain)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
 QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_windowed_append": streaming_windowed_append,
     "streaming_user_sessions": streaming_user_sessions,
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_dedup_user_event": streaming_dedup_user_event,
@@ -217,6 +250,16 @@ ORACLE = {
     FROM enriched
     GROUP BY 1, 2
     ORDER BY window_start, event_type
+    """,
+    "streaming_windowed_append": """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOURS AS cutoff FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= cutoff
+    GROUP BY 1, 2
+    ORDER BY 1, 2
     """,
     "streaming_user_sessions": """
     WITH ordered AS (
@@ -329,8 +372,17 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
+        if cur["path"] is None:
+            # zero batches -> no state table was ever written
+            return spark.createDataFrame(
+                [], "event_id bigint, ts timestamp_ntz, user_id bigint, "
+                "event_type string, value double"
+            )
         # localCheckpoint pins the final state in executor storage so
         # the temp dir can be reclaimed without driver materialization.
+        # (Non-replicated storage: fine on local[*]; a cluster deploy
+        # would keep the state dir until the result is consumed, or use
+        # reliable checkpointing.)
         return (
             spark.read.parquet(cur["path"])
             .orderBy("user_id")
@@ -350,4 +402,82 @@ FROM (
   FROM events
 ) WHERE rn = 1
 ORDER BY user_id
+"""
+
+
+def streaming_rate_source_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4, oracle-checked: the rate-controlled generator
+    (web-application.py:432-471 analog, streaming/sources.py
+    synthetic_event_stream) feeding the full wire ETL chain
+    (parse -> validate -> coerce -> enrich -> quality-filter).
+
+    Determinism: the rate-micro-batch source makes batch b exactly the
+    value range [b*N, (b+1)*N), and every generated field except the
+    event timestamp is a pure function of that index, so restricting to
+    indices < 1000 gives a fixed result set no matter how many batches
+    ran before the query was stopped. The DuckDB oracle regenerates the
+    same 1000 events from range(1000). ``sf_dir`` is unused (the source
+    IS the generator); timestamp-derived columns are excluded from the
+    aggregate because the rate source stamps wall-clock time.
+    """
+    import time
+
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+
+    n = 1000
+    wire = synthetic_event_stream(spark, rows_per_batch=500)
+    etl = wire_pipeline(wire, as_of=AS_OF)
+    name = f"rate_etl_{next(_counter)}"
+    q = (
+        etl.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # The generator's quality chain drops nothing (every synthetic
+        # row scores >= 75), so sink count == generated count and the
+        # deterministic prefix [0, n) is complete once count >= n.
+        deadline = time.time() + 120
+        while spark.table(name).count() < n:
+            if time.time() > deadline:
+                raise TimeoutError("rate stream did not reach %d rows" % n)
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    snap = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    idx = F.regexp_extract("message", r"#(\d+)", 1).cast("long")
+    return (
+        snap.withColumn("idx", idx)
+        .filter(F.col("idx") < n)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            F.sum("message_length").alias("total_msg_len"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["streaming_rate_source_etl"] = streaming_rate_source_etl
+ORACLE["streaming_rate_source_etl"] = """
+WITH g AS (SELECT CAST(u.i AS BIGINT) AS i FROM UNNEST(range(1000)) AS u(i)),
+ev AS (
+  SELECT i,
+         (['login','logout','purchase','page_view','click','error','signup'])[CAST(i % 7 AS INT) + 1] AS event_type,
+         round(((i * 7919 + 13) % 49999) / 100.0, 2) AS value,
+         'message #' || CAST(i AS VARCHAR) AS message
+  FROM g)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       CAST(SUM(length(message)) AS BIGINT) AS total_msg_len,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM ev GROUP BY event_type ORDER BY event_type
 """

@@ -45,6 +45,36 @@ def text_message_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     return spark.readStream.format("text").load(drop_dir)
 
 
+def kafka_message_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 production wiring: the Kafka analog of the reference's
+    ReadFromPubSub(subscription=...) (Streamingdag.py:288-294), surfaced
+    as the same one-string-column ``value`` frame as
+    :func:`text_message_stream`, so the identical
+    ``wire_pipeline`` transform chain consumes either source unchanged.
+
+    Requires the spark-sql-kafka connector on the classpath (not bundled
+    with a bare pyspark install); without it ``load()`` raises Spark's
+    data-source-not-found AnalysisException — callers deploy with
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<version>``.
+    """
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    # Kafka frames carry (key, value binary, topic, partition, offset,
+    # timestamp, ...); the wire contract is just the payload text.
+    return raw.select(F.col("value").cast("string").alias("value"))
+
+
 def events_fixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events.parquet through the micro-batch engine with the
     same canonical (ts -> TIMESTAMP_NTZ) conversion as the batch path."""
@@ -61,13 +91,34 @@ def events_fixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synthetic_event_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+def synthetic_event_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    rows_per_batch: int | None = None,
+) -> DataFrame:
     """Rate-source generator producing wire-format JSON payloads with the
     producer app's field distributions (purchase rows gain product_id/
     currency, page_view rows gain page/referrer). Deterministic given the
-    rate source's monotonically increasing ``value``."""
+    rate source's monotonically increasing ``value``.
+
+    ``rows_per_batch`` switches to the ``rate-micro-batch`` source:
+    batch b carries exactly values [b*N, (b+1)*N) with no wall-clock
+    pacing — the oracle-checkable variant (every derived field except
+    the event timestamp is a pure function of the value index).
+    """
     apply_runtime_confs(spark)
-    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    if rows_per_batch is not None:
+        rate = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .load()
+        )
+    else:
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
     i = F.col("value")
     etype = F.element_at(
         F.array(*[F.lit(t) for t in EVENT_TYPES]), (F.pmod(i, F.lit(len(EVENT_TYPES))) + 1).cast("int")

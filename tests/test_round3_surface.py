@@ -1,0 +1,148 @@
+"""Round-3 surface: append-mode watermarked windows, rate-source ETL,
+partition retention, multi-probe LSH + ANN recall, Kafka source wiring,
+and the dedup cache-release contract."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "streaming_windowed_append",
+        "streaming_rate_source_etl",
+        "retention_expire_partitions",
+        "similarity_multiprobe_lsh",
+        "similarity_recall_at_k",
+    ],
+)
+def test_round3_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_append_mode_withholds_open_windows(spark):
+    """Append mode must emit strictly fewer windows than the complete
+    drain of the same aggregation: the final watermark (max ts - 2 h)
+    never closes the last hours' windows."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    out = entrymod.queries()["streaming_windowed_append"](spark, SF_DIR)
+    max_emitted = out.agg(F.max("window_start")).collect()[0][0]
+    max_ts = load_table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    # last emitted window closed at or before the watermark; the window
+    # containing max_ts itself can never be emitted
+    assert max_emitted is not None
+    assert max_emitted < max_ts.replace(minute=0, second=0, microsecond=0)
+
+
+def test_multiprobe_improves_recall_and_stays_broadcast(spark):
+    """Multi-probe must dominate single-bucket LSH recall per probe, and
+    the stored (candidate) side of its join must not be shuffled — the
+    probe expansion broadcasts, the table scans straight into the join."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["similarity_recall_at_k"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.multiprobe_recall >= r.lsh_recall, (
+            r.probe_id,
+            r.multiprobe_recall,
+            r.lsh_recall,
+        )
+
+    plan = (
+        entrymod.queries()["similarity_multiprobe_lsh"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # Below the broadcast join sit only the probe-side BroadcastExchange
+    # and the stored-side scan: no shuffle between scan and join.
+    below_join = plan.split("BroadcastHashJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below_join
+
+
+def test_expire_old_partitions_filesystem_contract(spark):
+    """Partition-level retention: dropped dates are gone from disk,
+    retained dates untouched, and the op returns what it dropped."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.operators.retention import (
+        expire_old_partitions,
+        list_partition_values,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_ret_test_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        before = list_partition_values(base, "event_date")
+        cutoff = before[len(before) // 2]
+        dropped = expire_old_partitions(base, "event_date", cutoff)
+        after = list_partition_values(base, "event_date")
+        assert dropped == [v for v in before if v < cutoff]
+        assert after == [v for v in before if v >= cutoff]
+        for v in dropped:
+            assert not os.path.exists(os.path.join(base, f"event_date={v}"))
+        # retained data still readable and complete
+        kept = spark.read.parquet(base).count()
+        want = ev.filter(F.col("event_date") >= cutoff).count()
+        assert kept == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_kafka_source_wiring(spark):
+    """S1 production wiring: the Kafka source must surface the same
+    one-column ``value`` contract and feed the identical wire ETL chain.
+    Without the connector jar the construction fails with Spark's
+    data-source-not-found error — assert that failure is the clean,
+    documented one, not something structural."""
+    from streaming_data_pipeline_spark.schema import ENRICHED_COLUMNS
+    from streaming_data_pipeline_spark.streaming.sources import (
+        kafka_message_stream,
+    )
+
+    try:
+        df = kafka_message_stream(spark, "localhost:9092", "events")
+    except Exception as e:  # noqa: BLE001 — asserting the failure mode
+        assert "kafka" in str(e).lower()
+        pytest.skip("kafka connector not on classpath (documented guard)")
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["value"]
+    etl = wire_pipeline(df, as_of="2024-02-01 00:00:00")
+    assert [f.name for f in etl.schema.fields] == list(ENRICHED_COLUMNS)
+
+
+def test_dedup_releases_prior_caches(spark):
+    """Each near-dup entry point must release the previous call's cached
+    frames (a 90-query sweep would otherwise pin ~90 tables until LRU)."""
+    from streaming_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    dedup.minhash_lsh_pairs(df).collect()
+    first = list(dedup._LIVE_CACHES)
+    assert first, "expected live caches after a near-dup run"
+    dedup.simhash_near_dup_pairs(df).collect()
+    assert all(c not in dedup._LIVE_CACHES for c in first)
+    for c in first:
+        assert c.storageLevel.useMemory is False, "prior cache not released"
