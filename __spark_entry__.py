@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries that were red last round and queries that have never had a
 # driver row come first, then the tranche whose last green row is
 # oldest (the 33 TPC-H + 2 reference-tail queries last verified in r1),
-# then everything verified most recently. 43 names below + 7 of the
+# then everything verified most recently. 48 names below + 2 of the
 # freshest-green tail fit the 50 budget, so one round refreshes every
 # stale row while re-verifying the fixes.
 _SWEEP_PRIORITY = [
@@ -50,9 +50,14 @@ _SWEEP_PRIORITY = [
     # new in round 3 — never driver-checked
     "streaming_windowed_append",
     "streaming_rate_source_etl",
+    "streaming_stream_stream_join",
     "retention_expire_partitions",
     "similarity_multiprobe_lsh",
     "similarity_recall_at_k",
+    "dedup_cluster_components",
+    "tfidf_top_terms",
+    "embedding_quantize_int8",
+    "orc_export_roundtrip",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -427,3 +427,57 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         for b in range(64)
     ]
     return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by
+    min-label propagation — the clustering step a real dedup pipeline
+    runs after pair generation: every doc in a transitively-connected
+    near-dup cluster gets the cluster's minimum doc id as its label, so
+    "keep one per cluster" is a filter, not another join cascade.
+
+    ``pairs``: (id_a, id_b) undirected edges. ``nodes``: one ``node``
+    column covering every doc (isolated docs become singleton clusters).
+
+    Scale shape: the classic Pregel/GraphX CC loop — each iteration is
+    one shuffle (neighbor-min join + groupBy-min), converging in
+    O(graph diameter) rounds; near-dup clusters are dense, so diameter
+    is tiny (2-4 rounds in practice). ``localCheckpoint`` after each
+    round cuts the lineage that iterative joins otherwise stack up
+    (without it the plan doubles per round and the optimizer chokes
+    long before the data does). Returns (node, label).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(max_iter):
+        nbr_min = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -195,6 +195,116 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs)
 
 
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (operators/dedup.connected_components, Pregel-style min-label
+    propagation) — the step that turns pairwise near-dups into "keep one
+    doc per cluster". Docs in no pair are singleton clusters. The DuckDB
+    oracle computes the same components with a recursive transitive-
+    closure CTE (oracle-only shape: closure is O(cluster^2); the Spark
+    loop is O(edges x diameter))."""
+    from streaming_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = connected_components(pairs, nodes)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k terms per language by corpus TF-IDF weight. The idf factor
+    is the log-free rational n_docs/df (libm log is not bit-identical
+    across engines; the rational form preserves the ranking for df >= 1
+    and keeps the score an exact integer-ratio double). Deterministic
+    tiebreak: score desc, term asc."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tok = docs.select(
+        "lang", "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    stats = tok.groupBy("lang", "term").agg(
+        F.count("*").alias("tf_sum"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    scored = stats.join(F.broadcast(n_docs), "lang").withColumn(
+        "score",
+        F.round(F.col("tf_sum") * F.col("n_docs") / F.col("df_docs"), 4),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "lang",
+            "term",
+            "tf_sum",
+            "df_docs",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the storage
+    shape a 100 TB vector corpus actually ships (4x smaller than f32,
+    8x than f64). Per vector: symmetric scale 127/max|x|, q_i =
+    floor(x*scale + 0.5) (floor is exact in both engines, unlike
+    round's engine-specific tie rule), integer checksum of the codes,
+    and the max absolute reconstruction error (max, not sum — order-
+    independent float math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = (
+        emb.withColumn("arr", F.transform("embedding", lambda x: x.cast("double")))
+        .withColumn("amax", F.array_max(F.transform("arr", F.abs)))
+        .withColumn(
+            "scale",
+            F.when(F.col("amax") > 0, F.lit(127.0) / F.col("amax")).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "q",
+            F.transform(
+                "arr",
+                lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long"),
+            ),
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "q_sum"
+        ),
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    "arr",
+                    "q",
+                    lambda x, qi: F.abs(x - qi.cast("double") / F.col("scale")),
+                )
+            ),
+            8,
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -308,6 +418,9 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "simhash_signatures": simhash_signatures,
     "simhash_near_dup": simhash_near_dup,
+    "dedup_cluster_components": dedup_cluster_components,
+    "tfidf_top_terms": tfidf_top_terms,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_multiprobe_lsh": similarity_multiprobe_lsh,
@@ -782,3 +895,80 @@ def _sql_recall_oracle() -> str:
 
 
 ORACLE["similarity_recall_at_k"] = _sql_recall_oracle()
+
+
+# Reuse the minhash pair oracle as the edge set of the clustering oracle
+# (same WITH body, sans its trailing total ORDER BY).
+_PAIRS_SQL = ORACLE["dedup_near_minhash_lsh"].rsplit("ORDER BY", 1)[0]
+
+ORACLE["dedup_cluster_components"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ( {_PAIRS_SQL} )
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_id AS node FROM documents),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node
+),
+labels AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT l.doc_id,
+       CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(c.sz AS BIGINT) AS cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id) c
+  USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+ORACLE["tfidf_top_terms"] = f"""
+WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tok AS (SELECT lang, doc_id, unnest({_TOKS}) AS term FROM documents),
+stats AS (
+  SELECT lang, term,
+         CAST(COUNT(*) AS BIGINT) AS tf_sum,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+  FROM tok GROUP BY lang, term),
+scored AS (
+  SELECT s.lang, term, tf_sum, df_docs,
+         round(CAST(tf_sum * n_docs AS DOUBLE) / df_docs, 4) AS score
+  FROM stats s JOIN n USING (lang))
+SELECT lang, term, tf_sum, df_docs, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+ORACLE["embedding_quantize_int8"] = """
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr
+  FROM embeddings),
+t AS (
+  SELECT vec_id, arr, list_max(list_transform(arr, x -> abs(x))) AS amax
+  FROM s),
+u AS (
+  SELECT vec_id, arr,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+  FROM t),
+v AS (
+  SELECT vec_id, arr, scale,
+         list_transform(arr, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+  FROM u),
+err AS (
+  SELECT vec_id,
+         MAX(abs(arr[CAST(u.i AS INT) + 1]
+                 - CAST(q[CAST(u.i AS INT) + 1] AS DOUBLE) / scale)) AS max_err
+  FROM v, UNNEST(range(len(arr))) AS u(i)
+  GROUP BY vec_id)
+SELECT v.vec_id,
+       round(scale, 6) AS scale_r,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       round(err.max_err, 8) AS max_abs_err
+FROM v JOIN err USING (vec_id)
+ORDER BY v.vec_id
+"""

@@ -355,3 +355,48 @@ SELECT data_quality_score,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS event_types
 FROM enriched GROUP BY data_quality_score ORDER BY data_quality_score
 """
+
+
+def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the columnar export twin of the CSV
+    and JSON sinks (S4 family): enriched events written as ORC, read
+    back with an explicit schema, aggregated; the oracle recomputes from
+    the enriched CTE, proving the export is lossless."""
+    import shutil
+    import tempfile
+
+    from streaming_data_pipeline_spark.plans.base import enriched_events
+
+    enriched = enriched_events(spark, sf_dir).select(
+        "id", "event_type", "value", "message_length", "data_quality_score"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    try:
+        enriched.write.mode("overwrite").orc(base)
+        back = spark.read.schema(
+            "id string, event_type string, value double, "
+            "message_length bigint, data_quality_score bigint"
+        ).orc(base)
+        out = (
+            back.groupBy("event_type", "data_quality_score")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum("message_length").alias("total_msg_len"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            )
+            .orderBy("event_type", "data_quality_score")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["orc_export_roundtrip"] = orc_export_roundtrip
+ORACLE["orc_export_roundtrip"] = ENRICHED_CTE + """
+SELECT event_type, data_quality_score,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(message_length) AS BIGINT) AS total_msg_len,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM enriched GROUP BY event_type, data_quality_score
+ORDER BY event_type, data_quality_score
+"""

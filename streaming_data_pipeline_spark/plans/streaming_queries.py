@@ -481,3 +481,72 @@ SELECT event_type,
        MAX(value) AS max_value
 FROM ev GROUP BY event_type ORDER BY event_type
 """
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and a
+    time-range condition — the funnel query (each purchase joined to the
+    same user's page views in the preceding 6 hours) that batch engines
+    do with a plain theta join and streaming engines need symmetric-hash
+    state for. Watermarks bound both join-state buffers (an
+    unwatermarked stream-stream join grows state forever); the
+    time-range condition tells Spark exactly when a buffered view can
+    never match again. The availableNow drain emits every match, so the
+    oracle is the batch join with the identical condition.
+    """
+    views = (
+        events_fixture_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "6 hours")
+    )
+    purchases = (
+        events_fixture_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "6 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    )
+    pairs = _drain(joined, spark, "append")
+    return (
+        pairs.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("pair_count"),
+            F.countDistinct("view_ts").alias("distinct_views"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["streaming_stream_stream_join"] = streaming_stream_stream_join
+ORACLE["streaming_stream_stream_join"] = """
+WITH views AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+purch AS (
+  SELECT user_id, ts AS purchase_ts, value FROM events
+  WHERE event_type = 'purchase')
+SELECT p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS pair_count,
+       CAST(COUNT(DISTINCT view_ts) AS BIGINT) AS distinct_views,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM purch p JOIN views l
+  ON p.user_id = l.user_id
+ AND l.view_ts <= p.purchase_ts
+ AND l.view_ts > p.purchase_ts - INTERVAL 6 HOURS
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""

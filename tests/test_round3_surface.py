@@ -146,3 +146,47 @@ def test_dedup_releases_prior_caches(spark):
     assert all(c not in dedup._LIVE_CACHES for c in first)
     for c in first:
         assert c.storageLevel.useMemory is False, "prior cache not released"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_cluster_components",
+        "tfidf_top_terms",
+        "embedding_quantize_int8",
+        "streaming_stream_stream_join",
+        "orc_export_roundtrip",
+    ],
+)
+def test_round3_batch2_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_connected_components_semantics(spark):
+    """Min-label propagation on a known graph: two chains + an isolate.
+    Labels must be the component minimum, including for nodes only
+    transitively connected."""
+    from streaming_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "node long")
+    got = {r.node: r.label for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_quantization_error_bound(spark):
+    """int8 reconstruction error must be bounded by half a quantization
+    step (amax/254) for every vector."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["embedding_quantize_int8"](spark, SF_DIR)
+    # scale_r ~ 127/amax  =>  half-step = 1/(2*scale); allow rounding slack
+    bad = out.filter(
+        F.col("max_abs_err") > (1.0 / (2 * F.col("scale_r"))) * 1.001
+    ).count()
+    assert bad == 0
