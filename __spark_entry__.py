@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries that were red last round and queries that have never had a
 # driver row come first, then the tranche whose last green row is
 # oldest (the 33 TPC-H + 2 reference-tail queries last verified in r1),
-# then everything verified most recently. 48 names below + 2 of the
-# freshest-green tail fit the 50 budget, so one round refreshes every
-# stale row while re-verifying the fixes.
+# then everything verified most recently. 54 names below vs the 50
+# budget: the last few stale-but-green r1 rows roll to the next round,
+# which beats leaving a never-checked query without a driver row.
 _SWEEP_PRIORITY = [
     # red in CORRECTNESS_r02 — fixed this round
     "skew_salted_join",
@@ -58,6 +58,9 @@ _SWEEP_PRIORITY = [
     "tfidf_top_terms",
     "embedding_quantize_int8",
     "orc_export_roundtrip",
+    "quality_repetition_metrics",
+    "contamination_ngram_overlap",
+    "stratified_sample_docs",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -70,6 +70,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.flatten(F.transform(F.array(tokens(text)), inner))
 
 
+def all_word_ngrams(text: Column, n: int = 3) -> Column:
+    """ALL word n-grams in document order, duplicates preserved — the
+    unit for repetition metrics, where the duplicate fraction IS the
+    signal that ``word_shingles``'s distinct set destroys. Same
+    let-binding pattern (see word_shingles) so the token array is
+    evaluated once per row, not once per gram."""
+
+    def inner(a: Column) -> Column:
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(a, i + F.lit(j)) for j in range(n)]
+        )
+        return F.when(
+            F.size(a) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(a) - (n - 1)), gram),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(tokens(text)), inner))
+
+
 def regex_token_count(text: Column) -> Column:
     """BPE-ish tokenization proxy: runs of alphanumerics OR single
     punctuation marks, counted via regexp (same RE in DuckDB)."""

@@ -305,6 +305,161 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: the fraction
+    of word trigrams that are duplicates, and the fraction of bigram
+    slots covered by the single most-common bigram (the fixture has no
+    line structure, so the classic duplicate-line rule maps to n-gram
+    repetition). Both are integer-ratio doubles; ``repetitive`` is the
+    filter flag a cleaning pipeline would drop on.
+
+    Scale shape: two per-doc hash aggregations (explode -> count), both
+    keyed by doc_id — partitions by document, no global state.
+    Reference anchor: quality filtering at SURVEY §2.12 (data_quality_score,
+    Streamingdag.py:243-258) extended with the public Gopher rules."""
+    from streaming_data_pipeline_spark.functions.text import all_word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        all_word_ngrams(F.col("text"), 3).alias("tri"),
+        all_word_ngrams(F.col("text"), 2).alias("bi"),
+    )
+    stats = base.select(
+        "doc_id",
+        "n_tokens",
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_tri_distinct"),
+        F.size("bi").alias("n_bi"),
+    )
+    top_bi = (
+        base.select("doc_id", F.explode("bi").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi_count"))
+    )
+    fracs = (
+        stats.join(top_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tri") > 0,
+                F.round(
+                    (F.col("n_tri") - F.col("n_tri_distinct")).cast("double")
+                    / F.col("n_tri"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+            F.when(
+                F.col("n_bi") > 0,
+                F.round(
+                    F.coalesce(F.col("top_bi_count"), F.lit(0)).cast("double")
+                    / F.col("n_bi"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+    return fracs.withColumn(
+        "repetitive",
+        (F.col("dup_trigram_frac") > 0.2) | (F.col("top_bigram_frac") > 0.18),
+    ).orderBy("doc_id")
+
+
+# Benchmark-contamination split: every 41st doc_id plays the "held-out
+# benchmark" role; the check reports 5-gram overlap of the rest of the
+# corpus against that set — the standard decontamination pass an LLM
+# training pipeline runs before training.
+_BENCH_MOD = 41
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per non-benchmark document: how many of its distinct word
+    5-grams appear anywhere in the benchmark split, the contamination
+    fraction, and the drop flag.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (distinct 5-grams of a fixed eval suite), so it broadcasts; the
+    corpus side is one explode + broadcast-hash semi-join + per-doc
+    count — no corpus-side shuffle beyond the doc_id aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", word_shingles(F.col("text"), 5).alias("grams")
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        corpus.select("doc_id", F.size("grams").cast("long").alias("total_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_ngrams",
+            F.coalesce("overlap_ngrams", F.lit(0)).cast("long").alias("overlap_ngrams"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.when(
+                F.col("total_ngrams") > 0,
+                F.round(
+                    F.col("overlap_ngrams").cast("double") / F.col("total_ngrams"), 4
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("contaminated", F.col("overlap_ngrams") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# Per-language sampling quotas as hex thresholds on the first md5 byte:
+# 'en' keeps hashes below 0x40 (~25%), every other language below 0x80
+# (~50%) — the "downsample the dominant language" rebalance an LLM data
+# mix applies. Lowercase-hex string compare is identical cross-engine.
+_SAMPLE_THRESH = {"en": "40", "de": "80", "es": "80", "fr": "80", "zh": "80"}
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling: a doc survives iff the
+    first byte of md5('samp:' || doc_id) falls under its language's
+    quota threshold. Salted-hash bucketing makes the sample reproducible
+    across runs/engines and composable with dedup (no RNG state).
+
+    Scale shape: a pure narrow filter — the quota map broadcasts, no
+    shuffle at all; at 100 TB this is a single scan that prunes rows at
+    the source."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = spark.createDataFrame(
+        sorted(_SAMPLE_THRESH.items()), "lang string, thr string"
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .withColumn(
+            "h2",
+            F.substring(
+                F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 2
+            ),
+        )
+        .filter(F.col("h2") < F.col("thr"))
+        .select("doc_id", "lang", "h2")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -421,6 +576,9 @@ QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "tfidf_top_terms": tfidf_top_terms,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "quality_repetition_metrics": quality_repetition_metrics,
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+    "stratified_sample_docs": stratified_sample_docs,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_multiprobe_lsh": similarity_multiprobe_lsh,
@@ -448,6 +606,22 @@ _SHINGLES = (
     f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]"
     f")) ELSE CAST([] AS VARCHAR[]) END)"
 )
+
+
+def _sql_ngrams(n: int, distinct: bool = True) -> str:
+    """Word n-gram list (mirrors functions.text.word_shingles /
+    all_word_ngrams): 1-based positions 1..len-n+1, space-joined;
+    <n tokens -> empty list."""
+    gram = " || ' ' || ".join(
+        f"{_TOKS}[i+{j}]" if j else f"{_TOKS}[i]" for j in range(n)
+    )
+    lt = f"list_transform(range(1, len({_TOKS}) - {n - 2}), i -> {gram})"
+    if distinct:
+        lt = f"list_distinct({lt})"
+    return (
+        f"(CASE WHEN len({_TOKS}) >= {n} THEN {lt} "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
+    )
 
 
 def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
@@ -942,6 +1116,70 @@ SELECT lang, term, tf_sum, df_docs, score, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
       FROM scored)
 WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+ORACLE["quality_repetition_metrics"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {_sql_ngrams(3, distinct=False)} AS tri,
+         {_sql_ngrams(2, distinct=False)} AS bi
+  FROM documents),
+top_bi AS (
+  SELECT doc_id, MAX(c) AS top_bi_count FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS bg FROM base)
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id),
+fracs AS (
+  SELECT b.doc_id, b.n_tokens,
+         CASE WHEN len(tri) > 0
+              THEN round(CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                         / len(tri), 4)
+              ELSE 0.0 END AS dup_trigram_frac,
+         CASE WHEN len(bi) > 0
+              THEN round(CAST(COALESCE(top_bi_count, 0) AS DOUBLE)
+                         / len(bi), 4)
+              ELSE 0.0 END AS top_bigram_frac
+  FROM base b LEFT JOIN top_bi USING (doc_id))
+SELECT doc_id, n_tokens, dup_trigram_frac, top_bigram_frac,
+       (dup_trigram_frac > 0.2 OR top_bigram_frac > 0.18) AS repetitive
+FROM fracs ORDER BY doc_id
+"""
+
+ORACLE["contamination_ngram_overlap"] = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_sql_ngrams(5)}) AS gram
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0),
+corpus AS (
+  SELECT doc_id, {_sql_ngrams(5)} AS grams
+  FROM documents WHERE doc_id % {_BENCH_MOD} <> 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+  JOIN bench USING (gram)
+  GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(len(grams) AS BIGINT) AS total_ngrams,
+       CAST(COALESCE(overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+       CASE WHEN len(grams) > 0
+            THEN round(CAST(COALESCE(overlap_ngrams, 0) AS DOUBLE)
+                       / len(grams), 4)
+            ELSE 0.0 END AS contamination_frac,
+       COALESCE(overlap_ngrams, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+_THR_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(_SAMPLE_THRESH.items()))
+
+ORACLE["stratified_sample_docs"] = f"""
+WITH thr(lang, thr) AS (VALUES {_THR_VALUES})
+SELECT doc_id, d.lang,
+       substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) < thr.thr
+ORDER BY doc_id
 """
 
 ORACLE["embedding_quantize_int8"] = """

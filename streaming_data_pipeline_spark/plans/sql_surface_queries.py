@@ -218,7 +218,7 @@ def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
-        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -342,7 +342,7 @@ def json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("data_quality_score")
         )
-        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -156,10 +156,57 @@ def test_dedup_releases_prior_caches(spark):
         "embedding_quantize_int8",
         "streaming_stream_stream_join",
         "orc_export_roundtrip",
+        "quality_repetition_metrics",
+        "contamination_ngram_overlap",
+        "stratified_sample_docs",
     ],
 )
 def test_round3_batch2_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_repetition_fracs_bounded(spark):
+    """Both repetition fractions are ratios in [0, 1] for every doc."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["quality_repetition_metrics"](spark, SF_DIR)
+    bad = out.filter(
+        (F.col("dup_trigram_frac") < 0)
+        | (F.col("dup_trigram_frac") > 1)
+        | (F.col("top_bigram_frac") < 0)
+        | (F.col("top_bigram_frac") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_stratified_sample_rates(spark):
+    """Hash-stratified sampling lands near its quota per language:
+    'en' ~25% (threshold 0x40), others ~50% (0x80). Wide tolerance —
+    the check is that strata differ in the right direction, exact
+    membership is the oracle's job."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    sampled = entrymod.queries()["stratified_sample_docs"](spark, SF_DIR)
+    rates = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    en_rate = rates["en"] / totals["en"]
+    other_rate = sum(rates[l] for l in rates if l != "en") / sum(
+        totals[l] for l in totals if l != "en"
+    )
+    assert 0.10 < en_rate < 0.40
+    assert 0.35 < other_rate < 0.65
+    assert en_rate < other_rate
 
 
 def test_connected_components_semantics(spark):
