@@ -22,10 +22,12 @@ from pyspark.sql import types as T
 
 from streaming_data_pipeline_spark.session import apply_runtime_confs
 
-# Raw fixture schema with ts as LongType: the parquet file stores
-# TIMESTAMP(NANOS), which the streaming reader (like batch) surfaces as
-# int64 nanos under the nanosAsLong conf.
-_RAW_NANOS_SCHEMA = T.StructType(
+# Raw fixture schema with ts as LongType. The fixture has shipped with
+# ts as either TIMESTAMP(NANOS) (surfaced as int64 nanos under the
+# nanosAsLong conf) or TIMESTAMP(MICROS); declaring LongType surfaces
+# the raw int64 in both cases, and the unit is probed per-file from the
+# batch reader's footer-derived dtype (see events_fixture_stream).
+_RAW_LONG_TS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -79,15 +81,24 @@ def events_fixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events.parquet through the micro-batch engine with the
     same canonical (ts -> TIMESTAMP_NTZ) conversion as the batch path."""
     apply_runtime_confs(spark)
+    # Probe the timestamp unit from the batch reader (footer metadata
+    # only, no data scan): under nanosAsLong a NANOS file surfaces ts as
+    # bigint, while a MICROS file surfaces a timestamp type directly.
+    probed = dict(
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .dtypes
+    )["ts"]
+    micros = F.expr("ts DIV 1000") if probed == "bigint" else F.col("ts")
     # the file-stream source wants a directory: point it at sf_dir and
     # glob-filter to the events file
     raw = (
-        spark.readStream.schema(_RAW_NANOS_SCHEMA)
+        spark.readStream.schema(_RAW_LONG_TS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
     )
 
 
