@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries that were red last round and queries that have never had a
 # driver row come first, then the tranche whose last green row is
 # oldest (the 33 TPC-H + 2 reference-tail queries last verified in r1),
-# then everything verified most recently. 54 names below vs the 50
+# then everything verified most recently. 60 names below vs the 50
 # budget: the last few stale-but-green r1 rows roll to the next round,
 # which beats leaving a never-checked query without a driver row.
 _SWEEP_PRIORITY = [
@@ -61,6 +61,12 @@ _SWEEP_PRIORITY = [
     "quality_repetition_metrics",
     "contamination_ngram_overlap",
     "stratified_sample_docs",
+    "pii_redaction_stats",
+    "domain_blocklist_filter",
+    "boilerplate_chunk_removal",
+    "pack_training_sequences",
+    "scd2_user_state",
+    "approx_quantiles_check",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",
@@ -103,6 +109,7 @@ _SWEEP_PRIORITY = [
 def _plan_modules():
     mods = []
     for name in (
+        "curation_queries",
         "llm_queries",
         "streaming_queries",
         "scale_queries",

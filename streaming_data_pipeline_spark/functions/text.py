@@ -231,3 +231,34 @@ def lsh_band_buckets(sig: Column, bands: int = 8, rows: int = 2) -> Column:
             for b in range(bands)
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (north-star curation op).
+#
+# Patterns are deliberately restricted to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# quantifiers, ASCII word boundaries — no backrefs, no lookaround.
+# --------------------------------------------------------------------------
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def pii_match_count(text: Column, kind: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0)).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII occurrence with a typed placeholder.
+
+    Order matters: emails are scrubbed before IPv4 so a dotted hostname
+    inside an already-redacted email can't be double-matched.
+    """
+    out = text
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out

@@ -1,0 +1,461 @@
+"""Training-data curation operators (north star, SURVEY.md §2.12):
+PII redaction, URL/domain blocklist filtering, boilerplate chunk
+removal (C4-style line dedup), greedy sequence packing, SCD2 state
+history, and a self-validating approximate-quantile check.
+
+The documents fixture is synthetic word-salad with no real PII or
+URLs, so the PII / URL queries *manufacture* their demo columns
+deterministically from fixture values (user_id/event_id arithmetic);
+the operators themselves (functions/text.py::redact_pii etc.) are
+generic column expressions any real corpus would use unchanged.
+
+Portability contract (same as plans/llm_queries.py): md5 hashing,
+single-space tokenization, integer-sum-derived ratios, regex syntax
+restricted to the Java-regex/RE2 common subset, printf-rendered
+fixed-precision floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_spark.functions.text import (
+    PII_PATTERNS,
+    pii_match_count,
+    redact_pii,
+    tokens,
+)
+from streaming_data_pipeline_spark.sources.batch import load_table
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+
+def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-bearing message per event (fixture has none)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.format_string(
+            "reach user%d at user%d@example.com or 10.%d.%d.%d phone %d-%03d-%04d re %s",
+            F.col("user_id"),
+            F.col("user_id"),
+            F.pmod("user_id", F.lit(256)),
+            F.pmod("event_id", F.lit(256)),
+            F.pmod(F.col("user_id") + F.col("event_id"), F.lit(256)),
+            F.pmod("user_id", F.lit(900)) + F.lit(100),
+            F.pmod("event_id", F.lit(1000)),
+            F.pmod(F.col("user_id") * F.lit(7) + F.col("event_id"), F.lit(10000)),
+            F.col("event_type"),
+        ).alias("msg"),
+    )
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers and prove the scrub is total.
+
+    Detection and replacement are single JVM regexp expressions inside
+    one codegen stage — at 100 TB this is a narrow map over the corpus,
+    no shuffle until the final per-type rollup. ``residual_pii`` counts
+    matches remaining AFTER redaction (must be 0 for every row).
+    """
+    msgs = _messages(spark, sf_dir)
+    red = msgs.withColumn("redacted", redact_pii(F.col("msg")))
+    residual = sum(
+        (pii_match_count(F.col("redacted"), k) for k in PII_PATTERNS),
+        F.lit(0).cast("long"),
+    )
+    return (
+        red.select(
+            "event_type",
+            pii_match_count(F.col("msg"), "email").alias("em"),
+            pii_match_count(F.col("msg"), "ipv4").alias("ip"),
+            pii_match_count(F.col("msg"), "phone").alias("ph"),
+            F.length("redacted").cast("long").alias("red_len"),
+            residual.alias("residual"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("em").alias("emails_found"),
+            F.sum("ip").alias("ips_found"),
+            F.sum("ph").alias("phones_found"),
+            F.sum("red_len").alias("redacted_chars"),
+            F.sum("residual").alias("residual_pii"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# URL / domain blocklist filtering
+# --------------------------------------------------------------------------
+_DOMAINS = [
+    "alpha.example",
+    "beta.test",
+    "gamma.shop",
+    "delta.net",
+    "evil.example",
+    "spam.test",
+    "ads.example",
+    "junk.shop",
+]
+_BLOCKLIST = ["evil.example", "spam.test", "junk.shop"]
+
+
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop documents whose source URL's domain is blocklisted.
+
+    The blocklist is a tiny dim -> broadcast LEFT ANTI join: every
+    executor filters its partitions locally, zero shuffle of the corpus
+    side. Domain extraction is one JVM regexp_extract (the same
+    expression a crawl-curation pipeline runs over trillions of URLs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    urls = ev.select(
+        "event_id",
+        "user_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.array(*[F.lit(d) for d in _DOMAINS]),
+                (F.pmod("user_id", F.lit(len(_DOMAINS))) + 1).cast("int"),
+            ),
+            F.lit("/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+    ).withColumn(
+        "domain", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    block = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST], "blocked_domain string"
+    )
+    kept = urls.join(
+        F.broadcast(block),
+        urls.domain == block.blocked_domain,
+        "left_anti",
+    )
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.count("*").alias("kept_urls"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .orderBy("domain")
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate chunk removal (C4-style line dedup, frequency rule)
+# --------------------------------------------------------------------------
+_CHUNK = 2  # tokens per chunk (the fixture's "line" analog)
+_BOILER_MIN_DOCS = 20  # chunk present in >= this many docs -> boilerplate
+
+
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove corpus-frequent chunks from every document.
+
+    The C4/RefinedWeb rule "drop any line that appears in many pages"
+    re-expressed shuffle-minimally: explode docs into (doc, pos, chunk),
+    one hash-agg computes per-chunk document frequency, frequent chunks
+    join back (the boilerplate set is small -> broadcast), and the doc
+    is reassembled from surviving chunks in position order. No
+    driver-side text, no all-pairs comparison; both shuffles key on
+    chunk text (near-uniform after the distinct collapse).
+
+    Output is one row per document with the cleaned text's md5 so the
+    oracle check covers exact reassembly, not just counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * _CHUNK + 1, _CHUNK), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DOCS)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "chunk", "left")
+    return (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("is_boiler").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("is_boiler").isNull(),
+                                        F.struct("pos", "chunk"),
+                                    )
+                                )
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                        lambda s: s.chunk,
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing (training-batch construction)
+# --------------------------------------------------------------------------
+_SEQ_TOKENS = 512
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Classic running-offset packing: within each language, documents in
+    doc_id order are laid head-to-tail and a document belongs to the
+    sequence where its first token lands (seq = offset DIV budget).
+    One window cumsum per language partition — Spark sorts each
+    partition once; at 100 TB the partition key would also carry a
+    date/shard component so no single language serializes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    per = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("tc")
+    ).withColumn(
+        "offset",
+        F.sum("tc").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - F.col("tc"),
+    )
+    return (
+        per.withColumn(
+            "seq_id", (F.col("offset") / F.lit(_SEQ_TOKENS)).cast("long")
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 state history (warehouse dimension build)
+# --------------------------------------------------------------------------
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension over the event stream: each
+    user's event_type becomes a state with [valid_from, valid_to)
+    validity, valid_to = next event's ts (NULL = current row).
+
+    One lead() window per user partition — the standard CDC-to-SCD2
+    compaction; at warehouse scale this runs per ingest batch over the
+    delta, not the full history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+# --------------------------------------------------------------------------
+# Self-validating approximate quantiles
+# --------------------------------------------------------------------------
+_QPROBS = [0.25, 0.5, 0.75]
+_ACCURACY = 1000  # GK sketch: rank error <= n / accuracy
+_RANK_TOL = 0.02
+
+
+def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile validated against its own rank guarantee.
+
+    The sketch value itself is engine-internal (DuckDB can't reproduce
+    it), so — like approx_distinct_users — the query emits what IS
+    reproducible: for each (group, p), the boolean "the approx value's
+    true rank is within 2% of p" (guaranteed: the GK sketch bounds rank
+    error by n/accuracy = 0.1% here). The oracle emits literal TRUE.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", _QPROBS, _ACCURACY).alias("avals"),
+        F.count("*").alias("n"),
+    )
+    probs = F.array(*[F.lit(p) for p in _QPROBS])
+    exploded = approx.select(
+        "o_orderpriority",
+        "n",
+        F.posexplode(F.arrays_zip(probs.alias("p"), F.col("avals").alias("v"))).alias(
+            "i", "pv"
+        ),
+    ).select(
+        "o_orderpriority", "n", F.col("pv.p").alias("p"), F.col("pv.v").alias("aval")
+    )
+    ranked = (
+        exploded.alias("a")
+        .join(
+            orders.select("o_orderpriority", "o_totalprice").alias("o"),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority", "p", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("o.o_totalprice") <= F.col("a.aval"), 1).otherwise(0)
+            ).alias("le_cnt")
+        )
+    )
+    return ranked.select(
+        "o_orderpriority",
+        "p",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.abs(F.col("le_cnt") / F.col("n") - F.col("p")) <= F.lit(_RANK_TOL)
+        ).alias("rank_ok"),
+    ).orderBy("o_orderpriority", "p")
+
+
+QUERIES = {
+    "pii_redaction_stats": pii_redaction_stats,
+    "domain_blocklist_filter": domain_blocklist_filter,
+    "boilerplate_chunk_removal": boilerplate_chunk_removal,
+    "pack_training_sequences": pack_training_sequences,
+    "scd2_user_state": scd2_user_state,
+    "approx_quantiles_check": approx_quantiles_check,
+}
+
+
+_MSG_SQL = (
+    "printf('reach user%d at user%d@example.com or 10.%d.%d.%d phone "
+    "%d-%03d-%04d re %s', user_id, user_id, user_id % 256, event_id % 256, "
+    "(user_id + event_id) % 256, user_id % 900 + 100, event_id % 1000, "
+    "(user_id * 7 + event_id) % 10000, event_type)"
+)
+_EMAIL_RE = PII_PATTERNS["email"].replace("'", "''")
+_IP_RE = PII_PATTERNS["ipv4"]
+_PHONE_RE = PII_PATTERNS["phone"]
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+ORACLE = {
+    "pii_redaction_stats": f"""
+    WITH msgs AS (
+      SELECT event_type, {_MSG_SQL} AS msg FROM events
+    ), red AS (
+      SELECT event_type, msg,
+             regexp_replace(regexp_replace(regexp_replace(msg,
+               '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_IP_RE}', '[IPV4]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+      FROM msgs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(len(regexp_extract_all(msg, '{_EMAIL_RE}'))) AS BIGINT) AS emails_found,
+           CAST(SUM(len(regexp_extract_all(msg, '{_IP_RE}'))) AS BIGINT) AS ips_found,
+           CAST(SUM(len(regexp_extract_all(msg, '{_PHONE_RE}'))) AS BIGINT) AS phones_found,
+           CAST(SUM(length(redacted)) AS BIGINT) AS redacted_chars,
+           CAST(SUM(len(regexp_extract_all(redacted, '{_EMAIL_RE}'))
+                  + len(regexp_extract_all(redacted, '{_IP_RE}'))
+                  + len(regexp_extract_all(redacted, '{_PHONE_RE}'))) AS BIGINT)
+             AS residual_pii
+    FROM red
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "domain_blocklist_filter": f"""
+    WITH urls AS (
+      SELECT event_id, user_id,
+             ['{"','".join(_DOMAINS)}'][CAST(user_id % {len(_DOMAINS)} AS INT) + 1]
+               AS domain
+      FROM events
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS kept_urls,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+    FROM urls
+    WHERE domain NOT IN ('{"','".join(_BLOCKLIST)}')
+    GROUP BY domain
+    ORDER BY domain
+    """,
+    "boilerplate_chunk_removal": f"""
+    WITH chunks AS (
+      SELECT doc_id, source, CAST(u.i AS INT) AS pos,
+             array_to_string(
+               list_slice({_TOKS}, CAST(u.i AS INT) * {_CHUNK} + 1,
+                          CAST(u.i AS INT) * {_CHUNK} + {_CHUNK}), ' ') AS chunk
+      FROM documents,
+           UNNEST(range(CAST(ceil(len({_TOKS}) / {_CHUNK}.0) AS BIGINT))) AS u(i)
+    ), boiler AS (
+      SELECT chunk FROM chunks GROUP BY chunk
+      HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    )
+    SELECT c.doc_id, c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(array_to_string(
+             list(CASE WHEN b.chunk IS NULL THEN c.chunk END ORDER BY c.pos)
+               FILTER (WHERE b.chunk IS NULL), ' ')) AS cleaned_md5
+    FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+    GROUP BY c.doc_id, c.source
+    ORDER BY c.doc_id
+    """,
+    "pack_training_sequences": f"""
+    WITH per AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS tc,
+             SUM(CAST(len({_TOKS}) AS BIGINT))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - CAST(len({_TOKS}) AS BIGINT) AS "offset"
+      FROM documents
+    )
+    SELECT lang, CAST("offset" // {_SEQ_TOKENS} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tc) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM per
+    GROUP BY lang, seq_id
+    ORDER BY lang, seq_id
+    """,
+    "scd2_user_state": """
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from
+    """,
+    "approx_quantiles_check": """
+    SELECT o_orderpriority, p, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS rank_ok
+    FROM orders, UNNEST([0.25, 0.5, 0.75]) AS u(p)
+    GROUP BY o_orderpriority, p
+    ORDER BY o_orderpriority, p
+    """,
+}
