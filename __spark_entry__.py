@@ -67,6 +67,10 @@ _SWEEP_PRIORITY = [
     "pack_training_sequences",
     "scd2_user_state",
     "approx_quantiles_check",
+    "train_val_test_split",
+    "embedding_random_projection",
+    "chunk_dup_stats",
+    "vocab_richness_by_source",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",
@@ -110,6 +114,7 @@ def _plan_modules():
     mods = []
     for name in (
         "curation_queries",
+        "training_queries",
         "llm_queries",
         "streaming_queries",
         "scale_queries",

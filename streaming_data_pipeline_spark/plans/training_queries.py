@@ -1,0 +1,286 @@
+"""Training-data preparation operators: split assignment, random
+projection, chunk-level duplication stats, vocabulary richness.
+
+These extend the LLM-curation surface (plans/llm_queries.py,
+plans/curation_queries.py) with the remaining ops a 100 TB pretraining
+pipeline runs between raw scrape and tokenizer:
+
+- ``train_val_test_split`` — deterministic hash-bucket split (80/10/10)
+  keyed on md5 of the document id. Bucketing by content-independent key
+  hash is the standard reproducible split at corpus scale: no shuffle of
+  the data itself, the split column is a pure projection and the
+  per-split stats a single hash aggregate.
+- ``embedding_random_projection`` — sign (Achlioptas) random projection
+  of the embedding column onto 8 dims as a distributed matrix multiply:
+  posexplode to (vec_id, pos, x), broadcast the 8 output dims, derive
+  the +-1 weight from md5(pos:k) parity, one hash aggregate sums per
+  (vec_id, k). Linear in rows x dim x k, no driver-side matrices; the
+  same shape JL-sketches 100 TB of vectors for cheap coarse clustering.
+- ``chunk_dup_stats`` — CCNet-style chunk-level duplication audit:
+  non-overlapping 8-token chunks are md5'd, globally counted, and each
+  document reports how many of its chunks also occur elsewhere in the
+  corpus. Two hash aggregates + one equi-join on the chunk hash — the
+  paragraph-dedup precursor that decides whether near-dup removal is
+  worth running on a shard.
+- ``vocab_richness_by_source`` — per-source type/token counts, hapax
+  count, type-token ratio: the cheap lexical-diversity screen for
+  template-generated or boilerplate-heavy sources. Pure integer
+  arithmetic over two stacked hash aggregates, fully deterministic.
+
+Reference anchor: the reference's enrichment+filter stage
+(Streamingdag.py:206-231) computes per-record quality signals; these are
+the corpus-level analogs the north star (SURVEY.md SS2.12) requires.
+Float protocol: sums that feed cross-engine comparison run in
+DECIMAL(18,9) (exact, order-independent); ratios of exact integers are
+divided as doubles and rounded with the `+ 0.0` signed-zero normalizer
+(same protocol as plans/tpch_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_spark.functions.text import tokens
+from streaming_data_pipeline_spark.sources.batch import load_table
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split of ``documents`` by id-hash bucket.
+
+    bucket = int(md5('split:' || doc_id)[:4], 16) % 100; < 80 -> train,
+    < 90 -> val, else test. The assignment is a stateless projection
+    (reproducible across runs, clusters, and engines); the output is the
+    per-split audit aggregate a pipeline logs before writing manifests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum("n_chars") / F.count("*"), 4) + F.lit(0.0)).alias(
+                "avg_chars"
+            ),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign random projection of ``embeddings.embedding`` onto 8 dims.
+
+    Distributed matrix multiply with a hash-derived +-1 weight matrix:
+    w[pos, k] = +1 if the first md5 byte of 'rp:pos:k' is even else -1.
+    No materialized weight matrix, no driver-side vectors; the dot
+    products accumulate in DECIMAL(18,9) so the sum is exact and
+    order-independent (bitwise-identical under any partitioning).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    ks = spark.range(8).select(F.col("id").cast("int").alias("k"))
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rp:"),
+                        F.col("pos").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    w = F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        parts.join(F.broadcast(ks))
+        .groupBy("vec_id", "k")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,9)") * w).cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("proj")
+        )
+        .orderBy("vec_id", "k")
+    )
+
+
+def chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk-duplication audit over 8-token chunks.
+
+    Chunks are non-overlapping 8-token windows (last chunk may be
+    short), hashed with md5. A global count per chunk hash feeds back
+    via equi-join; each doc reports total chunks and how many have
+    another occurrence anywhere in the corpus. At 100 TB this is two
+    shuffles on a well-distributed hash key — the cheap screen run
+    before committing to full near-dup removal on a shard.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(8)).cast("int")
+    chunks = F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), c * 8 + 1, 8))),
+        )
+    )
+    exploded = docs.select("doc_id", F.explode(chunks).alias("chunk"))
+    counts = exploded.groupBy("chunk").agg(F.count("*").alias("n_occ"))
+    return (
+        exploded.join(counts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 4) + F.lit(0.0),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def vocab_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type/token counts, hapax legomena, and TTR per source.
+
+    Two stacked hash aggregates: (source, token) -> count, then source
+    -> {sum(count), count(*), count(count==1)}. All integer arithmetic
+    until the final ratio division — deterministic by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    per_token = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    return (
+        per_token.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+        )
+        .withColumn(
+            "ttr", F.round(F.col("n_types") / F.col("n_tokens"), 6) + F.lit(0.0)
+        )
+        .withColumn(
+            "hapax_ratio",
+            F.round(F.col("hapax") / F.col("n_types"), 6) + F.lit(0.0),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "train_val_test_split": train_val_test_split,
+    "embedding_random_projection": embedding_random_projection,
+    "chunk_dup_stats": chunk_dup_stats,
+    "vocab_richness_by_source": vocab_richness_by_source,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+ORACLE = {
+    "train_val_test_split": """
+    WITH tagged AS (
+      SELECT *,
+             CAST('0x' || substring(
+               md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(SUM(n_chars) / COUNT(*), 4) + 0.0 AS avg_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+    "embedding_random_projection": """
+    WITH parts AS (
+      SELECT vec_id, CAST(u.i AS INT) AS pos,
+             CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(k.i AS INT) AS k,
+           round(CAST(SUM(
+             CAST(x AS DECIMAL(18,9)) *
+             (CASE WHEN CAST('0x' || substring(
+                md5('rp:' || CAST(pos AS VARCHAR) || ':' || CAST(k.i AS VARCHAR)),
+                1, 2) AS INT) % 2 = 0 THEN 1 ELSE -1 END)
+           ) AS DOUBLE), 6) + 0.0 AS proj
+    FROM parts, UNNEST(range(8)) AS k(i)
+    GROUP BY vec_id, k.i
+    ORDER BY vec_id, k
+    """,
+    "chunk_dup_stats": f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunked AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, CAST(c.i AS INT) * 8 + 1,
+                          CAST(c.i AS INT) * 8 + 8), ' ')) AS chunk
+      FROM t, UNNEST(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS c(i)
+    ),
+    cnt AS (SELECT chunk, COUNT(*) AS n_occ FROM chunked GROUP BY chunk)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           round(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) / COUNT(*), 4)
+             + 0.0 AS dup_ratio
+    FROM chunked JOIN cnt USING (chunk)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "vocab_richness_by_source": f"""
+    WITH tok AS (
+      SELECT source, t.token FROM (
+        SELECT source, UNNEST({_TOKS}) AS token FROM documents
+      ) AS t(source, token)
+    ),
+    per_token AS (
+      SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(COUNT(*) / SUM(n), 6) + 0.0 AS ttr,
+           round(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / COUNT(*), 6) + 0.0
+             AS hapax_ratio
+    FROM per_token GROUP BY source ORDER BY source
+    """,
+}
