@@ -203,11 +203,48 @@ def vocab_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) splitting documents into fixed-size
+    token chunks via a LATERAL join — the SURVEY SS2.9 UDTF surface.
+
+    This is the sanctioned row-at-a-time escape hatch, NOT a hot-path
+    pattern: the same chunking is expressible JVM-side (see
+    ``chunk_dup_stats``), and a production run at 100 TB would use that
+    form. The UDTF exists to prove the engine exposes the full Spark 4
+    extension surface (scalar pandas UDF -> mapInPandas ->
+    applyInPandasWithState -> UDTF) with an oracle-checked example; the
+    per-doc fan-out shape (explode-like, no state) is the one place
+    row-at-a-time cost stays proportional to output size.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, n_tokens int")
+    class ChunkSplit:
+        def eval(self, text: str, size: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(0, len(toks), size):
+                part = toks[i : i + size]
+                yield (i // size, " ".join(part), len(part))
+
+    spark.udtf.register("chunk_split", ChunkSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, md5(c.chunk) AS chunk_fp
+        FROM docs_for_udtf d, LATERAL chunk_split(d.text, 20) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )
+
+
 QUERIES = {
     "train_val_test_split": train_val_test_split,
     "embedding_random_projection": embedding_random_projection,
     "chunk_dup_stats": chunk_dup_stats,
     "vocab_richness_by_source": vocab_richness_by_source,
+    "udtf_chunk_split": udtf_chunk_split,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -282,5 +319,18 @@ ORACLE = {
            round(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / COUNT(*), 6) + 0.0
              AS hapax_ratio
     FROM per_token GROUP BY source ORDER BY source
+    """,
+    "udtf_chunk_split": f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+             list_slice(toks, CAST(u.i AS INT) * 20 + 1,
+                        CAST(u.i AS INT) * 20 + 20) AS part
+      FROM t, UNNEST(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id,
+           CAST(len(part) AS INT) AS n_tokens,
+           md5(array_to_string(part, ' ')) AS chunk_fp
+    FROM c ORDER BY doc_id, chunk_id
     """,
 }
