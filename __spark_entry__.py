@@ -71,6 +71,7 @@ _SWEEP_PRIORITY = [
     "embedding_random_projection",
     "chunk_dup_stats",
     "vocab_richness_by_source",
+    "unigram_surprisal_by_doc",
     "udtf_chunk_split",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",

@@ -50,6 +50,19 @@ HEADLINE = [
     "multimodal_frame_sample",
 ]
 
+# Added round 3 (new operators; kept out of _R2_SET so cross-round totals
+# stay apples-to-apples via headline_total_r2_subset).
+HEADLINE += [
+    "dedup_cluster_components",
+    "similarity_multiprobe_lsh",
+    "contamination_ngram_overlap",
+    "chunk_dup_stats",
+    "embedding_random_projection",
+    "udtf_chunk_split",
+]
+
+_R2_SET = set(HEADLINE[:27])
+
 
 def _force(df) -> None:
     """Fully execute a plan without driver-side materialization."""
@@ -101,6 +114,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+    r2_subset = round(sum(v for k, v in timings.items() if k in _R2_SET), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -115,6 +129,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_total": cold_total,
                 "cold_queries": cold,
+                "headline_total_r2_subset": r2_subset,
                 "sf": sf_val,
             }
         )

@@ -126,6 +126,25 @@ def minhash_lsh_pairs(
     Identical output to the direct doc-level formulation (the DuckDB
     oracle computes that formulation); only the physical plan differs.
     """
+    member_ids, groups, verified = _minhash_group_stage(
+        df, text_col, id_col, k, bands, rows, threshold, tokens_fn
+    )
+    return _expand_group_pairs(member_ids, groups, verified, threshold)
+
+def _minhash_group_stage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    rows: int,
+    threshold: float,
+    tokens_fn,
+):
+    """Stages 1-4 of minhash_lsh_pairs (members, groups, verified group
+    pairs) — shared by the doc-pair expansion (minhash_lsh_pairs) and
+    the group-graph clustering (minhash_cluster_labels), which must
+    never expand to doc pairs at all."""
     # members/groups are referenced by many downstream branches (inverted
     # index, banding, both expansion joins); without an explicit cache
     # Spark re-derives each branch from its own parquet scan (18 scans
@@ -252,7 +271,12 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("fp_a", "fp_b", "jaccard")
     )
+    return member_ids, groups, verified
 
+
+def _expand_group_pairs(member_ids, groups, verified, threshold: float) -> DataFrame:
+    """Stage 5 of minhash_lsh_pairs: verified group pairs -> doc pairs
+    (cross-group expansion + within-group self-pairs)."""
     cross = (
         verified.join(member_ids.select(F.col("fp").alias("fp_a"), F.col("id").alias("ida")), "fp_a")
         .join(member_ids.select(F.col("fp").alias("fp_b"), F.col("id").alias("idb")), "fp_b")
@@ -451,33 +475,119 @@ def connected_components(
     (without it the plan doubles per round and the optimizer chokes
     long before the data does). Returns (node, label).
     """
+    # Symmetrize in ONE pass over the (possibly expensive) pair plan:
+    # a union of two selects executes the upstream tree twice inside the
+    # checkpoint job, and min-label propagation is insensitive to
+    # duplicate edges, so no distinct either (measured: 15.9s -> 6s for
+    # the minhash group graph at sf0.1). Checkpoint because the loop
+    # re-reads edges every round.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        .distinct()
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(max_iter):
+        # Propagate: l(v) <- min(l(v), min over neighbors l(u)).
         nbr_min = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
-        new_labels = (
+        # prop is scanned twice in the round's tree (as itself and as
+        # the jump table); the lazy cache materializes it once inside
+        # the checkpoint job and shares it between both scans.
+        prop = _cached(
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # Pointer jump: l(v) <- l(l(v)). Plain propagation moves the min
+        # one hop per round (O(diameter) rounds, each a fixed-overhead
+        # job — the dominant cost on small-diameter graphs); jumping
+        # roughly halves the remaining path per round -> O(log diameter).
+        lab2 = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("jump")
+        )
+        jumped = prop.join(lab2, "label", "left").select(
+            "node", F.coalesce("jump", "label").alias("label")
+        )
+        # Fold the convergence flag into the checkpoint job: one
+        # materialization per round, then the changed-probe reads the
+        # in-memory checkpoint instead of re-joining two lineages.
+        new_labels = (
+            jumped.join(labels.select("node", F.col("label").alias("old")), "node")
+            .select("node", "label", (F.col("label") != F.col("old")).alias("chg"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels
+
+
+def minhash_cluster_labels(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+) -> DataFrame:
+    """Near-dup clusters via connected components on the GROUP graph.
+
+    Doc-level CC (connected_components over minhash_lsh_pairs output)
+    propagates labels across every expanded doc pair — and duplicate-
+    heavy corpora expand combinatorially (sf0.1 fixture: ~2.6M doc pairs
+    from a few thousand group pairs), exactly when dedup matters most.
+    Since every doc in a token-set group is pairwise-connected (self-
+    Jaccard 1 >= threshold, except the empty token set whose 0/0 -> NULL
+    self-Jaccard never links), components of the doc graph are exactly
+    components of the GROUP graph with member docs attached. So: run the
+    Pregel loop on group nodes/edges (orders of magnitude smaller),
+    then one join maps docs to their group's component and a hash-agg
+    picks min(doc_id) per component as the cluster id. Output is
+    provably identical to doc-level CC; only the loop's working set
+    shrinks.
+
+    Returns (doc_id, cluster_id, cluster_size).
+    """
+    member_ids, groups, verified = _minhash_group_stage(
+        df, text_col, id_col, k, bands, rows, threshold, None
+    )
+    g_labels = connected_components(
+        verified.select(F.col("fp_a").alias("id_a"), F.col("fp_b").alias("id_b")),
+        groups.select(F.col("fp").alias("node")),
+    )
+    # Docs of the empty-token-set group are NOT mutual near-dups (their
+    # self-Jaccard is NULL); each is its own singleton cluster.
+    doc_components = member_ids.join(
+        groups.select("fp", "sz"), "fp"
+    ).join(g_labels, member_ids.fp == g_labels.node).select(
+        "id",
+        F.when(
+            F.col("sz") == 0, F.concat(F.lit("empty:"), F.col("id").cast("string"))
+        )
+        .otherwise(F.col("label"))
+        .alias("component"),
+    )
+    sizes = doc_components.groupBy("component").agg(
+        F.min("id").alias("cluster_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return doc_components.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

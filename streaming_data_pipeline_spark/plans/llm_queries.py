@@ -196,31 +196,22 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
-    graph (operators/dedup.connected_components, Pregel-style min-label
-    propagation) — the step that turns pairwise near-dups into "keep one
-    doc per cluster". Docs in no pair are singleton clusters. The DuckDB
-    oracle computes the same components with a recursive transitive-
-    closure CTE (oracle-only shape: closure is O(cluster^2); the Spark
-    loop is O(edges x diameter))."""
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    graph (operators/dedup.minhash_cluster_labels, Pregel-style
+    min-label propagation on the token-set GROUP graph — doc-level CC
+    would propagate over the combinatorially expanded doc pairs, ~2.6M
+    at sf0.1, where the group graph has a few thousand edges) — the step
+    that turns pairwise near-dups into "keep one doc per cluster". Docs
+    in no pair are singleton clusters. The DuckDB oracle computes the
+    same components with a recursive transitive-closure CTE over doc
+    pairs (oracle-only shape: closure is O(cluster^2)), proving the
+    group-graph shortcut changes nothing."""
     from streaming_data_pipeline_spark.operators.dedup import (
-        connected_components,
+        minhash_cluster_labels,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.8).select("id_a", "id_b")
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    labels = connected_components(pairs, nodes)
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-        )
-        .orderBy("doc_id")
-    )
+    return minhash_cluster_labels(docs, threshold=0.8).orderBy("doc_id")
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:

@@ -203,6 +203,44 @@ def vocab_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_surprisal_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal -ln p(token) under the
+    corpus's own unigram distribution — the self-contained core of a
+    perplexity quality filter (docs whose tokens are improbable under
+    the corpus LM are boilerplate/garbled candidates; a real pipeline
+    swaps in external LM scores, same plumbing).
+
+    Shape: one token hash-agg builds the LM (t -> count), a single-row
+    total broadcast turns counts into probabilities, one equi-join
+    scores tokens, one hash-agg folds per doc. Everything stays
+    JVM-side; the per-token ln is a double but feeds the sum as
+    DECIMAL(18,9), so cross-engine 1-ulp libm differences (~1e-15)
+    vanish at the cast and the sum is order-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    probs = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = probs.agg(F.sum("c").cast("double").alias("tot"))
+    scored = probs.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.log(F.col("c") / F.col("tot")).cast("decimal(18,9)").alias("lpd"),
+    )
+    return (
+        tok.join(scored, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.round(
+                    -F.sum("lpd").cast("double") / F.count("*"), 6
+                )
+                + F.lit(0.0)
+            ).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def udtf_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function) splitting documents into fixed-size
     token chunks via a LATERAL join — the SURVEY SS2.9 UDTF surface.
@@ -244,6 +282,7 @@ QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "chunk_dup_stats": chunk_dup_stats,
     "vocab_richness_by_source": vocab_richness_by_source,
+    "unigram_surprisal_by_doc": unigram_surprisal_by_doc,
     "udtf_chunk_split": udtf_chunk_split,
 }
 
@@ -319,6 +358,24 @@ ORACLE = {
            round(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / COUNT(*), 6) + 0.0
              AS hapax_ratio
     FROM per_token GROUP BY source ORDER BY source
+    """,
+    "unigram_surprisal_by_doc": f"""
+    WITH tok AS (
+      SELECT doc_id, t.token FROM (
+        SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+      ) AS t(doc_id, token)
+    ),
+    probs AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM probs),
+    scored AS (
+      SELECT token, CAST(ln(c / tot) AS DECIMAL(18,9)) AS lpd
+      FROM probs, tot
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(-CAST(SUM(lpd) AS DOUBLE) / COUNT(*), 6) + 0.0 AS surprisal
+    FROM tok JOIN scored USING (token)
+    GROUP BY doc_id ORDER BY doc_id
     """,
     "udtf_chunk_split": f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

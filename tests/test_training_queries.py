@@ -16,6 +16,7 @@ from tests.conftest import SF_DIR, assert_query_matches_oracle
         "embedding_random_projection",
         "chunk_dup_stats",
         "vocab_richness_by_source",
+        "unigram_surprisal_by_doc",
         "udtf_chunk_split",
     ],
 )
