@@ -73,6 +73,13 @@ _SWEEP_PRIORITY = [
     "vocab_richness_by_source",
     "unigram_surprisal_by_doc",
     "udtf_chunk_split",
+    "event_funnel_conversion",
+    "retention_cohorts",
+    "running_user_value",
+    "top_bigrams_by_lang",
+    "zipf_token_rank",
+    "doc_length_log_histogram",
+    "dedup_keep_canonical",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",
@@ -115,6 +122,7 @@ _SWEEP_PRIORITY = [
 def _plan_modules():
     mods = []
     for name in (
+        "analytics_queries",
         "curation_queries",
         "training_queries",
         "llm_queries",
