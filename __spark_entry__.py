@@ -49,6 +49,7 @@ _SWEEP_PRIORITY = [
     "approx_distinct_users",
     # new in round 3 — never driver-checked
     "streaming_windowed_append",
+    "streaming_session_append",
     "streaming_rate_source_etl",
     "streaming_stream_stream_join",
     "retention_expire_partitions",
@@ -80,6 +81,10 @@ _SWEEP_PRIORITY = [
     "zipf_token_rank",
     "doc_length_log_histogram",
     "dedup_keep_canonical",
+    "user_value_trend",
+    "value_histogram_equiwidth",
+    "user_event_transitions",
+    "streaming_stream_stream_left_join",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -281,6 +281,115 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of ``value`` over event time (is this user's
+    spend trending up?). The slope comes from the closed form
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with every sum accumulated in
+    DECIMAL — exact integer-style arithmetic, order-independent, no
+    regr_slope float drift across engines. x is seconds since
+    2024-01-01 (constant offset keeps the decimals small); one hash
+    aggregate per user, division to double only at the end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((x * y).cast("decimal(38,2)")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy")).cast("decimal(38,2)") - (
+        F.col("sx") * F.col("sy")
+    ).cast("decimal(38,2)")
+    den = (F.col("n") * F.col("sxx")).cast("decimal(38,0)") - (
+        F.col("sx") * F.col("sx")
+    ).cast("decimal(38,0)")
+    return (
+        agg.select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            (
+                F.round(
+                    (num.cast("double") / den.cast("double")) * 86400.0, 8
+                )
+                + F.lit(0.0)
+            ).alias("slope_per_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def value_histogram_equiwidth(spark: SparkSession, sf_dir: str, b: int = 10) -> DataFrame:
+    """Equi-width histogram of ``events.value`` in b buckets between the
+    observed min and max. The two-scalar min/max frame broadcasts; the
+    bucket index is one IEEE expression — identical bit-for-bit in any
+    engine evaluating the same (v - min) * b / range order — and the
+    counting is a single hash aggregate. The max value is clamped into
+    the last bucket (half-open intervals elsewhere).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.least(
+        F.lit(b - 1),
+        F.floor(
+            (F.col("value") - F.col("lo")) * b / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 2).alias("bucket_min"),
+            F.round(F.max("value"), 2).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (consecutive-event bigrams)
+    via ``applyInPandas`` — the batch grouped-map escape hatch (SURVEY
+    §2.9), completing the Arrow surface beside mapInPandas
+    (multimodal), applyInPandasWithState (streaming), and the UDTF.
+
+    The per-group logic (sort by time, shift, count adjacent pairs) is
+    the kind of sequence op teams reach for pandas first; it is also
+    exactly expressible with a lag window, which is what the oracle
+    does — so this query doubles as an A/B proof that the escape hatch
+    agrees with the JVM path. Output is all-integer (deterministic).
+    Scale shape: one shuffle on user_id, Arrow-batched per-group
+    Python; state is one group in memory at a time.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def transitions(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf.assign(from_type=pdf["event_type"].shift(1))
+        pdf = pdf.dropna(subset=["from_type"])
+        out = (
+            pdf.groupby(["user_id", "from_type", "event_type"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.rename(columns={"event_type": "to_type"})
+
+    return ev.groupBy("user_id").applyInPandas(
+        transitions, "user_id bigint, from_type string, to_type string, n bigint"
+    ).orderBy("user_id", "from_type", "to_type")
+
+
 QUERIES = {
     "event_funnel_conversion": event_funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -289,6 +398,9 @@ QUERIES = {
     "zipf_token_rank": zipf_token_rank,
     "doc_length_log_histogram": doc_length_log_histogram,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "user_value_trend": user_value_trend,
+    "value_histogram_equiwidth": value_histogram_equiwidth,
+    "user_event_transitions": user_event_transitions,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -389,6 +501,54 @@ ORACLE = {
     FROM (SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank
           FROM counted), tot
     WHERE rank <= 50 ORDER BY rank
+    """,
+    "user_event_transitions": """
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY user_id, from_type, to_type
+    ORDER BY user_id, from_type, to_type
+    """,
+    "user_value_trend": """
+    WITH base AS (
+      SELECT user_id,
+             CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                  AS DECIMAL(18,0)) AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(x * y AS DECIMAL(38,2))) AS sxy
+      FROM base GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(CAST(n * sxy AS DECIMAL(38,2))
+                      - CAST(sx * sy AS DECIMAL(38,2)) AS DOUBLE)
+                 / CAST(CAST(n * sxx AS DECIMAL(38,0))
+                        - CAST(sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+                 * 86400.0, 8) + 0.0 AS slope_per_day
+    FROM agg ORDER BY user_id
+    """,
+    "value_histogram_equiwidth": """
+    WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT CAST(least(9, floor((value - lo) * 10 / (hi - lo))) AS INT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(MIN(value), 2) AS bucket_min,
+           round(MAX(value), 2) AS bucket_max
+    FROM events, bounds
+    GROUP BY 1 ORDER BY bucket
     """,
     "doc_length_log_histogram": """
     SELECT source, CAST(length(bin(n_chars)) AS INT) AS log2_bucket,

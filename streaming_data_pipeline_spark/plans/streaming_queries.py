@@ -108,6 +108,23 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_complete(agg, spark).orderBy("user_id", "session_start")
 
 
+def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked SESSION windows — the stateful-merge
+    analog of ``streaming_windowed_append``. A session row is emitted
+    exactly once, when the watermark (max event time - 4 h) passes the
+    session's end (last event + 2 h gap); sessions still open at end of
+    input stay in state and are withheld. The oracle runs the same
+    lag/cumulative-sum islands construction and applies the identical
+    cutoff — so this proves watermark-gated session eviction, the
+    hardest streaming-state path (merging windows + append output).
+    """
+    stream = events_fixture_stream(spark, sf_dir)
+    agg = session_window_stats(
+        stream, ts_col="ts", gap="2 hours", watermark="4 hours", key="user_id"
+    )
+    return _drain(agg, spark, "append").orderBy("user_id", "session_start")
+
+
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 2 h windows sliding every 1 h over the replayed
     stream. Oracle: each event lands in exactly two epoch-aligned
@@ -234,6 +251,7 @@ QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_windowed_append": streaming_windowed_append,
     "streaming_user_sessions": streaming_user_sessions,
+    "streaming_session_append": streaming_session_append,
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_dedup_user_event": streaming_dedup_user_event,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
@@ -285,6 +303,36 @@ ORACLE = {
            CAST(COUNT(*) AS BIGINT) AS event_count
     FROM sessions
     GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "streaming_session_append": """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 2 HOURS
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    agg AS (
+      SELECT MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 2 HOURS AS session_end,
+             user_id,
+             CAST(COUNT(*) AS BIGINT) AS event_count
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT * FROM agg
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 4 HOURS FROM events)
     ORDER BY user_id, session_start
     """,
     "streaming_sliding_counts": """
@@ -532,7 +580,60 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks — the null-side
+    emission path the inner join never exercises. A purchase with no
+    preceding-6h view emits a null-view row only once the view-side
+    watermark proves no match can still arrive (view watermark >
+    purchase_ts, since the condition bounds view_ts <= purchase_ts);
+    purchases newer than the final watermark stay buffered and are
+    withheld. The oracle is the batch left join with the same condition,
+    minus unmatched purchases the final watermark (max ts - 6 h) never
+    released — proving watermark-gated outer-null emission, not just
+    join arithmetic.
+    """
+    views = (
+        events_fixture_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "6 hours")
+    )
+    purchases = (
+        events_fixture_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "6 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")),
+        "left_outer",
+    )
+    pairs = _drain(joined, spark, "append")
+    return (
+        pairs.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.sum(F.when(F.col("view_ts").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("matched_pairs"),
+            F.sum(F.when(F.col("view_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("unmatched_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES["streaming_stream_stream_join"] = streaming_stream_stream_join
+QUERIES["streaming_stream_stream_left_join"] = streaming_stream_stream_left_join
 ORACLE["streaming_stream_stream_join"] = """
 WITH views AS (
   SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
@@ -549,4 +650,37 @@ FROM purch p JOIN views l
  AND l.view_ts > p.purchase_ts - INTERVAL 6 HOURS
 GROUP BY p.user_id
 ORDER BY p.user_id
+"""
+ORACLE["streaming_stream_stream_left_join"] = """
+WITH views AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+purch AS (
+  SELECT user_id, ts AS purchase_ts FROM events
+  WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 6 HOURS AS cutoff),
+matched AS (
+  SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS matched_pairs
+  FROM purch p JOIN views v
+    ON p.user_id = v.user_id
+   AND v.view_ts <= p.purchase_ts
+   AND v.view_ts > p.purchase_ts - INTERVAL 6 HOURS
+  GROUP BY p.user_id),
+unmatched AS (
+  SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS unmatched_purchases
+  FROM purch p, wm
+  WHERE p.purchase_ts < wm.cutoff
+    AND NOT EXISTS (
+      SELECT 1 FROM views v
+      WHERE v.user_id = p.user_id
+        AND v.view_ts <= p.purchase_ts
+        AND v.view_ts > p.purchase_ts - INTERVAL 6 HOURS)
+  GROUP BY p.user_id)
+SELECT COALESCE(m.user_id, u.user_id) AS user_id,
+       COALESCE(m.matched_pairs, 0) AS matched_pairs,
+       COALESCE(u.unmatched_purchases, 0) AS unmatched_purchases
+FROM matched m FULL OUTER JOIN unmatched u ON m.user_id = u.user_id
+ORDER BY user_id
 """

@@ -16,6 +16,9 @@ NAMES = [
     "zipf_token_rank",
     "doc_length_log_histogram",
     "dedup_keep_canonical",
+    "user_value_trend",
+    "value_histogram_equiwidth",
+    "user_event_transitions",
 ]
 
 
