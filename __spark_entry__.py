@@ -85,6 +85,7 @@ _SWEEP_PRIORITY = [
     "value_histogram_equiwidth",
     "user_event_transitions",
     "streaming_stream_stream_left_join",
+    "corpus_curation_end_to_end",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

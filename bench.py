@@ -59,6 +59,11 @@ HEADLINE += [
     "chunk_dup_stats",
     "embedding_random_projection",
     "udtf_chunk_split",
+    # round-3 analytics surface
+    "event_funnel_conversion",
+    "retention_cohorts",
+    "user_event_transitions",
+    "user_value_trend",
 ]
 
 _R2_SET = set(HEADLINE[:27])

@@ -25,6 +25,7 @@ from streaming_data_pipeline_spark.functions.text import (
     pii_match_count,
     redact_pii,
     tokens,
+    word_shingles,
 )
 from streaming_data_pipeline_spark.sources.batch import load_table
 
@@ -340,7 +341,72 @@ def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "p")
 
 
+def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed plan: exact-dedup
+    canonical pick -> lexical quality gate -> benchmark decontamination
+    -> per-(lang, source) keep audit. Each stage is an operator that
+    also ships standalone (dedup_exact_text, quality gates,
+    contamination_ngram_overlap); this query proves they compose without
+    driver-side glue — one logical plan, Catalyst sees everything.
+
+    Stages (all hash-partitioned, no UDFs):
+    1. keep the min-doc_id row per identical text (hash-agg on text +
+       semi join; at 100 TB the shuffle key becomes md5(text) — same
+       grouping, 16-byte payload);
+    2. keep docs with >= 10 tokens and type/token ratio >= 0.5 — pure
+       integer array expressions (2*distinct >= total, no floats);
+    3. drop the benchmark split (doc_id % 41 == 0) and any doc sharing
+       a word-5-gram with it (broadcast bench-gram set + per-doc
+       anti join — same shape as contamination_ngram_overlap);
+    4. audit: raw vs kept counts and kept token volume per
+       (lang, source).
+    """
+    from streaming_data_pipeline_spark.plans.llm_queries import _BENCH_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    s1 = docs.join(keepers.select("doc_id"), "doc_id", "semi")
+    s2 = s1.withColumn("toks", tokens(F.col("text"))).filter(
+        (F.size("toks") >= 10)
+        & (2 * F.size(F.array_distinct("toks")) >= F.size("toks"))
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+        .distinct()
+    )
+    corpus = s2.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    contaminated = (
+        corpus.select("doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = corpus.join(contaminated, "doc_id", "left_anti")
+    raw = docs.groupBy("lang", "source").agg(F.count("*").alias("n_raw"))
+    audited = kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.size("toks")).cast("long").alias("kept_tokens"),
+    )
+    return (
+        raw.join(audited, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.col("n_raw").cast("long").alias("n_raw"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            (
+                F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_raw"), 6)
+                + F.lit(0.0)
+            ).alias("kept_ratio"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 QUERIES = {
+    "corpus_curation_end_to_end": corpus_curation_end_to_end,
     "pii_redaction_stats": pii_redaction_stats,
     "domain_blocklist_filter": domain_blocklist_filter,
     "boilerplate_chunk_removal": boilerplate_chunk_removal,
@@ -459,3 +525,65 @@ ORACLE = {
     ORDER BY o_orderpriority, p
     """,
 }
+
+
+def _curation_e2e_oracle() -> str:
+    """Composed from the same 5-gram SQL generator the contamination
+    oracle uses (llm_queries._sql_ngrams) — one source of truth for the
+    shingle semantics on the oracle side too."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        _BENCH_MOD,
+        _sql_ngrams,
+    )
+
+    grams = _sql_ngrams(5)
+    return f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    s1 AS (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+    ),
+    s2 AS (
+      SELECT doc_id, lang, source, {_TOKS} AS toks FROM s1
+      WHERE len({_TOKS}) >= 10
+        AND 2 * len(list_distinct({_TOKS})) >= len({_TOKS})
+    ),
+    bench AS (
+      SELECT DISTINCT g.g AS gram
+      FROM (SELECT UNNEST({grams}) AS g
+            FROM documents WHERE doc_id % {_BENCH_MOD} = 0) AS g(g)
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT s.doc_id, UNNEST({grams}) AS g
+            FROM s1 s
+            JOIN s2 USING (doc_id)
+            WHERE s.doc_id % {_BENCH_MOD} <> 0) AS c(doc_id, g)
+      JOIN bench ON c.g = bench.gram
+    ),
+    kept AS (
+      SELECT * FROM s2
+      WHERE doc_id % {_BENCH_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    raw AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM documents GROUP BY lang, source
+    )
+    SELECT r.lang, r.source, r.n_raw,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           round(COALESCE(k.n_kept, 0) / CAST(r.n_raw AS DOUBLE), 6) + 0.0
+             AS kept_ratio
+    FROM raw r
+    LEFT JOIN (
+      SELECT lang, source, COUNT(*) AS n_kept, SUM(len(toks)) AS kept_tokens
+      FROM kept GROUP BY lang, source
+    ) k ON r.lang = k.lang AND r.source = k.source
+    ORDER BY r.lang, r.source
+    """
+
+
+ORACLE["corpus_curation_end_to_end"] = _curation_e2e_oracle()

@@ -12,6 +12,7 @@ from tests.conftest import SF_DIR, assert_query_matches_oracle
 @pytest.mark.parametrize(
     "name",
     [
+        "corpus_curation_end_to_end",
         "pii_redaction_stats",
         "domain_blocklist_filter",
         "boilerplate_chunk_removal",
