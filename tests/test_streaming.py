@@ -229,3 +229,49 @@ def test_watermark_drops_late_event(spark, tmpdirs):
     # run 2 restores watermark 10:55 from the checkpoint; late1
     # (10:00:40) is behind it -> dropped, NOT re-emitted nor re-counted
     assert second == [("2024-01-15T10:00:00", 1)]
+
+
+def test_checkpoint_resume_exactly_once(spark, tmpdirs):
+    """S2 exactly-once: a parquet-sink stream stopped after draining half
+    the input and RESTARTED from the same checkpoint must pick up only
+    the new files — no duplicates, no loss. Two availableNow drains
+    against one checkpoint + sink; final sink contents equal the batch
+    answer over all input exactly once."""
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+
+    first = [
+        {"id": f"a{i}", "timestamp": "2024-01-15T10:00:30Z", "message": "m",
+         "user_id": "u1", "event_type": "click", "value": 1.0}
+        for i in range(5)
+    ]
+    second = [
+        {"id": f"b{i}", "timestamp": "2024-01-15T11:00:30Z", "message": "m",
+         "user_id": "u2", "event_type": "view", "value": 2.0}
+        for i in range(3)
+    ]
+
+    def drain():
+        stream = spark.readStream.format("text").load(tmpdirs["in"])
+        rows = wire_pipeline(stream, as_of=AS_OF).select(
+            "id", "user_id", "event_type"
+        )
+        q = (
+            rows.writeStream.format("parquet")
+            .option("path", tmpdirs["out"])
+            .option("checkpointLocation", tmpdirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_messages(tmpdirs["in"], first, name="batch0.jsonl")
+    drain()
+    mid = spark.read.parquet(tmpdirs["out"])
+    assert mid.count() == 5
+    _write_messages(tmpdirs["in"], second, name="batch1.jsonl")
+    drain()  # restart from checkpoint: must process ONLY batch1
+    final = spark.read.parquet(tmpdirs["out"])
+    assert final.count() == 8
+    ids = sorted(r.id for r in final.select("id").collect())
+    assert ids == sorted([e["id"] for e in first + second])  # once each
