@@ -86,6 +86,9 @@ _SWEEP_PRIORITY = [
     "user_event_transitions",
     "streaming_stream_stream_left_join",
     "corpus_curation_end_to_end",
+    "small_file_compaction",
+    "etl_dead_letter_routing",
+    "shard_manifest_checksums",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

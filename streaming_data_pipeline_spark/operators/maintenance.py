@@ -1,0 +1,99 @@
+"""Warehouse maintenance operators: small-file compaction.
+
+A streaming append sink (streaming/pipeline.py) writes one parquet file
+per task per trigger, so a 60-second cadence (the reference's window
+batching, Streamingdag.py:302-308) produces ~1,440 files per partition
+per day. At 100 TB the resulting file explosion dominates query planning
+(footer reads, task scheduling) long before data volume does; periodic
+bin-packing compaction is the standard fix (Delta OPTIMIZE / Iceberg
+rewrite_data_files do exactly this).
+
+``compact_partitioned_sink`` rewrites each day-partition of a
+date-partitioned parquet sink into ``ceil(partition_bytes /
+target_bytes)`` files: read the partition, ``repartition(n)``, write to
+a scratch dir, atomically swap directories. Only partitions whose file
+count exceeds their target are touched, so steady-state runs are cheap;
+the rewrite itself is an executor-parallel scan+write with no shuffle
+besides the explicit round-robin repartition.
+
+Local-filesystem note: directory listing and the swap use ``os`` /
+``shutil``, which is correct for local[*] and any POSIX-mounted store.
+On HDFS/object stores the same listing/rename calls go through the
+Hadoop FileSystem API instead (object stores need a commit-marker
+protocol since rename is non-atomic there); the compaction *plan* —
+per-partition read, repartition(n), write, swap — is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _partition_dirs(base: str, partition_col: str) -> list[str]:
+    return sorted(
+        d
+        for d in os.listdir(base)
+        if d.startswith(f"{partition_col}=")
+        and os.path.isdir(os.path.join(base, d))
+    )
+
+
+def _data_files(path: str) -> list[str]:
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def compact_partitioned_sink(
+    spark: SparkSession,
+    base: str,
+    partition_col: str,
+    target_bytes: int = 128 << 20,
+) -> list[dict]:
+    """Bin-pack every oversized partition of ``base`` down to
+    ``ceil(bytes / target_bytes)`` parquet files.
+
+    Returns a per-partition report: ``{partition, files_before,
+    files_after, bytes}`` — the manifest a maintenance job logs.
+    """
+    report: list[dict] = []
+    for part in _partition_dirs(base, partition_col):
+        pdir = os.path.join(base, part)
+        files = _data_files(pdir)
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        n_target = max(1, math.ceil(nbytes / target_bytes))
+        if len(files) <= n_target:
+            report.append(
+                {
+                    "partition": part,
+                    "files_before": len(files),
+                    "files_after": len(files),
+                    "bytes": nbytes,
+                }
+            )
+            continue
+        tmp = pdir + ".compact_tmp"
+        # The partition column is encoded in the directory name, not the
+        # files, so read/write the bare partition directory.
+        (
+            spark.read.parquet(pdir)
+            .repartition(n_target)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.remove(os.path.join(tmp, "_SUCCESS"))
+        old = pdir + ".compact_old"
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old)
+        report.append(
+            {
+                "partition": part,
+                "files_before": len(files),
+                "files_after": len(_data_files(pdir)),
+                "bytes": nbytes,
+            }
+        )
+    return report

@@ -405,8 +405,109 @@ def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def etl_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for the wire-ETL chain.
+
+    The reference logs-and-drops malformed JSON (Streamingdag.py:233-234),
+    missing-required records (Streamingdag.py:175-181) and low-quality
+    rows (Streamingdag.py:227-231). At production scale those records go
+    to a dead-letter sink tagged with a failure reason so upstream
+    breakage is observable and replayable instead of silently vanishing.
+
+    This query manufactures a deterministically corrupted wire stream
+    from the events fixture — 1/97 of payloads truncated (malformed
+    JSON), 1/89 stripped of user_id (missing required key), 1/83
+    degraded to quality score 25 — and classifies every record exactly
+    the way the chain would route it:
+
+    - ``malformed_json`` via PERMISSIVE ``from_json`` with a
+      ``columnNameOfCorruptRecord`` side channel (the SURVEY §1.3
+      mapping of the reference's JSONDecodeError branch);
+    - ``missing_required`` when any of the five required keys parsed to
+      NULL (schema'd from_json: absent key == NULL);
+    - ``low_quality`` by the reference's E3 score (< 50);
+    - ``ok`` otherwise.
+
+    The whole classifier is one codegen'd projection + one hash
+    aggregate; a production DLQ writes the same classified frame to its
+    own date-partitioned sink (filter reason != 'ok') instead of
+    aggregating.
+    """
+    from pyspark.sql import types as T
+
+    from streaming_data_pipeline_spark.functions.scalars import (
+        data_quality_score,
+        truthy_str,
+    )
+    from streaming_data_pipeline_spark.schema import (
+        REQUIRED_FIELDS,
+        WIRE_JSON_SCHEMA,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    m97 = F.col("event_id") % 97 == 0
+    m89 = F.col("event_id") % 89 == 0
+    m83 = F.col("event_id") % 83 == 0
+    user = (
+        F.when(m89, F.lit(None).cast("string"))
+        .when(m83, F.lit("unknown"))
+        .otherwise(F.col("user_id").cast("string"))
+    )
+    msg = F.when(m83, F.lit("")).otherwise(F.col("props"))
+    val = F.when(m83, F.lit(0.0)).otherwise(F.col("value"))
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id").cast("string").alias("id"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+            msg.alias("message"),
+            user.alias("user_id"),
+            F.col("event_type").alias("event_type"),
+            val.alias("value"),
+        )
+    )
+    wire = ev.select(
+        "event_id",
+        F.when(m97, F.substring(payload, 1, 10)).otherwise(payload).alias("payload"),
+    )
+
+    corrupt_schema = T.StructType(
+        list(WIRE_JSON_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    e = F.from_json(
+        F.col("payload"),
+        corrupt_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    required_null = F.lit(False)
+    for f in REQUIRED_FIELDS:
+        required_null = required_null | e.getField(f).isNull()
+    score = data_quality_score(
+        e.getField("user_id"),
+        e.getField("message"),
+        e.getField("value"),
+        truthy_str(e.getField("timestamp")),
+    )
+    reason = (
+        F.when(e.getField("_corrupt").isNotNull(), "malformed_json")
+        .when(required_null, "missing_required")
+        .when(score < 50, "low_quality")
+        .otherwise("ok")
+    )
+    return (
+        wire.select("event_id", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("reason")
+    )
+
+
 QUERIES = {
     "corpus_curation_end_to_end": corpus_curation_end_to_end,
+    "etl_dead_letter_routing": etl_dead_letter_routing,
     "pii_redaction_stats": pii_redaction_stats,
     "domain_blocklist_filter": domain_blocklist_filter,
     "boilerplate_chunk_removal": boilerplate_chunk_removal,
@@ -429,6 +530,23 @@ _PHONE_RE = PII_PATTERNS["phone"]
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 ORACLE = {
+    # The corruption is deterministic on event_id and the fixture has no
+    # NULL/empty fields (verified), so the oracle classifies by the same
+    # arithmetic without re-parsing JSON: truncation wins over key-drop
+    # wins over degradation, matching the Spark classifier's precedence.
+    "etl_dead_letter_routing": """
+    WITH classified AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN 'malformed_json'
+                  WHEN event_id % 89 = 0 THEN 'missing_required'
+                  WHEN event_id % 83 = 0 THEN 'low_quality'
+                  ELSE 'ok' END AS reason
+      FROM events
+    )
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+    FROM classified GROUP BY reason ORDER BY reason
+    """,
     "pii_redaction_stats": f"""
     WITH msgs AS (
       SELECT event_type, {_MSG_SQL} AS msg FROM events

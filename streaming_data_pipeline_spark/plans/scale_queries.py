@@ -110,6 +110,65 @@ def retention_expire_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction over the date-partitioned sink
+    (operators/maintenance.py).
+
+    Writes the events sink with 8-way task parallelism (8 small files
+    per day-partition — the shape a 60 s streaming trigger leaves
+    behind), bin-packs every partition to its byte-target (here: one
+    file), and proves both halves: ``compacted_ok`` asserts the physical
+    file count collapsed (from the operator's report, a 30-row metadata
+    join), and the per-date count/sum aggregate must equal the source —
+    any row lost or duplicated by the rewrite breaks the oracle match.
+    """
+    from streaming_data_pipeline_spark.operators.maintenance import (
+        compact_partitioned_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    try:
+        ev.repartition(8).write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(base)
+        report = compact_partitioned_sink(
+            spark, base, "event_date", target_bytes=1 << 30
+        )
+        rep = spark.createDataFrame(
+            [
+                (
+                    r["partition"].split("=", 1)[1],
+                    r["files_before"],
+                    r["files_after"],
+                )
+                for r in report
+            ],
+            "event_date string, files_before int, files_after int",
+        )
+        back = spark.read.parquet(base)
+        out = (
+            back.groupBy(F.col("event_date").cast("string").alias("event_date"))
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
+            )
+            .join(F.broadcast(rep), "event_date")
+            .select(
+                F.col("event_date").cast("timestamp_ntz").alias("event_date"),
+                "event_count",
+                "value_sum",
+                (F.col("files_after") == 1).alias("compacted_ok"),
+            )
+            .orderBy("event_date")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column.
 
@@ -223,6 +282,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFra
 QUERIES = {
     "partitioned_sink_pruning": partitioned_sink_pruning,
     "retention_expire_partitions": retention_expire_partitions,
+    "small_file_compaction": small_file_compaction,
     "embedding_centroids_by_label": embedding_centroids_by_label,
     "sessionize_events_batch": sessionize_events_batch,
     "skew_salted_join": skew_salted_join,
@@ -245,6 +305,14 @@ ORACLE = {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM events
     WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "small_file_compaction": """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+           TRUE AS compacted_ok
+    FROM events
     GROUP BY 1 ORDER BY 1
     """,
     "embedding_centroids_by_label": """

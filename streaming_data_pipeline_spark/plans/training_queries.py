@@ -292,8 +292,50 @@ def udtf_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way output sharding with a verifiable manifest.
+
+    A training-data writer's last step assigns every document to a shard
+    by content-independent key hash (shard = md5('shard:'||doc_id) % 16
+    — reproducible across engines, runs, and cluster sizes) and logs a
+    per-shard manifest: document count, total characters, and an
+    ORDER-INDEPENDENT membership checksum (sum of a second keyed hash of
+    each doc id). A consumer re-derives the checksum after download to
+    prove no document was lost, duplicated, or misrouted — without
+    sorting or collecting ids anywhere. The whole thing is one stateless
+    projection + one 16-group hash aggregate: at 100 TB the shard
+    assignment rides along with the write (partitionBy("shard")) and the
+    manifest is a free byproduct of the same single pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _md5long(col, prefix):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+
+    return (
+        docs.select(
+            (_md5long(F.col("doc_id"), "shard:") % 16).alias("shard"),
+            "doc_id",
+            "n_chars",
+            _md5long(F.col("doc_id"), "ck:").alias("ck"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("ck").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES = {
     "train_val_test_split": train_val_test_split,
+    "shard_manifest_checksums": shard_manifest_checksums,
     "embedding_random_projection": embedding_random_projection,
     "chunk_dup_stats": chunk_dup_stats,
     "vocab_richness_by_source": vocab_richness_by_source,
@@ -304,6 +346,21 @@ QUERIES = {
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 ORACLE = {
+    "shard_manifest_checksums": """
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substring(
+               md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 16
+               AS shard,
+             CAST('0x' || substring(
+               md5('ck:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS ck
+      FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(ck) AS BIGINT) AS id_checksum
+    FROM tagged GROUP BY shard ORDER BY shard
+    """,
     "train_val_test_split": """
     WITH tagged AS (
       SELECT *,

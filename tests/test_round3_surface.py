@@ -237,3 +237,73 @@ def test_quantization_error_bound(spark):
         F.col("max_abs_err") > (1.0 / (2 * F.col("scale_r"))) * 1.001
     ).count()
     assert bad == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "small_file_compaction",
+        "etl_dead_letter_routing",
+        "shard_manifest_checksums",
+    ],
+)
+def test_maintenance_and_routing_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark):
+    """The compaction operator must collapse an 8-files-per-partition
+    sink to its byte target (1 file here), touch only oversized
+    partitions, and preserve the exact row multiset."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.operators.maintenance import (
+        _data_files,
+        _partition_dirs,
+        compact_partitioned_sink,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="compact_test_")
+    try:
+        ev.repartition(8).write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(base)
+        before = ev.groupBy("event_date").count().collect()
+        report = compact_partitioned_sink(
+            spark, base, "event_date", target_bytes=1 << 30
+        )
+        assert all(r["files_after"] == 1 for r in report)
+        assert any(r["files_before"] > 1 for r in report)
+        for part in _partition_dirs(base, "event_date"):
+            assert len(_data_files(os.path.join(base, part))) == 1
+        after = spark.read.parquet(base).groupBy("event_date").count().collect()
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+        # idempotent second run: nothing oversized remains, no rewrites
+        report2 = compact_partitioned_sink(
+            spark, base, "event_date", target_bytes=1 << 30
+        )
+        assert all(r["files_before"] == r["files_after"] == 1 for r in report2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dead_letter_reasons_partition_the_stream(spark):
+    """Every record lands in exactly one routing bucket and the buckets
+    sum to the input count; all four reasons must be exercised."""
+    import __spark_entry__ as entrymod
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = entrymod.queries()["etl_dead_letter_routing"](spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n for r in rows) == total
+    assert {r.reason for r in rows} == {
+        "malformed_json",
+        "missing_required",
+        "low_quality",
+        "ok",
+    }
