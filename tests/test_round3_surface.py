@@ -307,3 +307,35 @@ def test_dead_letter_reasons_partition_the_stream(spark):
         "low_quality",
         "ok",
     }
+
+
+def test_cc_unionfind_matches_pregel_loop(spark):
+    """The union-find fast path and the min-label-propagation loop must
+    produce identical labels on a graph with chains, a clique, dup/
+    reversed edges, and isolates."""
+    import random
+
+    from streaming_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # 20 two-chains
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a)]  # clique
+    edges += [(200, 201), (201, 202), (202, 203), (203, 204)]  # path, diam 4
+    edges += [(b, a) for a, b in edges]                     # reversed dups
+    edges += [edges[i] for i in (rng.randrange(len(edges)) for _ in range(30))]
+    node_ids = sorted({x for e in edges for x in e} | {900, 901})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
+    fast = {
+        r.node: r.label for r in connected_components(pairs, nodes).collect()
+    }
+    loop = {
+        r.node: r.label
+        for r in connected_components(
+            pairs, nodes, unionfind_max_nodes=0
+        ).collect()
+    }
+    assert fast == loop
+    assert fast[204] == 200 and fast[107] == 100 and fast[900] == 900
