@@ -89,6 +89,8 @@ _SWEEP_PRIORITY = [
     "small_file_compaction",
     "etl_dead_letter_routing",
     "shard_manifest_checksums",
+    "streaming_static_enrich_join",
+    "unpivot_order_metrics",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -400,3 +400,49 @@ SELECT event_type, data_quality_score,
 FROM enriched GROUP BY event_type, data_quality_score
 ORDER BY event_type, data_quality_score
 """
+
+
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-priority metric row — order count,
+    DECIMAL-exact revenue, max price — folded into long (priority,
+    metric, metric_value) form, the shape metric stores and plotting
+    layers want. ``DataFrame.unpivot`` compiles to a generate/expand
+    node (each input row fans out to one row per value column — no
+    shuffle beyond the feeding aggregate); the oracle is the portable
+    UNION ALL equivalent.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        _d2_sum().alias("revenue"),
+        F.max(F.col("o_totalprice")).alias("max_price"),
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["n_orders", "revenue", "max_price"],
+            "metric",
+            "metric_value",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
+QUERIES["unpivot_order_metrics"] = unpivot_order_metrics
+ORACLE["unpivot_order_metrics"] = f"""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         {_D2_SUM_SQL} AS revenue,
+         MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, metric_value FROM (
+  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS metric_value FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'revenue', revenue FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'max_price', max_price FROM wide
+)
+ORDER BY o_orderpriority, metric
+"""

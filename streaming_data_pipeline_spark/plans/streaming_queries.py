@@ -684,3 +684,60 @@ SELECT COALESCE(m.user_id, u.user_id) AS user_id,
 FROM matched m FULL OUTER JOIN unmatched u ON m.user_id = u.user_id
 ORDER BY user_id
 """
+
+
+def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join — the dimension-enrichment shape
+    every production pipeline runs (stream of facts, small slowly-
+    changing dim): the replayed event stream joins a 5-row event_type ->
+    (category, weight) dim before a windowed aggregate.
+
+    Spark re-plans the join every micro-batch with the static side
+    BROADCAST, so the unbounded stream side never shuffles for the join
+    and a dim refresh (re-reading the table between batches) needs no
+    stream restart. The left join keeps unknown event types (category
+    NULL) rather than silently dropping facts — the T5-adjacent posture
+    for late-arriving dim rows. The weighted sum runs in DECIMAL
+    (exact, order-independent) per the repo's float protocol.
+    """
+    stream = events_fixture_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [
+            ("view", "engagement", "1.0"),
+            ("click", "engagement", "2.0"),
+            ("signup", "conversion", "5.0"),
+            ("purchase", "conversion", "10.0"),
+            ("error", "ops", "0.0"),
+        ],
+        "event_type string, category string, weight string",
+    ).select(
+        "event_type", "category", F.col("weight").cast("decimal(4,1)").alias("weight")
+    )
+    joined = stream.join(F.broadcast(dim), "event_type", "left")
+    agg = joined.groupBy(
+        F.window("ts", "1 day").start.alias("day"), "category"
+    ).agg(
+        F.count("*").alias("event_count"),
+        F.sum(F.col("value").cast("decimal(18,2)") * F.col("weight"))
+        .cast("double")
+        .alias("weighted_value"),
+    )
+    return _drain_complete(agg, spark).orderBy("day", "category")
+
+
+QUERIES["streaming_static_enrich_join"] = streaming_static_enrich_join
+ORACLE["streaming_static_enrich_join"] = """
+WITH dim(event_type, category, weight) AS (VALUES
+  ('view', 'engagement', CAST(1.0 AS DECIMAL(4,1))),
+  ('click', 'engagement', CAST(2.0 AS DECIMAL(4,1))),
+  ('signup', 'conversion', CAST(5.0 AS DECIMAL(4,1))),
+  ('purchase', 'conversion', CAST(10.0 AS DECIMAL(4,1))),
+  ('error', 'ops', CAST(0.0 AS DECIMAL(4,1))))
+SELECT date_trunc('day', e.ts) AS day, d.category,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE)
+         AS weighted_value
+FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -339,3 +339,30 @@ def test_cc_unionfind_matches_pregel_loop(spark):
     }
     assert fast == loop
     assert fast[204] == 200 and fast[107] == 100 and fast[900] == 900
+
+
+@pytest.mark.parametrize(
+    "name", ["streaming_static_enrich_join", "unpivot_order_metrics"]
+)
+def test_breadth_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_stream_static_join_broadcasts_dim(spark):
+    """The static dim side of the stream-static join must be planned as
+    a broadcast: the stream side never shuffles for the join."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = spark.createDataFrame(
+        [("view", "engagement")], "event_type string, category string"
+    )
+    plan = (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
