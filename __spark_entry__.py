@@ -54,6 +54,7 @@ _SWEEP_PRIORITY = [
     "streaming_stream_stream_join",
     "retention_expire_partitions",
     "similarity_multiprobe_lsh",
+    "similarity_multitable_lsh",
     "similarity_recall_at_k",
     "dedup_cluster_components",
     "tfidf_top_terms",

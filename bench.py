@@ -55,6 +55,7 @@ HEADLINE = [
 HEADLINE += [
     "dedup_cluster_components",
     "similarity_multiprobe_lsh",
+    "similarity_multitable_lsh",
     "contamination_ngram_overlap",
     "chunk_dup_stats",
     "embedding_random_projection",

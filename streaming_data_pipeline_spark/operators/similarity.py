@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,6 +176,124 @@ def multiprobe_lsh_topk(
         .filter(F.col("probe_id") != F.col("cand_id"))
         # a candidate can collide with a probe through several probed
         # codes; pairs are identical whichever code matched, so keep one
+        .dropDuplicates(["probe_id", "cand_id"])
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _multitable_planes(n_tables: int, bits: int, dim: int, seed: int):
+    """One independent hyperplane set per table; seeds derived
+    deterministically so every engine/rerun sees identical codes."""
+    return [
+        hyperplanes(bits, dim, seed + 7919 * (t + 1)) for t in range(n_tables)
+    ]
+
+
+def table_code_array(
+    vec,
+    n_tables: int,
+    bits: int,
+    dim: int,
+    seed: int,
+):
+    """Array of table-tagged sign codes ('<t>|<bits>') for multi-table
+    LSH, as one Arrow-vectorized pandas UDF: all L x b plane dots are a
+    single numpy (rows x dim) @ (dim x L*b) matmul per batch.
+
+    The expression form (one zip_with/aggregate fold per plane, as
+    :func:`sign_bucket` does) evaluates HOFs interpreted — at L*b = 96
+    planes that is ~100 folds per ROW and dominated the multi-table
+    query; the matmul is the §2.9 escape hatch used exactly where
+    built-ins stop being the fast path. Sign parity with the SQL
+    oracle's left-to-right sum holds because only the sign of the dot
+    is consumed and |dot| for +-1 planes over unit-scale vectors sits
+    ~13 orders of magnitude above float-reassociation error."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _multitable_planes(n_tables, bits, dim, seed)
+    H = np.array([p for table in planes for p in table], dtype=np.float64)
+
+    @pandas_udf("array<string>")
+    def codes(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(s.to_numpy()).astype(np.float64)
+        B = np.where(V @ H.T >= 0, "1", "0")
+        out = []
+        for row in B:
+            out.append(
+                [
+                    f"{t}|" + "".join(row[t * bits : (t + 1) * bits])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return codes(vec)
+
+
+def multitable_lsh_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_tables: int = 16,
+    bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH top-k: L independent b-bit sign-hash tables; a
+    candidate is scored if it shares a bucket with the probe in ANY
+    table — the textbook amplification (recall = 1-(1-p^b)^L for
+    per-plane collision probability p) that a single table, even
+    multi-probed, cannot reach.
+
+    Parameter math on the fixture (near-isotropic embeddings, true
+    top-10 cosine ~0.25-0.3 -> p ~ 0.6): L=16 x b=6 gives ~0.5 recall
+    while scanning ~L/2^b = 25% of the table — a ~2x enrichment over
+    random scanning, which is the theoretical regime for data this
+    unclustered; on corpora with real cluster structure p rises and the
+    same table layout reaches 0.9+ (and IVF, which exploits the cluster
+    structure directly, measures 0.94+ here — see
+    ``similarity_recall_at_k``).
+
+    Scale shape: the stored side carries L codes per vector, computed
+    at ingest (the explode is a projection — no shuffle) and written
+    partitioned by code prefix in production; only the probe side
+    (L rows per probe) broadcasts, so the stored table is scanned once
+    with no shuffle for the join.
+    """
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.explode(
+            table_code_array(F.col(vec_col), n_tables, bits, dim, seed)
+        ).alias("bucket"),
+    )
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.explode(
+            table_code_array(F.col(vec_col), n_tables, bits, dim, seed)
+        ).alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(pr), "bucket")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        # one (probe, cand) pair per colliding table is enough
         .dropDuplicates(["probe_id", "cand_id"])
         .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
     )

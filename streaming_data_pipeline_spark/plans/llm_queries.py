@@ -47,6 +47,7 @@ from streaming_data_pipeline_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
     multiprobe_lsh_topk,
+    multitable_lsh_topk,
     near_dup_pairs,
 )
 from streaming_data_pipeline_spark.sources.batch import load_table
@@ -482,16 +483,33 @@ def similarity_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (16 x 6-bit) LSH top-k — the amplification layout a
+    single (multi-probed) table cannot match; see
+    operators/similarity.multitable_lsh_topk for the recall math."""
+    emb = _emb(spark, sf_dir)
+    return multitable_lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
+        "probe_id", "rank"
+    )
+
+
 def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of each ANN path against the exact brute-force top-10,
     per probe — the approximation-quality measurement the ANN designs
-    owe. Also demonstrates multiprobe >= single-bucket LSH recall."""
+    owe. Measured floors on the fixture (near-isotropic vectors, the
+    LSH worst case — true top-10 cosine ~0.25-0.3 vs bulk ~0.0):
+    single-table LSH ~0.02-0.04 avg, multiprobe ~0.14-0.22,
+    multi-table (16x6) ~0.4 min / ~0.6 avg at a ~25% scan fraction,
+    IVF 0.94-0.98 (IVF exploits the residual directional structure
+    directly). Demonstrates multitable >= multiprobe >= single-bucket
+    recall."""
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     bf = brute_force_topk(emb, probes).select("probe_id", "cand_id")
     approx = {
         "lsh_recall": lsh_topk(emb, probes),
         "multiprobe_recall": multiprobe_lsh_topk(emb, probes),
+        "multitable_recall": multitable_lsh_topk(emb, probes),
         "ivf_recall": ivf_topk(emb, probes),
     }
     out = bf
@@ -573,6 +591,7 @@ QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_multiprobe_lsh": similarity_multiprobe_lsh,
+    "similarity_multitable_lsh": similarity_multitable_lsh,
     "similarity_recall_at_k": similarity_recall_at_k,
     "similarity_ivf": similarity_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -648,6 +667,18 @@ def _sql_bucket_flip(v: str, planes: list[list[int]], j: int) -> str:
 def _sql_probe_code_list(v: str, planes: list[list[int]]) -> str:
     codes = [_sql_bucket(v, planes)] + [
         _sql_bucket_flip(v, planes, j) for j in range(len(planes))
+    ]
+    return "[" + ", ".join(codes) + "]"
+
+
+def _sql_table_code_list(
+    v: str, n_tables: int = 16, bits: int = 6, seed: int = 42
+) -> str:
+    """Tagged per-table codes mirroring similarity.table_code_array
+    (same seed derivation, so codes are bit-identical)."""
+    codes = [
+        f"'{t}|' || ({_sql_bucket(v, hyperplanes(bits, DIM, seed + 7919 * (t + 1)))})"
+        for t in range(n_tables)
     ]
     return "[" + ", ".join(codes) + "]"
 
@@ -966,6 +997,28 @@ ORACLE = {
           FROM scored)
     WHERE rank <= 10 ORDER BY probe_id, rank
     """,
+    "similarity_multitable_lsh": f"""
+    WITH cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    ccodes AS (SELECT cand_id, unnest({_sql_table_code_list('cv')}) AS bucket FROM cand),
+    probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+               WHERE vec_id < {N_PROBES}),
+    pcodes AS (SELECT probe_id, unnest({_sql_table_code_list('pv')}) AS bucket
+               FROM probes),
+    pairs AS (
+      SELECT DISTINCT probe_id, cand_id
+      FROM pcodes JOIN ccodes USING (bucket)
+      WHERE probe_id <> cand_id
+    ),
+    scored AS (
+      SELECT pr.probe_id, c.cand_id,
+             ({_sql_dot('pr.pv', 'c.cv')})
+               / (sqrt({_sql_dot('pr.pv', 'pr.pv')}) * sqrt({_sql_dot('c.cv', 'c.cv')})) AS cos
+      FROM pairs JOIN probes pr USING (probe_id) JOIN cand c USING (cand_id))
+    SELECT probe_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    WHERE rank <= 10 ORDER BY probe_id, rank
+    """,
 }
 
 
@@ -998,6 +1051,12 @@ def _sql_recall_oracle() -> str:
         f"(sqrt({_sql_dot('pr.pv', 'pr.pv')}) * sqrt({_sql_dot('c.cv', 'c.cv')})) AS cos "
         "FROM mpairs JOIN probes pr USING (probe_id) JOIN cand c USING (cand_id)"
     )
+    mt_scored = (
+        "SELECT pr.probe_id, c.cand_id, "
+        f"({_sql_dot('pr.pv', 'c.cv')}) / "
+        f"(sqrt({_sql_dot('pr.pv', 'pr.pv')}) * sqrt({_sql_dot('c.cv', 'c.cv')})) AS cos "
+        "FROM mtpairs JOIN probes pr USING (probe_id) JOIN cand c USING (cand_id)"
+    )
     ivf_scored = (
         "SELECT probe_id, cand_id, "
         f"({_sql_dot('probe_vec', 'cand_vec')}) / "
@@ -1019,6 +1078,13 @@ def _sql_recall_oracle() -> str:
       FROM pcodes JOIN lshc USING (bucket) WHERE probe_id <> cand_id
     ),
     mp AS ({topk.format(scored=mp_scored)}),
+    mtc AS (SELECT cand_id, unnest({_sql_table_code_list('cv')}) AS bucket FROM cand),
+    mtp AS (SELECT probe_id, unnest({_sql_table_code_list('pv')}) AS bucket FROM probes),
+    mtpairs AS (
+      SELECT DISTINCT probe_id, cand_id
+      FROM mtp JOIN mtc USING (bucket) WHERE probe_id <> cand_id
+    ),
+    mt AS ({topk.format(scored=mt_scored)}),
     cents AS (SELECT vec_id AS cent_id, embedding AS ctv FROM embeddings WHERE vec_id < 8),
     assigned AS (
       SELECT cand_id, cand_vec, cent_id FROM (
@@ -1050,10 +1116,12 @@ def _sql_recall_oracle() -> str:
     SELECT b.probe_id,
            round(CAST(COUNT(l.cand_id) AS DOUBLE) / COUNT(*), 4) AS lsh_recall,
            round(CAST(COUNT(m.cand_id) AS DOUBLE) / COUNT(*), 4) AS multiprobe_recall,
+           round(CAST(COUNT(t.cand_id) AS DOUBLE) / COUNT(*), 4) AS multitable_recall,
            round(CAST(COUNT(i.cand_id) AS DOUBLE) / COUNT(*), 4) AS ivf_recall
     FROM bf b
     LEFT JOIN lsh l ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id
     LEFT JOIN mp  m ON b.probe_id = m.probe_id AND b.cand_id = m.cand_id
+    LEFT JOIN mt  t ON b.probe_id = t.probe_id AND b.cand_id = t.cand_id
     LEFT JOIN ivf i ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
     GROUP BY b.probe_id ORDER BY b.probe_id
     """

@@ -60,6 +60,12 @@ def test_multiprobe_improves_recall_and_stays_broadcast(spark):
             r.multiprobe_recall,
             r.lsh_recall,
         )
+        # L independent tables must dominate one multi-probed table
+        assert r.multitable_recall >= r.multiprobe_recall, (
+            r.probe_id,
+            r.multitable_recall,
+            r.multiprobe_recall,
+        )
 
     plan = (
         entrymod.queries()["similarity_multiprobe_lsh"](spark, SF_DIR)
