@@ -56,3 +56,29 @@ def run_pipeline(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def with_quality_observation(df: DataFrame, name: str = "quality") -> DataFrame:
+    """Attach an ``observe()`` node emitting per-micro-batch data-quality
+    metrics — the reference's health-check probe (SURVEY.md §2.5 A4 /
+    W3, Streamingdag.py:435-470) as streaming-native observability.
+
+    Metrics (row count, mean quality score, low-quality count) ride the
+    existing plan — accumulated on executors during the pass the query
+    already makes, NO second scan or extra shuffle — and surface per
+    micro-batch in ``StreamingQueryProgress.observedMetrics[name]`` (and
+    to any QueryListener for alerting). This is the scale-correct way to
+    monitor a 100 TB stream: the alternative (a second aggregation
+    query on the sink) re-reads everything it just wrote.
+
+    Works identically on batch frames (metrics via DataFrame.observe +
+    a QueryExecutionListener).
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows"),
+        F.avg("data_quality_score").alias("avg_quality"),
+        F.sum(
+            F.when(F.col("data_quality_score") < 50, 1).otherwise(0)
+        ).alias("low_quality_rows"),
+    )

@@ -275,3 +275,99 @@ def test_checkpoint_resume_exactly_once(spark, tmpdirs):
     assert final.count() == 8
     ids = sorted(r.id for r in final.select("id").collect())
     assert ids == sorted([e["id"] for e in first + second])  # once each
+
+
+def test_stateful_agg_state_recovers_across_restart(spark, tmpdirs):
+    """Aggregation STATE must survive a stop/restart: a window that
+    receives events in run 1 (held open — watermark below its end) and
+    more events in run 2 must emit ONCE, after restart, with the merged
+    count. Proves the state store, not just the watermark or sink
+    offsets, is restored from the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+
+    def ev(i, ts):
+        return {"id": f"e{i}", "timestamp": ts, "message": "m",
+                "user_id": "u1", "event_type": "click", "value": 1.0}
+
+    run1 = [ev(1, "2024-01-15T10:00:10Z"), ev(2, "2024-01-15T10:00:20Z"),
+            ev(3, "2024-01-15T10:03:00Z")]  # watermark 9:58 < 10:01: open
+    run2 = [ev(4, "2024-01-15T10:00:50Z"),  # same window, after restart
+            ev(5, "2024-01-15T11:00:00Z")]  # advances watermark past 10:01
+
+    def drain():
+        stream = spark.readStream.format("text").load(tmpdirs["in"])
+        enriched = wire_pipeline(stream, as_of=AS_OF).withColumn(
+            "timestamp", F.col("timestamp").cast("timestamp")
+        )
+        agg = (
+            enriched.withWatermark("timestamp", "5 minutes")
+            .groupBy(F.window("timestamp", "60 seconds").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tmpdirs["out"])
+            .option("checkpointLocation", tmpdirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.wstart.isoformat(): r.n
+            for r in spark.read.parquet(tmpdirs["out"]).collect()
+        }
+
+    _write_messages(tmpdirs["in"], run1, name="batch0.jsonl")
+    first = drain()
+    assert first == {}, "10:00 window must be withheld while open"
+    _write_messages(tmpdirs["in"], run2, name="batch1.jsonl")
+    second = drain()
+    # 3 events from run 1's state + 1 from run 2, emitted exactly once
+    assert second["2024-01-15T10:00:00"] == 3
+    assert second["2024-01-15T10:03:00"] == 1
+
+
+def test_observe_metrics_ride_the_stream(spark, tmpdirs):
+    """with_quality_observation must surface per-batch row counts and
+    quality metrics in StreamingQueryProgress.observedMetrics without a
+    second aggregation query."""
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+    from streaming_data_pipeline_spark.streaming.pipeline import (
+        with_quality_observation,
+    )
+
+    msgs = [
+        {"id": f"o{i}", "timestamp": "2024-01-15T10:00:30Z", "message": "m",
+         "user_id": "u1", "event_type": "click", "value": 1.0}
+        for i in range(4)
+    ] + [
+        # score 50: empty message (+0), value 0 (+0), user (+25), ts (+25)
+        {"id": "low1", "timestamp": "2024-01-15T10:00:40Z", "message": "",
+         "user_id": "u2", "event_type": "click", "value": 0.0},
+    ]
+    _write_messages(tmpdirs["in"], msgs, name="batch0.jsonl")
+    stream = spark.readStream.format("text").load(tmpdirs["in"])
+    observed = with_quality_observation(wire_pipeline(stream, as_of=AS_OF))
+    q = (
+        observed.writeStream.format("parquet")
+        .option("path", tmpdirs["out"])
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {"rows": 0, "low_quality_rows": 0}
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("quality") if p["observedMetrics"] else None
+        if m:
+            got["rows"] += m["rows"]
+            got["low_quality_rows"] += m["low_quality_rows"]
+    # the empty-message event scores exactly 50 -> passes the filter,
+    # low_quality (<50) count is 0; all 5 rows observed
+    assert got["rows"] == 5
+    assert got["low_quality_rows"] == 0
