@@ -92,6 +92,7 @@ _SWEEP_PRIORITY = [
     "shard_manifest_checksums",
     "streaming_static_enrich_join",
     "unpivot_order_metrics",
+    "heavy_hitter_bigrams",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -333,9 +333,39 @@ def shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter bigrams via two-pass exact Misra-Gries
+    (operators/sketches.py): a bounded-memory candidate pass (O(1/phi)
+    counters per task, never a full vocabulary map) followed by an
+    exact recount of the guaranteed-superset candidates — so the output
+    is EXACTLY the bigrams with frequency >= phi*N, and the oracle is a
+    plain GROUP BY + HAVING. The screen that feeds stopword/boilerplate
+    lists at corpus scale, where the distinct n-gram universe cannot be
+    shuffled whole."""
+    from streaming_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    items = docs.select(F.explode(bigrams).alias("bigram"))
+    return (
+        heavy_hitters(items, "bigram", phi=0.0012)
+        .select(F.col("item").alias("bigram"), "n", "freq")
+        .orderBy("bigram")
+    )
+
+
 QUERIES = {
     "train_val_test_split": train_val_test_split,
     "shard_manifest_checksums": shard_manifest_checksums,
+    "heavy_hitter_bigrams": heavy_hitter_bigrams,
     "embedding_random_projection": embedding_random_projection,
     "chunk_dup_stats": chunk_dup_stats,
     "vocab_richness_by_source": vocab_richness_by_source,
@@ -346,6 +376,22 @@ QUERIES = {
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 ORACLE = {
+    "heavy_hitter_bigrams": """
+    WITH toksets AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT ts[CAST(u.i AS INT) + 1] || ' ' || ts[CAST(u.i AS INT) + 2] AS bigram
+      FROM toksets, UNNEST(range(len(ts) - 1)) AS u(i)
+    ),
+    c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT bigram, n, round(CAST(n AS DOUBLE) / total, 6) + 0.0 AS freq
+    FROM c, t
+    WHERE n >= 0.0012 * total
+    ORDER BY bigram
+    """,
     "shard_manifest_checksums": """
     WITH tagged AS (
       SELECT doc_id, n_chars,

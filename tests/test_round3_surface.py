@@ -372,3 +372,33 @@ def test_stream_static_join_broadcasts_dim(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_query_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "heavy_hitter_bigrams", SF_DIR)
+
+
+def test_misra_gries_candidates_are_superset(spark):
+    """MG pass-1 candidates must contain EVERY item with global
+    frequency >= phi*N, on a skewed stream spread across partitions."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.operators.sketches import (
+        _mg_candidates,
+        heavy_hitters,
+    )
+
+    # 3 hot items (1000/600/300 of 3900+1000 rows) in a sea of uniques
+    rows = (
+        [("hot_a",)] * 1000 + [("hot_b",)] * 600 + [("hot_c",)] * 300
+        + [(f"u{i}",) for i in range(3000)]
+    )
+    items = spark.createDataFrame(rows, "item string").repartition(8)
+    phi = 0.05  # threshold 245: exactly {hot_a, hot_b, hot_c}
+    k = math.ceil(1.0 / phi)
+    cands = {r.item for r in _mg_candidates(items, k).collect()}
+    assert {"hot_a", "hot_b", "hot_c"} <= cands
+    got = {r.item: r.n for r in heavy_hitters(items, "item", phi).collect()}
+    assert got == {"hot_a": 1000, "hot_b": 600, "hot_c": 300}
