@@ -93,6 +93,8 @@ _SWEEP_PRIORITY = [
     "streaming_static_enrich_join",
     "unpivot_order_metrics",
     "heavy_hitter_bigrams",
+    "variant_nested_extract",
+    "cdc_chunk_dedup",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -446,3 +446,58 @@ SELECT o_orderpriority, metric, metric_value FROM (
 )
 ORDER BY o_orderpriority, metric
 """
+
+
+def variant_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured path: a nested JSON document is
+    parsed ONCE into the binary VARIANT encoding (``parse_json``), then
+    several typed ``variant_get`` path extractions — including a nested
+    '$.user.id' — feed an aggregate. This is the modern engine's answer
+    to repeated ``get_json_object`` calls, each of which re-parses the
+    JSON text per path per row; VARIANT amortizes the parse and stores
+    fields pre-tokenized, which is the difference that matters when the
+    payload is KBs and the paths are many. (The event fixture's props is
+    flat, so the nested document is synthesized deterministically from
+    fixture columns; the oracle derives the same values from the columns
+    directly — proving extraction, not JSON round-tripping.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("value").alias("v"),
+            ).alias("user"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    v = F.parse_json(doc)
+    flat = ev.select(
+        F.variant_get(v, "$.type", "string").alias("etype"),
+        F.variant_get(v, "$.user.id", "bigint").alias("uid"),
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+    )
+    return (
+        flat.groupBy("etype")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("k").alias("k_sum"),
+            F.countDistinct(F.pmod(F.col("uid"), F.lit(100))).alias(
+                "uid_mod_groups"
+            ),
+        )
+        .orderBy("etype")
+    )
+
+
+QUERIES["variant_nested_extract"] = variant_nested_extract
+ORACLE["variant_nested_extract"] = """
+SELECT event_type AS etype,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(COUNT(DISTINCT user_id % 100) AS BIGINT) AS uid_mod_groups
+FROM events
+GROUP BY event_type
+ORDER BY etype
+"""

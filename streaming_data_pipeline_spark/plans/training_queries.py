@@ -38,7 +38,7 @@ divided as doubles and rounded with the `+ 0.0` signed-zero normalizer
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_spark.functions.text import tokens
@@ -362,10 +362,68 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup audit: chunk boundaries
+    fall AFTER any token whose keyed hash is 0 mod 8 (expected chunk
+    ~8 tokens), so boundaries depend only on LOCAL content — an
+    insertion near a document's head shifts fixed-size chunk frames for
+    the whole document (defeating ``chunk_dup_stats``-style dedup) but
+    moves CDC boundaries only within the edited neighborhood, letting
+    every downstream chunk still hash-match its twin in the unedited
+    copy. The rsync/LBFS trick, applied to corpus dedup.
+
+    Plan shape: posexplode -> one per-doc window (running boundary
+    count) -> chunk reassembly via sort_array(collect_list(struct)) ->
+    two hash-aggs + one equi-join on the chunk hash. Per doc:
+    (n_chunks, chunks also present in ANY other document).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    bflag = (
+        F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("long") % 8 == 0
+    ).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = tok.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum(bflag).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s.t,
+                ),
+            )
+        ).alias("ch")
+    )
+    counts = chunks.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(counts, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "train_val_test_split": train_val_test_split,
     "shard_manifest_checksums": shard_manifest_checksums,
     "heavy_hitter_bigrams": heavy_hitter_bigrams,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "embedding_random_projection": embedding_random_projection,
     "chunk_dup_stats": chunk_dup_stats,
     "vocab_richness_by_source": vocab_richness_by_source,
@@ -376,6 +434,40 @@ QUERIES = {
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 ORACLE = {
+    "cdc_chunk_dedup": """
+    WITH toksets AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, ts[CAST(u.i AS INT) + 1] AS t
+      FROM toksets, UNNEST(range(len(ts))) AS u(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, t,
+             CASE WHEN CAST('0x' || substring(md5(t), 1, 7) AS BIGINT) % 8 = 0
+                  THEN 1 ELSE 0 END AS bflag
+      FROM tok
+    ),
+    chunked AS (
+      SELECT doc_id, pos, t,
+             COALESCE(SUM(bflag) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, md5(string_agg(t, ' ' ORDER BY pos)) AS ch
+      FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    counts AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_chunks
+    FROM chunks JOIN counts USING (ch)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
     "heavy_hitter_bigrams": """
     WITH toksets AS (
       SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts

@@ -402,3 +402,45 @@ def test_misra_gries_candidates_are_superset(spark):
     assert {"hot_a", "hot_b", "hot_c"} <= cands
     got = {r.item: r.n for r in heavy_hitters(items, "item", phi).collect()}
     assert got == {"hot_a": 1000, "hot_b": 600, "hot_c": 300}
+
+
+@pytest.mark.parametrize("name", ["variant_nested_extract", "cdc_chunk_dedup"])
+def test_round3_batch3_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_cdc_chunking_is_shift_robust(spark):
+    """Insert one token at the HEAD of a copied document: fixed-frame
+    chunking re-frames everything downstream, but CDC boundaries are
+    content-local, so all but O(1) chunks of the edited copy must still
+    hash-match the original."""
+    import random
+
+    from streaming_data_pipeline_spark.plans.training_queries import (
+        cdc_chunk_dedup,
+    )
+
+    rng = random.Random(3)
+    words = [f"w{rng.randrange(200)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = "inserted " + original  # head insertion: worst case for fixed frames
+    unrelated = " ".join(f"z{rng.randrange(200)}" for _ in range(400))
+    df = spark.createDataFrame(
+        [(1, original), (2, edited), (3, unrelated)],
+        "doc_id long, text string",
+    )
+
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="cdc_test_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in cdc_chunk_dedup(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # the edited copy shares all but at most 2 chunks (the one spanning
+    # the insertion point, plus a possible new head chunk)
+    assert out[2].shared_chunks >= out[2].n_chunks - 2
+    assert out[1].shared_chunks >= out[1].n_chunks - 2
+    # the unrelated doc shares ~nothing
+    assert out[3].shared_chunks <= out[3].n_chunks * 0.2
