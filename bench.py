@@ -65,6 +65,9 @@ HEADLINE += [
     "retention_cohorts",
     "user_event_transitions",
     "user_value_trend",
+    # round-3b additions
+    "heavy_hitter_bigrams",
+    "cdc_chunk_dedup",
 ]
 
 _R2_SET = set(HEADLINE[:27])

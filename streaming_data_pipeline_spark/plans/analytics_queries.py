@@ -176,18 +176,13 @@ def top_bigrams_by_lang(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     per-group window rank; the rank input is already reduced to distinct
     (lang, bigram) rows, so the sort is over counts, not tokens.
     """
+    from streaming_data_pipeline_spark.functions.text import all_word_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
+    # let-bound token array (see functions/text.word_shingles) — the
+    # inline element_at form re-tokenizes per gram position
     counted = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        docs.select("lang", F.explode(all_word_ngrams(F.col("text"), 2)).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n"))
     )
