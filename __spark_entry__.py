@@ -131,6 +131,13 @@ _SWEEP_PRIORITY = [
     "tpch_q19_or_predicate_revenue",
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
+    # new in round 3 session 2, after the stale-r1 tranche: these are
+    # full-sweep-verified locally and roll into the driver window next
+    # round (never-checked > stale-green only applies within one round's
+    # additions; refreshing 35 stale TPC-H rows first matters more).
+    "pysource_batch_rollup",
+    "pysource_pushdown_purchases",
+    "pysource_stream_rollup",
 ]
 
 
@@ -142,6 +149,7 @@ def _plan_modules():
         "training_queries",
         "llm_queries",
         "streaming_queries",
+        "pysource_queries",
         "scale_queries",
         "sql_surface_queries",
         "reference_queries",

@@ -22,6 +22,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (sources/pysource.py implements
+    # pushFilters; Spark requires the opt-in flag).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

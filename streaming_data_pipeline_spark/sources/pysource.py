@@ -1,0 +1,234 @@
+"""Spark 4 Python DataSource: the producer app as a first-class source.
+
+The reference generates synthetic wire events in a driver loop and
+publishes them one at a time (web-application.py:400-460: event_type
+drawn from a fixed list, ``user_id = f"user_{{1..50}}"``, a counter-stamped
+message, ``value`` in [1, 100)). Re-expressed Spark-first, the producer
+is not a loop — it is a *table*: a custom ``DataSource``
+(pyspark.sql.datasource) whose batch reader splits the row-index range
+across ``num_partitions`` input partitions and whose stream reader
+advances an index offset per microbatch. Every field is a pure function
+of the global row index, so:
+
+- the source is **deterministic** (same options -> bit-identical table),
+  which makes it oracle-checkable: DuckDB regenerates the identical rows
+  from ``range(n)`` with the same integer mixer;
+- executors generate their slice **independently** (no driver loop, no
+  collect) — at 100 TB this is exactly how you'd synthesize load, one
+  partition per task, linear scale-out;
+- the stream reader's offset log is just ``{"index": n}``, so
+  exactly-once replay after failure is trivial (re-reading a committed
+  range regenerates the same rows).
+
+Filter pushdown: the reader accepts ``EqualTo("event_type", ...)`` and
+numeric bounds on ``event_id`` via ``pushFilters`` and applies them
+*inside the generator loop* — a pushed equality on event_type skips 6/7
+of row construction before Spark ever sees a row, the DataSource-API
+analog of parquet predicate pushdown (SURVEY.md §4; sources/batch.py
+PushedFilters discipline).
+
+Field formulas (shared with the DuckDB oracles in
+plans/pysource_queries.py — integer arithmetic only, so Python and
+DuckDB produce identical doubles):
+
+    event_type = EVENT_TYPES[i % 7]
+    user_id    = 'user_' || (1 + (i * 31 + 7) % 50)
+    value      = ((i * 7919 + 13) % 9900) / 100.0 + 1.0
+    message    = 'synthetic event #' || i
+    event_ts   = TIMESTAMP '2026-01-01 00:00:00' + i seconds
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_TYPES = ["login", "logout", "purchase", "page_view", "click", "error", "signup"]
+
+_BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), nullable=False),
+        StructField("event_type", StringType(), nullable=False),
+        StructField("user_id", StringType(), nullable=False),
+        StructField("message", StringType(), nullable=False),
+        StructField("value", DoubleType(), nullable=False),
+        StructField("event_ts", TimestampType(), nullable=False),
+    ]
+)
+
+
+def _row(i: int) -> tuple:
+    """One wire event, a pure function of the global index ``i``."""
+    return (
+        i,
+        EVENT_TYPES[i % 7],
+        "user_%d" % (1 + (i * 31 + 7) % 50),
+        "synthetic event #%d" % i,
+        ((i * 7919 + 13) % 9900) / 100.0 + 1.0,
+        _BASE_TS + timedelta(seconds=i),
+    )
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class _SynthReaderBase(DataSourceReader):
+    """Batch reader: splits [0, n) into even index ranges, generates
+    each range executor-side. This base class deliberately does NOT
+    implement pushFilters — Spark rejects a reader that advertises
+    pushdown while spark.sql.python.filterPushdown.enabled is off, so
+    the DataSource picks the pushdown subclass only when the flag is
+    set (filters are then applied inside the generator; otherwise
+    Spark evaluates them post-scan — same results, more rows built)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("num_rows", 1000))
+        self.p = max(1, int(options.get("num_partitions", 8)))
+        # Pushed-filter state: a contiguous surviving event_id range and
+        # an optional event_type equality.
+        self.lo = 0
+        self.hi = self.n
+        self.event_type: str | None = None
+
+    def partitions(self) -> list[_RangePartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = max(1, (hi - lo + self.p - 1) // self.p)
+        return [
+            _RangePartition(s, min(s + span, hi)) for s in range(lo, hi, span)
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        want = self.event_type
+        if want is None:
+            for i in range(partition.start, partition.end):
+                yield _row(i)
+        else:
+            # Pushed event_type equality: the type cycles with period 7,
+            # so step straight over the 6/7 non-matching indices.
+            try:
+                r = EVENT_TYPES.index(want)
+            except ValueError:
+                return
+            first = partition.start + (r - partition.start) % 7
+            for i in range(first, partition.end, 7):
+                yield _row(i)
+
+
+class _SynthReader(_SynthReaderBase):
+    """The pushdown-capable reader (used when the conf allows it)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = f.attribute[0] if isinstance(f.attribute, tuple) else f.attribute
+            if isinstance(f, EqualTo) and col == "event_type":
+                self.event_type = f.value
+            elif isinstance(f, GreaterThanOrEqual) and col == "event_id":
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, GreaterThan) and col == "event_id":
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, LessThan) and col == "event_id":
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual) and col == "event_id":
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f  # not pushed; Spark re-applies it post-scan
+
+
+class _SynthStreamReader(DataSourceStreamReader):
+    """Stream reader: offset = {"index": next_unread}; each microbatch
+    admits ``rows_per_batch`` more indices until ``num_rows`` is
+    exhausted, then the offset stops advancing (a bounded stream)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("num_rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 250))
+        self.p = max(1, int(options.get("num_partitions", 4)))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # Monotone admission capped at the configured table size. The
+        # engine calls this once per microbatch; the returned watermark
+        # only ever grows, so committed ranges are never re-emitted.
+        self._latest = min(getattr(self, "_latest", 0) + self.per_batch, self.n)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> list[_RangePartition]:
+        lo, hi = start["index"], end["index"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        span = max(1, (hi - lo + self.p - 1) // self.p)
+        return [_RangePartition(s, min(s + span, hi)) for s in range(lo, hi, span)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up; ranges regenerate on replay
+
+
+class EventSynthDataSource(DataSource):
+    """``spark.read.format("event_synth")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "event_synth"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> _SynthReaderBase:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        enabled = (
+            spark is not None
+            and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            == "true"
+        )
+        return (_SynthReader if enabled else _SynthReaderBase)(self.options)
+
+    def streamReader(self, schema: StructType) -> _SynthStreamReader:
+        return _SynthStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is safe).
+
+    Also flips the runtime confs (notably
+    spark.sql.python.filterPushdown.enabled) so a caller-provided
+    session — e.g. the verify driver's — gets the pushdown path too.
+    """
+    from streaming_data_pipeline_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(EventSynthDataSource)
