@@ -138,6 +138,7 @@ _SWEEP_PRIORITY = [
     "pysource_batch_rollup",
     "pysource_pushdown_purchases",
     "pysource_stream_rollup",
+    "xml_export_roundtrip",
 ]
 
 

@@ -501,3 +501,66 @@ FROM events
 GROUP BY event_type
 ORDER BY etype
 """
+
+
+def xml_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source roundtrip — Spark 4's built-in XML source as
+    the document-interchange member of the S4 export family (CSV / JSON
+    / ORC twins above): enriched events written one <event> element per
+    row, read back with an explicit schema (never inferSchema — same
+    discipline as the CSV reader), aggregated; the oracle recomputes
+    from the enriched CTE, proving the export is lossless for the
+    exported columns. Scale note: the XML writer emits one file per
+    partition like every other file sink, so export parallelism is the
+    frame's partitioning; rowTag streaming parse keeps the reader
+    record-at-a-time (no whole-document DOM)."""
+    import shutil
+    import tempfile
+
+    from streaming_data_pipeline_spark.plans.base import enriched_events
+
+    enriched = enriched_events(spark, sf_dir).select(
+        "id", "event_type", "value", "message_length", "data_quality_score"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_xml_")
+    try:
+        (
+            enriched.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .save(base)
+        )
+        back = (
+            spark.read.schema(
+                "id string, event_type string, value double, "
+                "message_length bigint, data_quality_score bigint"
+            )
+            .format("xml")
+            .option("rowTag", "event")
+            .load(base)
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum("message_length").alias("total_msg_len"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+                F.min("id").alias("min_id"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["xml_export_roundtrip"] = xml_export_roundtrip
+ORACLE["xml_export_roundtrip"] = ENRICHED_CTE + """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(message_length) AS BIGINT) AS total_msg_len,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       MIN(id) AS min_id
+FROM enriched GROUP BY event_type ORDER BY event_type
+"""

@@ -371,3 +371,29 @@ def test_observe_metrics_ride_the_stream(spark, tmpdirs):
     # low_quality (<50) count is 0; all 5 rows observed
     assert got["rows"] == 5
     assert got["low_quality_rows"] == 0
+
+
+def test_stateful_op_on_rocksdb_state_store(spark):
+    """State-store swap proof: the applyInPandasWithState operator
+    (streaming_stateful_user_totals) produces identical results on the
+    RocksDB state store provider as on the default HDFS-backed one.
+    RocksDB keeps per-key state off-heap (spillable) — the provider a
+    100 TB keyspace deployment would run — and the swap is one conf, no
+    operator change."""
+    import __spark_entry__ as entrymod
+
+    from streaming_data_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    q = entrymod.queries()["streaming_stateful_user_totals"]
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = q(spark, SF_DIR).toPandas().sort_values("user_id").reset_index(drop=True)
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        rocks = q(spark, SF_DIR).toPandas().sort_values("user_id").reset_index(drop=True)
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    assert default.equals(rocks)
