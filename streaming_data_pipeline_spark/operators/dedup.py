@@ -506,12 +506,18 @@ def _unionfind_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             ks = list(parent)
             yield pd.DataFrame({"node": ks, "label": [find(k) for k in ks]})
 
-    # coalesce(8): each task is one linear dict pass over its edge
-    # stream (memory bounded by |nodes|, which the caller guards), so
-    # 8-way is ample parallelism — and it caps Python-worker spawn at 8
-    # instead of one per upstream partition (64 workers x pandas import
-    # was ~20 s of one-time cost; 8 in parallel is ~2 s).
-    contracted = pairs.coalesce(8).mapInPandas(_merge, out_schema)
+    # repartition(8), NOT coalesce(8): each task is one linear dict pass
+    # over its edge stream (memory bounded by |nodes|, which the caller
+    # guards), so 8-way is ample parallelism — and it caps Python-worker
+    # spawn at 8 instead of one per upstream partition (64 workers x
+    # pandas import was ~20 s of one-time cost; 8 in parallel is ~2 s).
+    # coalesce would fuse the cap into the upstream stage — and when AQE
+    # plans the candidate verify as broadcast joins there is no exchange
+    # boundary to stop it, so the expensive exact-Jaccard stage itself
+    # ran 8-wide (measured 2.6x slower end-to-end). The repartition's
+    # round-robin exchange on ~1M narrow fp-pair rows is noise by
+    # comparison and leaves the verify stage at full parallelism.
+    contracted = pairs.repartition(8).mapInPandas(_merge, out_schema)
     merged = contracted.repartition(1).mapInPandas(_merge, out_schema)
     # Nodes with no edges (or only self-edges already at their root) are
     # their own singleton component. Eager checkpoint: downstream plans
