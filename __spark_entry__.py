@@ -139,6 +139,8 @@ _SWEEP_PRIORITY = [
     "pysource_pushdown_purchases",
     "pysource_stream_rollup",
     "xml_export_roundtrip",
+    "backfill_dynamic_overwrite",
+    "hll_mergeable_sketch_union",
 ]
 
 

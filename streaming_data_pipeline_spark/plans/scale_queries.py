@@ -423,3 +423,126 @@ FROM events JOIN promos ON ts >= start_ts AND ts < end_ts
 GROUP BY promo
 ORDER BY promo
 """
+
+
+def backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent day-level backfill via dynamic partition overwrite.
+
+    The warehouse op the reference's append-only sink can't express:
+    re-running one day's corrected pipeline output must replace exactly
+    that day's partition and leave every other day byte-intact. With
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, an overwrite
+    INSERT replaces only the partitions present in the incoming frame —
+    an O(1 partition) metadata swap, no matter how many days the table
+    holds. (Static mode — the default — would truncate the whole table
+    first; at 100 TB that difference is the whole ballgame.)
+
+    Here: write all 30 days, then re-run 2024-01-10 with its values
+    corrected (doubled), then read the table back and aggregate. The
+    oracle computes the same aggregate from the source with the day-10
+    correction applied — matching proves the overwrite touched exactly
+    the one partition.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_backfill_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected = ev.filter(F.col("event_date") == "2024-01-10").withColumn(
+            "value", F.col("value") * 2.0
+        )
+        corrected.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        back = spark.read.parquet(base)
+        out = (
+            back.withColumn("event_date", F.col("event_date").cast("timestamp_ntz"))
+            .groupBy("event_date")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
+            )
+            .orderBy("event_date")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["backfill_dynamic_overwrite"] = backfill_dynamic_overwrite
+ORACLE["backfill_dynamic_overwrite"] = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
+                          THEN value * 2.0 ELSE value END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date
+"""
+
+
+def hll_mergeable_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL sketches unioned
+    into per-type totals — the 100 TB pattern where each ingest shard
+    persists a sketch and global distincts come from merging kilobyte
+    states instead of reshuffling raw IDs (exact COUNT DISTINCT needs
+    every distinct value in one place; sketch union needs one reduce of
+    fixed-size buffers — at 1000 executors that is the difference
+    between a terabyte-scale exchange and a broadcast-sized one).
+
+    Sketch bytes are engine-specific, so like ``approx_distinct_users``
+    the query is self-validating: it emits the exact per-type distinct
+    count plus a boolean asserting the merged-sketch estimate lands
+    within 5% of it; the oracle emits the exact count and literal TRUE.
+    The two-level shape (sketch per (type, day), union per type) is the
+    point — it proves the estimate survives state merge, not just a
+    single-pass aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    daily = ev.groupBy("event_type", "event_date").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("daily_exact"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.sum("daily_exact").alias("sum_daily_exact"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "sum_daily_exact",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["hll_mergeable_sketch_union"] = hll_mergeable_sketch_union
+ORACLE["hll_mergeable_sketch_union"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         COUNT(DISTINCT user_id) AS daily_exact
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT e.event_type,
+       CAST(e.exact_users AS BIGINT) AS exact_users,
+       CAST(d.sum_daily_exact AS BIGINT) AS sum_daily_exact,
+       TRUE AS merged_est_within_5pct
+FROM (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type) e
+JOIN (SELECT event_type, SUM(daily_exact) AS sum_daily_exact
+      FROM daily GROUP BY event_type) d USING (event_type)
+ORDER BY e.event_type
+"""
