@@ -141,6 +141,7 @@ _SWEEP_PRIORITY = [
     "xml_export_roundtrip",
     "backfill_dynamic_overwrite",
     "hll_mergeable_sketch_union",
+    "wire_sink_roundtrip",
 ]
 
 

@@ -161,3 +161,57 @@ SELECT strftime(event_ts, '%H:%M') AS minute,
 FROM ev GROUP BY minute ORDER BY minute
 """,
 }
+
+
+def wire_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python-DataSource SINK (sources/wire_sink.py) closing
+    the producer loop: enriched events published through
+    ``format("wire_sink")`` (per-task staged JSONL + driver manifest
+    commit), read back via the manifest, aggregated. The oracle
+    recomputes from the enriched CTE — matching proves the publish path
+    is lossless AND that read-back saw exactly the committed files."""
+    import shutil
+    import tempfile
+
+    from streaming_data_pipeline_spark.plans.base import enriched_events
+    from streaming_data_pipeline_spark.sources import wire_sink
+
+    wire_sink.register(spark)
+    enriched = enriched_events(spark, sf_dir).select(
+        "id", "event_type", "value", "message_length", "data_quality_score"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_wire_")
+    try:
+        enriched.write.format("wire_sink").option("path", base).mode("append").save()
+        back = wire_sink.read_committed(
+            spark,
+            base,
+            "id string, event_type string, value double, "
+            "message_length bigint, data_quality_score bigint",
+        )
+        out = (
+            back.groupBy("event_type", "data_quality_score")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum("message_length").alias("total_msg_len"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            )
+            .orderBy("event_type", "data_quality_score")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["wire_sink_roundtrip"] = wire_sink_roundtrip
+
+from streaming_data_pipeline_spark.plans.base import ENRICHED_CTE  # noqa: E402
+
+ORACLE["wire_sink_roundtrip"] = ENRICHED_CTE + """
+SELECT event_type, data_quality_score,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(message_length) AS BIGINT) AS total_msg_len,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM enriched GROUP BY event_type, data_quality_score
+ORDER BY event_type, data_quality_score
+"""

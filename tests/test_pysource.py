@@ -98,3 +98,94 @@ def test_stream_reader_offsets_bounded():
 )
 def test_pysource_queries_match_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_wire_sink_commit_protocol(spark, tmp_path):
+    """Staged-but-uncommitted files are invisible; committed files are
+    exactly what read_committed returns; streaming epochs re-commit
+    idempotently."""
+    import json
+    import os
+
+    from streaming_data_pipeline_spark.sources import wire_sink
+
+    wire_sink.register(spark)
+    base = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, s string")
+    df.repartition(2).write.format("wire_sink").option("path", base).mode("append").save()
+    back = wire_sink.read_committed(spark, base, "k int, s string")
+    assert sorted(r.k for r in back.collect()) == [1, 2, 3]
+
+    # Orphan a straggler in _staging: read-back must not see it.
+    with open(os.path.join(base, "_staging", "part-orphan.jsonl"), "w") as f:
+        f.write(json.dumps({"k": 99, "s": "zombie"}) + "\n")
+    assert sorted(r.k for r in wire_sink.read_committed(spark, base, "k int, s string").collect()) == [1, 2, 3]
+
+    # Replayed epoch replaces its own manifest entry (no double count).
+    w = wire_sink._WireStreamWriter({"path": base})
+    staged1 = wire_sink._stage_partition(base, iter([]))
+    w.commit([staged1], batchId=7)
+    n_after_first = len(wire_sink.committed_files(base))
+    staged2 = wire_sink._stage_partition(base, iter([]))
+    w.commit([staged2], batchId=7)
+    assert len(wire_sink.committed_files(base)) == n_after_first
+
+
+def test_wire_sink_streaming_epochs(spark, tmp_path):
+    """The stream writer path end-to-end: a bounded stream through
+    writeStream.format('wire_sink'), each microbatch an epoch in the
+    manifest."""
+    import json
+    import os
+
+    from streaming_data_pipeline_spark.sources import pysource, wire_sink
+
+    pysource.register(spark)
+    wire_sink.register(spark)
+    base = str(tmp_path / "stream_sink")
+    stream = (
+        spark.readStream.format("event_synth")
+        .option("num_rows", 500)
+        .option("rows_per_batch", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("wire_sink")
+        .option("path", base)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while True:
+        files = wire_sink.committed_files(base)
+        if files:
+            n = spark.read.schema(
+                "event_id bigint, event_type string, user_id string, "
+                "message string, value double, event_ts string"
+            ).json(files).count()
+            if n >= 500:
+                break
+        if time.time() > deadline:
+            q.stop()
+            raise TimeoutError("wire sink stream never reached 500 rows")
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    manifest = os.path.join(base, "_manifest")
+    keys = [json.loads(line)["key"] for line in open(manifest)]
+    assert any(k.startswith("epoch-") for k in keys)
+    back = wire_sink.read_committed(
+        spark,
+        base,
+        "event_id bigint, event_type string, user_id string, "
+        "message string, value double, event_ts string",
+    )
+    rows = back.select("event_id").distinct().count()
+    assert rows == 500
+
+
+def test_wire_sink_roundtrip_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "wire_sink_roundtrip", SF_DIR)
