@@ -142,6 +142,7 @@ _SWEEP_PRIORITY = [
     "backfill_dynamic_overwrite",
     "hll_mergeable_sketch_union",
     "wire_sink_roundtrip",
+    "streaming_state_inspection",
 ]
 
 

@@ -741,3 +741,63 @@ FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def streaming_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection: the aggregation state of a
+    checkpointed streaming job read back as a batch table via Spark 4's
+    ``format("statestore")`` reader — the ops surface that lets you
+    audit or debug a 1000-executor streaming job's keyed state with a
+    plain batch query, zero downtime, no instrumentation in the job.
+
+    The fixture stream runs a per-type count/sum/min aggregation to
+    completion (availableNow drain), so the final state store holds
+    exactly the batch aggregation buffers — deterministic, and the
+    DuckDB oracle is the same aggregation over ``events``. Matching
+    proves the checkpoint state is both readable and *right*, which is
+    also what makes the checkpoint trustworthy for recovery
+    (tests/test_streaming.py::test_stateful_agg_state_recovers_across_restart
+    proves the restore half).
+    """
+    stream = events_fixture_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+        F.min("value").alias("value_min"),
+    )
+    ck = tempfile.mkdtemp(prefix="spark_graft_state_ck_")
+    name = f"state_inspect_{next(_counter)}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.dropTempView(name)
+        state = spark.read.format("statestore").load(ck)
+        out = (
+            state.select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("event_count"),
+                F.col("value.sum").cast("double").alias("value_sum"),
+                F.col("value.min").alias("value_min"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+QUERIES["streaming_state_inspection"] = streaming_state_inspection
+ORACLE["streaming_state_inspection"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       MIN(value) AS value_min
+FROM events GROUP BY event_type ORDER BY event_type
+"""
