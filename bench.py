@@ -68,6 +68,12 @@ HEADLINE += [
     # round-3b additions
     "heavy_hitter_bigrams",
     "cdc_chunk_dedup",
+    # round-3c additions: custom Python DataSource scan, sketch-union
+    # agg, dynamic-partition backfill sink, manifest-commit sink
+    "pysource_batch_rollup",
+    "hll_mergeable_sketch_union",
+    "backfill_dynamic_overwrite",
+    "wire_sink_roundtrip",
 ]
 
 _R2_SET = set(HEADLINE[:27])

@@ -705,3 +705,89 @@ def _curation_e2e_oracle() -> str:
 
 
 ORACLE["corpus_curation_end_to_end"] = _curation_e2e_oracle()
+
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: declarative constraint checks over ``events``
+    compiled into ONE conditional-count aggregate pass — the
+    expectations screen a training pipeline runs before promoting an
+    ingest batch (null checks, domain membership, value ranges, key
+    uniqueness), all in a single scan regardless of rule count.
+
+    Each rule is a boolean column expression; the report is one row per
+    rule with violation count and pass/fail at a zero-violation
+    threshold. Uniqueness (a cross-row property) rides the same output
+    via a groupBy-count subplan unioned in. At 100 TB: rules scale as
+    map-side conditional sums (no extra scans, no shuffle beyond the
+    one-row-per-rule reduce); the uniqueness check is the only shuffle
+    and keys on the candidate-key column itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        ("event_id_not_null", F.col("event_id").isNull()),
+        ("user_id_not_null", F.col("user_id").isNull()),
+        (
+            # NULL is a violation here (it is not a domain member) —
+            # spelled out because NOT IN over NULL is NULL, not TRUE.
+            "event_type_in_domain",
+            ~F.col("event_type").isin(
+                "login", "logout", "purchase", "page_view", "click", "error", "signup"
+            )
+            | F.col("event_type").isNull(),
+        ),
+        ("value_non_negative", F.col("value") < 0),
+        (
+            "ts_in_window",
+            ~F.col("ts").between("2024-01-01 00:00:00", "2024-12-31 23:59:59")
+            | F.col("ts").isNull(),
+        ),
+    ]
+    row_checks = ev.agg(
+        *[
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(name)
+            for name, bad in rules
+        ]
+    )
+    long_form = row_checks.unpivot(
+        [], [n for n, _ in rules], "rule", "violations"
+    )
+    dup_keys = (
+        ev.groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("violations"))
+        .select(F.lit("event_id_unique").alias("rule"), "violations")
+    )
+    return (
+        long_form.unionByName(dup_keys)
+        .withColumn("passed", F.col("violations") == 0)
+        .orderBy("rule")
+    )
+
+
+QUERIES["dq_constraint_report"] = dq_constraint_report
+ORACLE["dq_constraint_report"] = """
+WITH row_rules AS (
+  SELECT * FROM (VALUES
+    ('event_id_not_null',
+      (SELECT COUNT(*) FROM events WHERE event_id IS NULL)),
+    ('user_id_not_null',
+      (SELECT COUNT(*) FROM events WHERE user_id IS NULL)),
+    ('event_type_in_domain',
+      (SELECT COUNT(*) FROM events WHERE event_type NOT IN
+        ('login','logout','purchase','page_view','click','error','signup')
+        OR event_type IS NULL)),
+    ('value_non_negative',
+      (SELECT COUNT(*) FROM events WHERE value < 0)),
+    ('ts_in_window',
+      (SELECT COUNT(*) FROM events WHERE ts NOT BETWEEN
+        TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-12-31 23:59:59'
+        OR ts IS NULL)),
+    ('event_id_unique',
+      (SELECT COALESCE(SUM(c), 0) FROM
+        (SELECT COUNT(*) AS c FROM events GROUP BY event_id HAVING COUNT(*) > 1)))
+  ) AS t(rule, violations))
+SELECT rule, CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM row_rules ORDER BY rule
+"""

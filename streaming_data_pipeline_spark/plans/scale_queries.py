@@ -546,3 +546,65 @@ JOIN (SELECT event_type, SUM(daily_exact) AS sum_daily_exact
       FROM daily GROUP BY event_type) d USING (event_type)
 ORDER BY e.event_type
 """
+
+
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution over a partitioned warehouse: early
+    day-partitions were written before a column existed, later ones
+    carry it; ``mergeSchema`` unions the parquet footers so one scan
+    reads both vintages, with NULL for the column where it predates the
+    data. The aggregate proves rows from both vintages survive with the
+    right column fill. At 100 TB this is the norm, not the edge case —
+    a year of daily partitions spans many pipeline versions, and
+    rewriting history on every added column is a non-starter (schema
+    merge is footer metadata work, zero data rewrite).
+
+    V1 (days < 2024-01-15): no ``quality_tier``. V2 (>= 15th): adds it.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    v1 = ev.filter(F.col("event_date") < "2024-01-15").select(
+        "event_id", "event_type", "value", "event_date"
+    )
+    v2 = ev.filter(F.col("event_date") >= "2024-01-15").select(
+        "event_id",
+        "event_type",
+        "value",
+        "event_date",
+        F.when(F.col("value") >= 50.0, "high").otherwise("low").alias("quality_tier"),
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_evo_")
+    try:
+        v1.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        v2.write.mode("append").partitionBy("event_date").parquet(base)
+        back = spark.read.option("mergeSchema", "true").parquet(base)
+        out = (
+            back.groupBy(
+                F.coalesce(F.col("quality_tier"), F.lit("pre_schema")).alias(
+                    "quality_tier"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
+            )
+            .orderBy("quality_tier", "event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["schema_evolution_merge_read"] = schema_evolution_merge_read
+ORACLE["schema_evolution_merge_read"] = """
+SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 'pre_schema'
+            WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS quality_tier,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY quality_tier, event_type
+"""

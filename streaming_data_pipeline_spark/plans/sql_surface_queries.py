@@ -564,3 +564,56 @@ SELECT event_type,
        MIN(id) AS min_id
 FROM enriched GROUP BY event_type ORDER BY event_type
 """
+
+
+def full_outer_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join — the last join type in the matrix (inner /
+    left / semi / anti / as-of / range / broadcast-NLJ elsewhere): each
+    user's purchase profile joined to their error profile, keeping
+    users who only ever did one of the two. Null-side fills are made
+    explicit with coalesce so the result is deterministic. Scale shape:
+    both sides are pre-aggregated to one row per user before the join,
+    so the full-outer shuffle moves two already-reduced tables keyed the
+    same way (one exchange each, no expansion)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("purchase_count"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("purchase_value"),
+        )
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("error_count"))
+    )
+    return (
+        purchases.join(errors, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("purchase_count", F.lit(0)).alias("purchase_count"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+            F.coalesce("error_count", F.lit(0)).alias("error_count"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["full_outer_activity_join"] = full_outer_activity_join
+ORACLE["full_outer_activity_join"] = """
+WITH p AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS purchase_count,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+e AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS error_count
+  FROM events WHERE event_type = 'error' GROUP BY user_id)
+SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+       COALESCE(p.purchase_count, 0) AS purchase_count,
+       COALESCE(p.purchase_value, 0.0) AS purchase_value,
+       COALESCE(e.error_count, 0) AS error_count
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+ORDER BY user_id
+"""

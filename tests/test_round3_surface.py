@@ -444,3 +444,18 @@ def test_cdc_chunking_is_shift_robust(spark):
     assert out[1].shared_chunks >= out[1].n_chunks - 2
     # the unrelated doc shares ~nothing
     assert out[3].shared_chunks <= out[3].n_chunks * 0.2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "backfill_dynamic_overwrite",
+        "hll_mergeable_sketch_union",
+        "xml_export_roundtrip",
+        "dq_constraint_report",
+        "schema_evolution_merge_read",
+        "full_outer_activity_join",
+    ],
+)
+def test_round3_batch4_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
