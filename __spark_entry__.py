@@ -98,6 +98,11 @@ _SWEEP_PRIORITY = [
     "heavy_hitter_bigrams",
     "variant_nested_extract",
     "cdc_chunk_dedup",
+    # round-3 session-3 additions (UDAF surface, runtime bloom filter,
+    # time-series gap fill) — first in line for the round-4 window
+    "udaf_median_mad_by_type",
+    "bloom_filter_join_pruning",
+    "hourly_dense_locf",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

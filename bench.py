@@ -74,6 +74,11 @@ HEADLINE += [
     "hll_mergeable_sketch_union",
     "backfill_dynamic_overwrite",
     "wire_sink_roundtrip",
+    # round-3d additions: Arrow grouped-agg UDAF, runtime bloom-filter
+    # join pruning, dense time-series gap fill
+    "udaf_median_mad_by_type",
+    "bloom_filter_join_pruning",
+    "hourly_dense_locf",
 ]
 
 _R2_SET = set(HEADLINE[:27])

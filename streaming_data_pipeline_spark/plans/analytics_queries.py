@@ -585,3 +585,90 @@ SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
 FROM clusters GROUP BY cluster_id ORDER BY cluster_id
 """
 
+
+
+def hourly_dense_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + gap fill: the raw event stream has
+    hours with no traffic for a given event type; downstream dashboards
+    and anomaly detectors need a DENSE series — every (type, hour) cell
+    present, zero-filled counts, and the hourly average value carried
+    forward from the last observed hour (LOCF).
+
+    Shape: hash-agg to (type, hour) -> `sequence()` generates the full
+    hour spectrum from the global bounds (one tiny broadcast row) ->
+    explode x distinct types builds the dense scaffold -> left join the
+    sparse agg -> LOCF is one `last(ignorenulls)` running-window pass
+    per type. At 100 TB the scaffold is |types| x |hours| (tiny versus
+    the fact table); everything heavy happens in the first map-side-
+    combining aggregate, and the window state is one value per series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sparse = (
+        ev.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.count("*").alias("event_count"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                    / F.count("*"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    scaffold = ev.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scaffold.join(sparse, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce("event_count", F.lit(0)).alias("event_count"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+QUERIES["hourly_dense_locf"] = hourly_dense_locf
+ORACLE["hourly_dense_locf"] = """
+WITH sparse AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS event_count,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+           + 0.0 AS avg_value
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1
+  FROM events),
+hours AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds),
+scaffold AS (
+  SELECT t.event_type, h.hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h)
+SELECT s.event_type, s.hour_ts,
+       COALESCE(sp.event_count, 0) AS event_count,
+       LAST_VALUE(sp.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+FROM scaffold s
+LEFT JOIN sparse sp
+  ON sp.event_type = s.event_type AND sp.hour_ts = s.hour_ts
+ORDER BY s.event_type, s.hour_ts
+"""

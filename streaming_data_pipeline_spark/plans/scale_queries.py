@@ -608,3 +608,83 @@ FROM events
 GROUP BY 1, 2
 ORDER BY quality_tier, event_type
 """
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join the runtime bloom filter prunes: a selective predicate
+    on ``orders`` (creation side) semi-filters the ``lineitem`` scan
+    (application side) before its shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(
+                (F.col("l_extendedprice").cast(_D2))
+                * (F.lit(1).cast(_D2) - F.col("l_discount").cast(_D2))
+            )
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BLOOM_CONFS = {
+    # force injection at fixture scale: the rule normally requires a
+    # >=10 GB application-side scan — exactly the 100 TB regime this
+    # demonstrates — and a sub-10 MB creation side (holds here).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # runtime filters target shuffle joins; keep the demo on the
+    # sort-merge path the filter exists for.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_filter_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    a selective dimension predicate builds a bloom filter at runtime and
+    applies it to the fact-side scan BEFORE the join shuffle, so rows
+    that cannot match never leave the scan stage. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~matching sliver; it composes with (and complements) static
+    partition pruning, which can't see a runtime-computed key set.
+
+    The plan is materialized (localCheckpoint) while the bloom confs
+    are set, then session confs are restored so the forced thresholds
+    don't leak into other queries. tests/ assert the physical plan
+    contains the BloomFilterMightContain probe.
+    """
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        conf.set(k, v)
+    try:
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+QUERIES["bloom_filter_join_pruning"] = bloom_filter_join_pruning
+ORACLE["bloom_filter_join_pruning"] = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS line_count,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 450000.0
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -617,3 +617,58 @@ SELECT COALESCE(p.user_id, e.user_id) AS user_id,
 FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
 ORDER BY user_id
 """
+
+
+def udaf_median_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Arrow UDAF (grouped-agg pandas_udf) — the custom-
+    aggregate escape hatch on the §2.9 UDF surface, for statistics with
+    no built-in (here: median absolute deviation, a robust spread
+    measure quality screens use where stddev is outlier-dominated).
+
+    Each group arrives as ONE Arrow batch per aggregate call, so the
+    scale contract differs from built-in aggs: a group must fit an
+    executor's Arrow buffer. That holds here (groups = event types);
+    for high-cardinality keys the engine's approx_quantiles_check /
+    order_price_percentiles paths are the scale-safe route. Median is
+    computed on the DECIMAL(18,2)-quantized doubles (exact two-decimal
+    values, midpoint of two exact values is exact in binary64), so the
+    numpy and DuckDB interpolation formulas agree bit-for-bit.
+    """
+    from streaming_data_pipeline_spark.functions.udafs import mad_udaf, median_udaf
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v2", F.col("value").cast("decimal(18,2)").cast("double")
+    )
+    # Spark disallows mixing pandas UDAFs with built-in aggregates in
+    # one agg(); the exact count rides a separate agg joined back (both
+    # aggs share the event_type shuffle key — one exchange on a real
+    # cluster, and the joined sides are a handful of rows).
+    robust = ev.groupBy("event_type").agg(
+        (F.round(median_udaf(F.col("v2")), 4) + F.lit(0.0)).alias("median_value"),
+        (F.round(mad_udaf(F.col("v2")), 4) + F.lit(0.0)).alias("mad_value"),
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        counts.join(robust, "event_type")
+        .select("event_type", "n", "median_value", "mad_value")
+        .orderBy("event_type")
+    )
+
+
+QUERIES["udaf_median_mad_by_type"] = udaf_median_mad_by_type
+ORACLE["udaf_median_mad_by_type"] = """
+WITH q AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v2
+  FROM events),
+med AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         MEDIAN(v2) AS med
+  FROM q GROUP BY event_type)
+SELECT m.event_type, m.n,
+       ROUND(m.med, 4) + 0.0 AS median_value,
+       ROUND(MEDIAN(ABS(q.v2 - m.med)), 4) + 0.0 AS mad_value
+FROM med m JOIN q ON q.event_type = m.event_type
+GROUP BY m.event_type, m.n, m.med
+ORDER BY m.event_type
+"""

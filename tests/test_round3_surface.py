@@ -459,3 +459,54 @@ def test_cdc_chunking_is_shift_robust(spark):
 )
 def test_round3_batch4_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "udaf_median_mad_by_type",
+        "bloom_filter_join_pruning",
+        "hourly_dense_locf",
+    ],
+)
+def test_round3_batch5_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """Under the forced thresholds the optimizer must inject the
+    bloom_filter_agg creation subquery on the dimension side and the
+    might_contain probe on the fact scan."""
+    from streaming_data_pipeline_spark.plans.scale_queries import (
+        _BLOOM_CONFS,
+        _bloom_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        opt = _bloom_join_frame(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "might_contain" in opt and "bloom_filter_agg" in opt
+
+
+def test_udaf_runs_as_arrow_grouped_agg(spark):
+    """The robust stats must execute as a vectorized Arrow grouped
+    aggregate (AggregateInPandas), not a row-at-a-time Python UDF."""
+    import __spark_entry__ as entrymod
+
+    import contextlib
+    import io
+
+    df = entrymod.queries()["udaf_median_mad_by_type"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # Spark 4 names the vectorized grouped-agg node ArrowAggregatePython
+    # (earlier releases: AggregateInPandas)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan
