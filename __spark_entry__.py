@@ -103,6 +103,7 @@ _SWEEP_PRIORITY = [
     "udaf_median_mad_by_type",
     "bloom_filter_join_pruning",
     "hourly_dense_locf",
+    "incremental_rollup_maintenance",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

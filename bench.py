@@ -79,6 +79,7 @@ HEADLINE += [
     "udaf_median_mad_by_type",
     "bloom_filter_join_pruning",
     "hourly_dense_locf",
+    "incremental_rollup_maintenance",
 ]
 
 _R2_SET = set(HEADLINE[:27])

@@ -688,3 +688,85 @@ WHERE o.o_totalprice > 450000.0
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via mergeable partial
+    aggregates: a stored daily rollup is brought up to date by merging
+    the NEW days' partials into it — no rescan of raw history. This is
+    the exact-aggregate twin of `hll_mergeable_sketch_union`: COUNT and
+    DECIMAL SUM are mergeable state, AVG is derived at read time (never
+    stored, since averages don't merge).
+
+    Flow: history (days < 2024-01-25) is aggregated once and persisted
+    as the stored view; the delta (remaining days) is aggregated alone;
+    refresh = unionByName(stored, delta partials) -> re-reduce by key.
+    At 100 TB the refresh touches |view| + |delta| rows — the raw fact
+    history is never read again, which is the only viable shape when
+    history is petabytes and the delta is one day. The oracle recomputes
+    the rollup from ALL raw events, proving merged partials are exactly
+    the full recompute.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    cutoff = "2024-01-25"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_date", "event_type").agg(
+            F.count("*").alias("event_count"),
+            F.sum(F.col("value").cast(_D2)).alias("value_sum"),
+        )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_mv_")
+    try:
+        partials(ev.filter(F.col("event_date") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(base)
+        stored = spark.read.parquet(base)
+        delta = partials(ev.filter(F.col("event_date") >= cutoff))
+        refreshed = (
+            stored.unionByName(delta)
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.sum("event_count").alias("event_count"),
+                F.sum("value_sum").alias("value_sum"),
+            )
+            .select(
+                # date -> timestamp on both sides: the repo's canonical
+                # hash-friendly form for date outputs
+                F.col("event_date").cast("timestamp").alias("event_date"),
+                "event_type",
+                "event_count",
+                F.col("value_sum").cast("double").alias("value_sum"),
+                # derived avg, tie-safe: a 2-decimal sum over a small
+                # count lands EXACTLY on round-half boundaries at 4 dp
+                # (e.g. 307.03/8 = 38.37875), where double round()
+                # diverges between engines. Integer half-up instead:
+                # cents*200 + n over 2n, floor-divided — exact in both.
+                (
+                    F.expr(
+                        "(cast(value_sum * 100 as bigint) * 200 + event_count)"
+                        " div (2 * event_count)"
+                    ).cast("double")
+                    / F.lit(10000.0)
+                ).alias("value_avg"),
+            )
+            .orderBy("event_date", "event_type")
+        )
+        return refreshed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["incremental_rollup_maintenance"] = incremental_rollup_maintenance
+ORACLE["incremental_rollup_maintenance"] = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 200
+             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS value_avg
+FROM events
+GROUP BY 1, 2
+ORDER BY event_date, event_type
+"""

@@ -467,6 +467,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "udaf_median_mad_by_type",
         "bloom_filter_join_pruning",
         "hourly_dense_locf",
+        "incremental_rollup_maintenance",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
