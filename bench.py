@@ -80,6 +80,7 @@ HEADLINE += [
     "bloom_filter_join_pruning",
     "hourly_dense_locf",
     "incremental_rollup_maintenance",
+    "tokenizer_bpe_pair_counts",
 ]
 
 _R2_SET = set(HEADLINE[:27])

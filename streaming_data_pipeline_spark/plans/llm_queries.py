@@ -1269,3 +1269,53 @@ SELECT v.vec_id,
 FROM v JOIN err USING (vec_id)
 ORDER BY v.vec_id
 """
+
+
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, pass 1: adjacent character-pair counts —
+    the statistic whose argmax becomes the first merge rule. Uses the
+    classic scale trick: count over the WEIGHTED DISTINCT VOCABULARY
+    (word -> corpus frequency), not the raw token stream, so the
+    per-character explode runs on |vocab| rows while corpus volume only
+    feeds the cheap word-count hash-agg (map-side combined). At 100 TB
+    the vocab table is the thing that fits in memory; every subsequent
+    merge iteration would rescan only it. Top-20 by count with a
+    lexicographic tiebreak for a deterministic boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.expr("explode(sequence(1, length(word) - 1))").alias("i"),
+            "word",
+            "freq",
+        )
+        .select(F.expr("substr(word, i, 2)").alias("pair"), "freq")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+QUERIES["tokenizer_bpe_pair_counts"] = tokenizer_bpe_pair_counts
+ORACLE["tokenizer_bpe_pair_counts"] = f"""
+WITH w AS (
+  SELECT t.tok AS word, COUNT(*) AS freq
+  FROM documents d, UNNEST({_TOKS.replace("text", "d.text")}) AS t(tok)
+  GROUP BY 1),
+p AS (
+  SELECT substr(word, CAST(u.i AS INTEGER), 2) AS pair, SUM(freq) AS cnt
+  FROM w, UNNEST(range(1, CAST(length(word) AS BIGINT))) AS u(i)
+  WHERE length(word) >= 2
+  GROUP BY 1)
+SELECT pair, CAST(cnt AS BIGINT) AS pair_count
+FROM p ORDER BY pair_count DESC, pair LIMIT 20
+"""

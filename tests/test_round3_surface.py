@@ -468,6 +468,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "bloom_filter_join_pruning",
         "hourly_dense_locf",
         "incremental_rollup_maintenance",
+        "tokenizer_bpe_pair_counts",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
