@@ -672,3 +672,80 @@ FROM med m JOIN q ON q.event_type = m.event_type
 GROUP BY m.event_type, m.n, m.med
 ORDER BY m.event_type
 """
+
+
+def order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-family analytic surface in one pass: rank /
+    dense_rank / percent_rank / cume_dist over a TIE-PRONE key (price
+    bucketed to thousands — these four depend only on key values, so
+    ties are well-defined), plus ntile and nth_value over a fully
+    deterministic total order (price, then key) since those two depend
+    on physical row order. Top-5 rows per priority via row_number.
+    percent_rank/cume_dist are exact small rationals — both engines
+    compute the identical IEEE double, no rounding needed. One sort per
+    window spec; both specs share the o_orderpriority partitioning, so
+    a real cluster pays one exchange and two in-partition sorts.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_k", F.floor(F.col("o_totalprice") / 1000).cast("long")
+    )
+    tiesw = Window.partitionBy("o_orderpriority").orderBy(F.desc("price_k"))
+    detw = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    full = detw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "price_k",
+            F.rank().over(tiesw).cast("long").alias("rnk"),
+            F.dense_rank().over(tiesw).cast("long").alias("drnk"),
+            F.percent_rank().over(tiesw).alias("prnk"),
+            F.cume_dist().over(tiesw).alias("cdist"),
+            F.ntile(4).over(detw).cast("long").alias("tile4"),
+            F.nth_value("o_totalprice", 3).over(full).alias("third_price"),
+            F.row_number().over(detw).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "price_k",
+            "rnk",
+            "drnk",
+            "prnk",
+            "cdist",
+            "tile4",
+            "third_price",
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+QUERIES["order_rank_profile"] = order_rank_profile
+ORACLE["order_rank_profile"] = """
+WITH o AS (
+  SELECT *, CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, o_orderkey, price_k,
+         CAST(RANK() OVER tw AS BIGINT) AS rnk,
+         CAST(DENSE_RANK() OVER tw AS BIGINT) AS drnk,
+         PERCENT_RANK() OVER tw AS prnk,
+         CUME_DIST() OVER tw AS cdist,
+         CAST(NTILE(4) OVER dw AS BIGINT) AS tile4,
+         NTH_VALUE(o_totalprice, 3) OVER
+           (dw ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS third_price,
+         CAST(ROW_NUMBER() OVER dw AS BIGINT) AS rn
+  FROM o
+  WINDOW tw AS (PARTITION BY o_orderpriority ORDER BY price_k DESC),
+         dw AS (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey ASC))
+SELECT * FROM r WHERE rn <= 5
+ORDER BY o_orderpriority, rn
+"""

@@ -469,6 +469,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "hourly_dense_locf",
         "incremental_rollup_maintenance",
         "tokenizer_bpe_pair_counts",
+        "order_rank_profile",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
