@@ -632,8 +632,71 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join with watermarks — completes the
+    streaming join matrix (inner / left above): null-side emission on
+    BOTH sides, each gated by the other side's watermark. An unmatched
+    purchase is released once the global watermark passes purchase_ts
+    (no view with view_ts <= purchase_ts can still arrive); an
+    unmatched view once the watermark passes view_ts + 6h (no purchase
+    in the view's [view_ts, view_ts + 6h) match window can still
+    arrive). The oracle applies BOTH release cutoffs to the batch full
+    join: rows the final watermark (min of the two stream maxima - 6 h)
+    never released are excluded — so the row proves two-sided
+    watermark-gated eviction, not just join arithmetic. State stays
+    bounded exactly because those eviction rules also delete the
+    buffered rows they emit.
+    """
+    views = (
+        events_fixture_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "6 hours")
+    )
+    purchases = (
+        events_fixture_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "6 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")),
+        "full_outer",
+    )
+    pairs = _drain(joined, spark, "append")
+    return (
+        pairs.groupBy(F.coalesce("p_user", "v_user").alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("view_ts").isNotNull() & F.col("purchase_ts").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("matched_pairs"),
+            F.sum(F.when(F.col("view_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("unmatched_purchases"),
+            F.sum(F.when(F.col("purchase_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("unmatched_views"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES["streaming_stream_stream_join"] = streaming_stream_stream_join
 QUERIES["streaming_stream_stream_left_join"] = streaming_stream_stream_left_join
+QUERIES["streaming_stream_stream_full_join"] = streaming_stream_stream_full_join
 ORACLE["streaming_stream_stream_join"] = """
 WITH views AS (
   SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
@@ -682,6 +745,52 @@ SELECT COALESCE(m.user_id, u.user_id) AS user_id,
        COALESCE(m.matched_pairs, 0) AS matched_pairs,
        COALESCE(u.unmatched_purchases, 0) AS unmatched_purchases
 FROM matched m FULL OUTER JOIN unmatched u ON m.user_id = u.user_id
+ORDER BY user_id
+"""
+ORACLE["streaming_stream_stream_full_join"] = """
+WITH views AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+purch AS (
+  SELECT user_id, ts AS purchase_ts FROM events
+  WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 6 HOURS AS cutoff),
+matched AS (
+  SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS matched_pairs
+  FROM purch p JOIN views v
+    ON p.user_id = v.user_id
+   AND v.view_ts <= p.purchase_ts
+   AND v.view_ts > p.purchase_ts - INTERVAL 6 HOURS
+  GROUP BY p.user_id),
+unmatched_p AS (
+  SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS unmatched_purchases
+  FROM purch p, wm
+  WHERE p.purchase_ts < wm.cutoff
+    AND NOT EXISTS (
+      SELECT 1 FROM views v
+      WHERE v.user_id = p.user_id
+        AND v.view_ts <= p.purchase_ts
+        AND v.view_ts > p.purchase_ts - INTERVAL 6 HOURS)
+  GROUP BY p.user_id),
+unmatched_v AS (
+  SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS unmatched_views
+  FROM views v, wm
+  WHERE v.view_ts + INTERVAL 6 HOURS < wm.cutoff
+    AND NOT EXISTS (
+      SELECT 1 FROM purch p
+      WHERE p.user_id = v.user_id
+        AND v.view_ts <= p.purchase_ts
+        AND v.view_ts > p.purchase_ts - INTERVAL 6 HOURS)
+  GROUP BY v.user_id)
+SELECT COALESCE(m.user_id, up.user_id, uv.user_id) AS user_id,
+       COALESCE(m.matched_pairs, 0) AS matched_pairs,
+       COALESCE(up.unmatched_purchases, 0) AS unmatched_purchases,
+       COALESCE(uv.unmatched_views, 0) AS unmatched_views
+FROM matched m
+FULL OUTER JOIN unmatched_p up ON m.user_id = up.user_id
+FULL OUTER JOIN unmatched_v uv ON COALESCE(m.user_id, up.user_id) = uv.user_id
 ORDER BY user_id
 """
 
