@@ -770,3 +770,62 @@ FROM events
 GROUP BY 1, 2
 ORDER BY event_date, event_type
 """
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout co-located join: both tables written bucketBy(8)
+    on the join key, so the sort-merge join consumes bucket files
+    directly — NO per-query Exchange on either side (plan-asserted in
+    tests/test_extended_surface.py::test_bucketed_join_avoids_shuffle).
+    At 100 TB this is THE amortization move: one layout-time shuffle
+    when the table is written, then every subsequent join on that key
+    is exchange-free. Broadcast is disabled inside the query so the
+    demo exercises the co-located path (broadcast would win at fixture
+    scale and hide it).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="spark_graft_bkt_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql("DROP TABLE IF EXISTS q_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS q_customer_bkt")
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
+            "path", f"{base}/orders"
+        ).mode("overwrite").saveAsTable("q_orders_bkt")
+        cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
+            "path", f"{base}/customer"
+        ).mode("overwrite").saveAsTable("q_customer_bkt")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("q_orders_bkt")
+        c = spark.table("q_customer_bkt")
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("order_count"),
+                F.sum(F.col("o_totalprice").cast(_D2))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS q_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS q_customer_bkt")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["bucketed_colocated_join"] = bucketed_colocated_join
+ORACLE["bucketed_colocated_join"] = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS order_count,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""

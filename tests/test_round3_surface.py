@@ -470,6 +470,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "incremental_rollup_maintenance",
         "tokenizer_bpe_pair_counts",
         "order_rank_profile",
+        "bucketed_colocated_join",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
