@@ -81,6 +81,7 @@ HEADLINE += [
     "hourly_dense_locf",
     "incremental_rollup_maintenance",
     "tokenizer_bpe_pair_counts",
+    "kmeans_lloyd_iterations",
 ]
 
 _R2_SET = set(HEADLINE[:27])

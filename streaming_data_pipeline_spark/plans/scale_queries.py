@@ -829,3 +829,113 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
+
+
+def kmeans_lloyd_iterations(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Distributed k-means (Lloyd) over the embedding column — the
+    iterative-algorithm class (IVF coarse quantizer training is exactly
+    this). Each iteration: broadcast the k centroids against the vector
+    table (k rows — never a shuffle of the big side), assignment =
+    argmin of an in-order zip_with/aggregate distance fold (sequential
+    fold -> engine-identical doubles; struct-min tiebreaks equal
+    distances on centroid id), recompute = posexplode + one hash-agg
+    per (cluster, pos). Centroids are rounded to 6 dp between
+    iterations so both engines iterate from identical values. At 100 TB
+    the per-iteration cost is one scan + one |k x dim| aggregate; the
+    centroid table stays broadcast-sized by construction.
+
+    Init: the k lowest vec_ids (deterministic; no sampled seeding).
+    Output: final (cluster_id, n_members, pos, mean_x) exploded rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = None
+    for _ in range(iters):
+        a = emb.crossJoin(F.broadcast(cent)).withColumn("dist", dist)
+        best = (
+            a.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        means = (
+            emb.join(best, "vec_id")
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mean_x"))
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mean_x"))),
+                lambda s: s.mean_x,
+            ).alias("c")
+        )
+    sizes = best.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        means.join(sizes, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"),
+            "n_members",
+            F.col("pos").cast("long").alias("pos"),
+            "mean_x",
+        )
+        .orderBy("cluster_id", "pos")
+    )
+
+
+QUERIES["kmeans_lloyd_iterations"] = kmeans_lloyd_iterations
+ORACLE["kmeans_lloyd_iterations"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+d1 AS (
+  SELECT e.vec_id, c0.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                  i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) AS dist
+  FROM e CROSS JOIN c0),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+m1 AS (
+  SELECT a1.cid, u.i - 1 AS pos, ROUND(AVG(e.v[u.i]), 6) + 0.0 AS mean_x
+  FROM e JOIN a1 USING (vec_id), UNNEST(range(1, CAST(len(e.v) + 1 AS BIGINT))) AS u(i)
+  GROUP BY a1.cid, u.i),
+c1 AS (
+  SELECT cid, list(mean_x ORDER BY pos) AS c FROM m1 GROUP BY cid),
+d2 AS (
+  SELECT e.vec_id, c1.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                  i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS dist
+  FROM e CROSS JOIN c1),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1),
+m2 AS (
+  SELECT a2.cid, u.i - 1 AS pos, ROUND(AVG(e.v[u.i]), 6) + 0.0 AS mean_x
+  FROM e JOIN a2 USING (vec_id), UNNEST(range(1, CAST(len(e.v) + 1 AS BIGINT))) AS u(i)
+  GROUP BY a2.cid, u.i),
+sz AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM a2 GROUP BY cid)
+SELECT CAST(m2.cid AS BIGINT) AS cluster_id, sz.n_members,
+       CAST(m2.pos AS BIGINT) AS pos, m2.mean_x
+FROM m2 JOIN sz USING (cid)
+ORDER BY cluster_id, pos
+"""

@@ -471,6 +471,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "tokenizer_bpe_pair_counts",
         "order_rank_profile",
         "bucketed_colocated_join",
+        "kmeans_lloyd_iterations",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
