@@ -109,6 +109,7 @@ _SWEEP_PRIORITY = [
     "streaming_stream_stream_full_join",
     "bucketed_colocated_join",
     "kmeans_lloyd_iterations",
+    "snapshot_time_travel",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -939,3 +939,86 @@ SELECT CAST(m2.cid AS BIGINT) AS cluster_id, sz.n_members,
 FROM m2 JOIN sz USING (cid)
 ORDER BY cluster_id, pos
 """
+
+
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table with time-travel reads — the lakehouse
+    commit model (Delta/Iceberg's log) reduced to its algebra: each
+    version is a MANIFEST (list of immutable data files); commits never
+    mutate files. v1 = initial load (days <= Jan 20, partitioned by
+    event_type); v2 = append commit (new files only); v3 = DELETE of
+    the error partition as a METADATA-ONLY commit (the manifest drops
+    those files — zero data rewritten, the same trick as a partition-
+    level DELETE in any table format). A reader pinned to a manifest
+    gets snapshot isolation for free: concurrent commits only add
+    files it never lists. At 100 TB the manifest is the only
+    driver-side object and scales with file count, not data.
+
+    Output: per (version, event_type) row counts + sums, read back AS
+    OF each manifest; the oracle recomputes each snapshot's semantic
+    definition from raw events.
+    """
+    import os as _os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.col("value").cast(_D2).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_tt_")
+    data = f"{base}/data"
+
+    def _files():
+        out = []
+        for root, _dirs, names in _os.walk(data):
+            out.extend(
+                _os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+        return sorted(out)
+
+    try:
+        ev.filter(F.col("ts") < "2024-01-21").write.partitionBy(
+            "event_type"
+        ).mode("overwrite").parquet(data)
+        v1 = _files()
+        ev.filter(F.col("ts") >= "2024-01-21").write.partitionBy(
+            "event_type"
+        ).mode("append").parquet(data)
+        v2 = _files()
+        v3 = [f for f in v2 if "event_type=error" not in f]
+        manifests = {1: v1, 2: v2, 3: v3}
+
+        def read_as_of(ver: int) -> DataFrame:
+            snap = (
+                spark.read.option("basePath", data).parquet(*manifests[ver])
+            )
+            return snap.groupBy("event_type").agg(
+                F.count("*").alias("row_count"),
+                F.sum("value").cast("double").alias("value_sum"),
+            ).select(F.lit(ver).cast("long").alias("version"), "*")
+
+        out = (
+            read_as_of(1)
+            .unionByName(read_as_of(2))
+            .unionByName(read_as_of(3))
+            .orderBy("version", "event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["snapshot_time_travel"] = snapshot_time_travel
+ORACLE["snapshot_time_travel"] = """
+WITH d AS (
+  SELECT event_type, ts, CAST(value AS DECIMAL(18,2)) AS value FROM events)
+SELECT CAST(1 AS BIGINT) AS version, event_type,
+       CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(SUM(value) AS DOUBLE) AS value_sum
+FROM d WHERE ts < TIMESTAMP '2024-01-21 00:00:00' GROUP BY event_type
+UNION ALL
+SELECT 2, event_type, CAST(COUNT(*) AS BIGINT), CAST(SUM(value) AS DOUBLE)
+FROM d GROUP BY event_type
+UNION ALL
+SELECT 3, event_type, CAST(COUNT(*) AS BIGINT), CAST(SUM(value) AS DOUBLE)
+FROM d WHERE event_type <> 'error' GROUP BY event_type
+ORDER BY version, event_type
+"""

@@ -472,6 +472,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "order_rank_profile",
         "bucketed_colocated_join",
         "kmeans_lloyd_iterations",
+        "snapshot_time_travel",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
