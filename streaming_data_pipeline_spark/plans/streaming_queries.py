@@ -97,6 +97,59 @@ def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, spark, "append").orderBy("window_start", "event_type")
 
 
+def streaming_update_mode_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — completes the output-mode matrix (complete
+    and append drains elsewhere): each micro-batch emits only the keys
+    whose aggregate CHANGED in that batch — the changelog shape that
+    feeds a KV serving store. foreachBatch appends every update batch,
+    stamped with its batch_id, to a parquet changelog (executor writes,
+    nothing driver-side); replaying the changelog with latest-batch-
+    wins-per-key must reconstruct exactly the full aggregate — proving
+    the per-batch update semantics AND the changelog-compaction algebra
+    a downstream store relies on. The fixture replays in event-time
+    order, so no update is ever watermark-dropped and the reconstructed
+    state equals the batch aggregation (the oracle).
+    """
+    base = tempfile.mkdtemp(prefix="spark_graft_updlog_")
+    log_dir = f"{base}/log"
+    try:
+        agg = tumbling_window_counts(
+            events_fixture_stream(spark, sf_dir),
+            ts_col="ts",
+            width="1 hour",
+            watermark="2 hours",
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(log_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import Window
+
+        log = spark.read.parquet(log_dir)
+        w = Window.partitionBy("window_start", "event_type").orderBy(
+            F.desc("batch_id")
+        )
+        final = (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "batch_id")
+            .orderBy("window_start", "event_type")
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (2 h inactivity gap) per user over the
     replayed stream. The oracle sessionizes with the classic
@@ -697,6 +750,7 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
 QUERIES["streaming_stream_stream_join"] = streaming_stream_stream_join
 QUERIES["streaming_stream_stream_left_join"] = streaming_stream_stream_left_join
 QUERIES["streaming_stream_stream_full_join"] = streaming_stream_stream_full_join
+QUERIES["streaming_update_mode_changelog"] = streaming_update_mode_changelog
 ORACLE["streaming_stream_stream_join"] = """
 WITH views AS (
   SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
@@ -746,6 +800,14 @@ SELECT COALESCE(m.user_id, u.user_id) AS user_id,
        COALESCE(u.unmatched_purchases, 0) AS unmatched_purchases
 FROM matched m FULL OUTER JOIN unmatched u ON m.user_id = u.user_id
 ORDER BY user_id
+"""
+ORACLE["streaming_update_mode_changelog"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
 """
 ORACLE["streaming_stream_stream_full_join"] = """
 WITH views AS (
