@@ -111,6 +111,7 @@ _SWEEP_PRIORITY = [
     "kmeans_lloyd_iterations",
     "snapshot_time_travel",
     "streaming_update_mode_changelog",
+    "map_column_roundtrip",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -749,3 +749,44 @@ r AS (
 SELECT * FROM r WHERE rn <= 5
 ORDER BY o_orderpriority, rn
 """
+
+
+def map_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type counts packed into a
+    map<string,bigint> (map_from_entries over sorted entries), sized
+    with map cardinality, then exploded back to rows — construction,
+    introspection, and generation on the one container type the rest of
+    the surface doesn't touch (arrays, structs, VARIANT, JSON all have
+    dedicated queries). The explode proves packing was lossless; the
+    oracle computes the flat counts plus the per-user type cardinality
+    directly. Map columns are how a 100 TB feature store ships sparse
+    per-entity features without a column per key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    packed = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return (
+        packed.select(
+            "user_id",
+            F.size("m").cast("long").alias("n_types"),
+            F.explode("m").alias("event_type", "type_count"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+QUERIES["map_column_roundtrip"] = map_column_roundtrip
+ORACLE["map_column_roundtrip"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS type_count
+  FROM events GROUP BY user_id, event_type),
+n AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY user_id)
+SELECT c.user_id, n.n_types, c.event_type, c.type_count
+FROM c JOIN n USING (user_id)
+ORDER BY user_id, event_type
+"""

@@ -473,6 +473,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "bucketed_colocated_join",
         "kmeans_lloyd_iterations",
         "snapshot_time_travel",
+        "map_column_roundtrip",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
