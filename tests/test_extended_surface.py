@@ -217,3 +217,45 @@ def test_no_python_udf_on_hot_path(spark, name):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session's AQE skew-join config must actually fire: a join
+    with one pathological hot key (100k of 120k rows on one key) gets
+    its hot partition split at runtime — the executed plan shows the
+    skew-handling AQEShuffleRead — and the result is still exact. This
+    is the automatic complement to the explicit salt-and-replicate
+    pattern (`skew_salted_join`): same problem, zero query rewrite."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 120000).select(
+            F.when(F.col("id") < 100000, 0)
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("lv"),
+        )
+        # every key appears exactly twice on the right
+        right = spark.range(0, 200).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k")
+        # drive the DataFrame's own adaptive execution (a write/count
+        # wraps a separate QueryExecution and leaves this one unrun)
+        n = j._jdf.queryExecution().executedPlan().execute().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert n == 240000  # 120k left rows x exactly 2 right matches
+        assert "isFinalPlan=true" in plan
+        assert "skew" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
