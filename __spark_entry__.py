@@ -112,6 +112,9 @@ _SWEEP_PRIORITY = [
     "snapshot_time_travel",
     "streaming_update_mode_changelog",
     "map_column_roundtrip",
+    "theta_sketch_audience_overlap",
+    "approx_topk_mergeable_tokens",
+    "kll_quantile_sketch_check",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

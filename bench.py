@@ -82,6 +82,7 @@ HEADLINE += [
     "incremental_rollup_maintenance",
     "tokenizer_bpe_pair_counts",
     "kmeans_lloyd_iterations",
+    "theta_sketch_audience_overlap",
 ]
 
 _R2_SET = set(HEADLINE[:27])

@@ -1022,3 +1022,160 @@ SELECT 3, event_type, CAST(COUNT(*) AS BIGINT), CAST(SUM(value) AS DOUBLE)
 FROM d WHERE event_type <> 'error' GROUP BY event_type
 ORDER BY version, event_type
 """
+
+
+def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA over distinct user audiences — the
+    operation HLL cannot do: per-segment sketches of user_id are
+    intersected / unioned / differenced as kilobyte objects, never
+    exchanging raw IDs. "How many purchasers also hit errors" over
+    100 TB becomes a merge of two sketches a coordinator can hold in
+    hand. Self-validating like the HLL queries: the exact answers ride
+    along (computed with real INTERSECT / EXCEPT set ops) plus
+    within-2% booleans for the sketch estimates; the oracle recomputes
+    the exact values and emits literal TRUE (at fixture cardinalities
+    the sketches are exact-mode, so the tolerance never flakes).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    sk = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    est = sk.agg(
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias("est_i"),
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est_u"),
+    )
+    exact = spark.createDataFrame(
+        [
+            (
+                p.intersect(e).count(),
+                p.union(e).distinct().count(),
+                p.distinct().exceptAll(e.distinct()).count(),
+            )
+        ],
+        "exact_intersection long, exact_union long, exact_purchase_only long",
+    )
+    ok = lambda est_c, ex_c: (  # noqa: E731
+        F.abs(est_c - ex_c) <= F.greatest(F.lit(1.0), 0.02 * ex_c)
+    )
+    return exact.crossJoin(est).select(
+        "exact_intersection",
+        "exact_union",
+        "exact_purchase_only",
+        ok(F.col("est_i"), F.col("exact_intersection")).alias("intersection_ok"),
+        ok(F.col("est_u"), F.col("exact_union")).alias("union_ok"),
+    )
+
+
+QUERIES["theta_sketch_audience_overlap"] = theta_sketch_audience_overlap
+ORACLE["theta_sketch_audience_overlap"] = """
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT CAST((SELECT COUNT(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM e))
+            AS BIGINT) AS exact_intersection,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM p UNION SELECT * FROM e))
+            AS BIGINT) AS exact_union,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM e))
+            AS BIGINT) AS exact_purchase_only,
+       TRUE AS intersection_ok,
+       TRUE AS union_ok
+"""
+
+
+def approx_topk_mergeable_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items (approx_top_k accumulate -> combine ->
+    estimate): each source shard builds its own top-k sketch, a single
+    combine yields the global top tokens — the two-level shape that
+    finds corpus-wide heavy hitters without shuffling raw token counts
+    (the exact two-pass variant is `heavy_hitter_bigrams`; this is its
+    sketch-merge sibling). Capacity (5000/10000) far exceeds the
+    fixture vocabulary, so counts are exact and the oracle compares
+    real values; membership at the k=10 boundary is tie-protected by a
+    (count desc, item asc) re-rank over a k=50 estimate.
+    """
+    from streaming_data_pipeline_spark.functions.text import tokens as _tok
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    acc = (
+        docs.select("source", F.explode(_tok(F.col("text"))).alias("t"))
+        .groupBy("source")
+        .agg(F.expr("approx_top_k_accumulate(t, 5000)").alias("st"))
+    )
+    top = acc.agg(
+        F.explode(
+            F.expr("approx_top_k_estimate(approx_top_k_combine(st, 10000), 50)")
+        ).alias("e")
+    ).select(F.col("e.item").alias("token"), F.col("e.count").alias("token_count"))
+    w = Window.orderBy(F.desc("token_count"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+QUERIES["approx_topk_mergeable_tokens"] = approx_topk_mergeable_tokens
+ORACLE["approx_topk_mergeable_tokens"] = """
+WITH t AS (
+  SELECT u.tok AS token, CAST(COUNT(*) AS BIGINT) AS token_count
+  FROM documents d,
+       UNNEST(list_filter(string_split(d.text, ' '), x -> x <> '')) AS u(tok)
+  GROUP BY 1),
+r AS (
+  SELECT token, token_count,
+         CAST(ROW_NUMBER() OVER (ORDER BY token_count DESC, token ASC) AS BIGINT)
+           AS rank
+  FROM t)
+SELECT token, token_count, rank FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def kll_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches, self-validating: per-day
+    sketches of `value` are merged per event type (kll_merge_agg — the
+    shard-then-merge shape of the HLL/theta/top-k family, for
+    quantiles), the merged sketch's p50 estimate is then rank-checked
+    against the raw data: the fraction of values at or below the
+    estimate must sit within 0.05 of 0.5 (KLL's k=200 normalized rank
+    error is ~1.65%, so the 3x margin never flakes even though KLL
+    compaction is randomized — which is also why the estimate itself is
+    not part of the output). Oracle: exact counts + literal TRUE.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    daily = ev.groupBy("event_type", "event_date").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"
+        ).alias("p50_est")
+    )
+    ranked = (
+        ev.join(merged, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.abs(
+                    F.sum(F.when(F.col("value") <= F.col("p50_est"), 1).otherwise(0))
+                    / F.count("*")
+                    - 0.5
+                )
+                <= 0.05
+            ).alias("p50_rank_ok"),
+        )
+    )
+    return ranked.orderBy("event_type")
+
+
+QUERIES["kll_quantile_sketch_check"] = kll_quantile_sketch_check
+ORACLE["kll_quantile_sketch_check"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_rank_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""

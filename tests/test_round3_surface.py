@@ -474,6 +474,9 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "kmeans_lloyd_iterations",
         "snapshot_time_travel",
         "map_column_roundtrip",
+        "theta_sketch_audience_overlap",
+        "approx_topk_mergeable_tokens",
+        "kll_quantile_sketch_check",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
