@@ -115,6 +115,7 @@ _SWEEP_PRIORITY = [
     "theta_sketch_audience_overlap",
     "approx_topk_mergeable_tokens",
     "kll_quantile_sketch_check",
+    "sql_udf_quality_score",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

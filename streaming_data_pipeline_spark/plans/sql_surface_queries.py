@@ -790,3 +790,53 @@ SELECT c.user_id, n.n_types, c.event_type, c.type_count
 FROM c JOIN n USING (user_id)
 ORDER BY user_id, event_type
 """
+
+
+def sql_udf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference DoFn's quality score (SURVEY.md §2.3 E3,
+    Streamingdag.py:214-225) as a DECLARATIVE SQL UDF — Spark 4's
+    `CREATE FUNCTION ... RETURN <expr>`: the function body is inlined
+    into the plan at analysis time and runs inside whole-stage codegen,
+    so unlike a Python UDF this escape hatch costs NOTHING at 100 TB —
+    it is pure reusable expression packaging. The score distribution it
+    produces must equal the column-expression implementation the main
+    ETL chain uses (the oracle recomputes the same rules inline).
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ref_quality_score(
+            user_id STRING, message STRING, v DOUBLE, ts TIMESTAMP_NTZ)
+        RETURNS BIGINT
+        RETURN CAST(
+            (CASE WHEN user_id IS NOT NULL AND user_id <> ''
+                   AND user_id <> 'unknown' THEN 25 ELSE 0 END)
+          + (CASE WHEN message IS NOT NULL AND message <> '' THEN 25 ELSE 0 END)
+          + (CASE WHEN v > 0.0 THEN 25 ELSE 0 END)
+          + (CASE WHEN ts IS NOT NULL THEN 25 ELSE 0 END) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT ref_quality_score(CAST(user_id AS STRING), props,
+                                 COALESCE(value, 0.0), ts) AS data_quality_score,
+               CAST(COUNT(*) AS BIGINT) AS message_count
+        FROM events
+        GROUP BY 1 ORDER BY data_quality_score DESC
+        """
+    )
+
+
+QUERIES["sql_udf_quality_score"] = sql_udf_quality_score
+ORACLE["sql_udf_quality_score"] = """
+SELECT CAST(
+      (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> ''
+             AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END)
+    + (CASE WHEN props IS NOT NULL AND props <> '' THEN 25 ELSE 0 END)
+    + (CASE WHEN COALESCE(value, 0.0) > 0.0 THEN 25 ELSE 0 END)
+    + (CASE WHEN ts IS NOT NULL THEN 25 ELSE 0 END) AS BIGINT)
+      AS data_quality_score,
+    CAST(COUNT(*) AS BIGINT) AS message_count
+FROM events
+GROUP BY 1 ORDER BY data_quality_score DESC
+"""

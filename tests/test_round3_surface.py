@@ -477,6 +477,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "theta_sketch_audience_overlap",
         "approx_topk_mergeable_tokens",
         "kll_quantile_sketch_check",
+        "sql_udf_quality_score",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
