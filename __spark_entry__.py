@@ -116,6 +116,7 @@ _SWEEP_PRIORITY = [
     "approx_topk_mergeable_tokens",
     "kll_quantile_sketch_check",
     "sql_udf_quality_score",
+    "recursive_cte_user_hierarchy",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

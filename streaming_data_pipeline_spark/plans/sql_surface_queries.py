@@ -840,3 +840,41 @@ SELECT CAST(
 FROM events
 GROUP BY 1 ORDER BY data_quality_score DESC
 """
+
+
+def recursive_cte_user_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) — iterative queries in pure SQL: every
+    distinct user walks its ancestry chain in the implicit binary-tree
+    hierarchy parent = id DIV 2 until the root, emitting the chain
+    depth. Recursion executes as a bounded loop of self-joins (depth
+    here is log2(max id) ~ 11-21 levels), the same plan shape a
+    recursive org-chart / BOM query takes at warehouse scale — each
+    level is one hash join on the frontier, and the frontier shrinks
+    monotonically. DuckDB runs the identical recursion as the oracle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain (user_id, cur, depth) AS (
+          SELECT user_id, user_id, 0
+          FROM (SELECT DISTINCT user_id FROM events)
+          UNION ALL
+          SELECT user_id, cur DIV 2, depth + 1 FROM chain WHERE cur > 1
+        )
+        SELECT user_id, CAST(MAX(depth) AS BIGINT) AS depth
+        FROM chain GROUP BY user_id ORDER BY user_id
+        """
+    )
+
+
+QUERIES["recursive_cte_user_hierarchy"] = recursive_cte_user_hierarchy
+ORACLE["recursive_cte_user_hierarchy"] = """
+WITH RECURSIVE chain (user_id, cur, depth) AS (
+  SELECT user_id, user_id, 0
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT user_id, cur // 2, depth + 1 FROM chain WHERE cur > 1
+)
+SELECT user_id, CAST(MAX(depth) AS BIGINT) AS depth
+FROM chain GROUP BY user_id ORDER BY user_id
+"""

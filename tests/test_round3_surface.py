@@ -478,6 +478,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "approx_topk_mergeable_tokens",
         "kll_quantile_sketch_check",
         "sql_udf_quality_score",
+        "recursive_cte_user_hierarchy",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
