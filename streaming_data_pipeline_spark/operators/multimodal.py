@@ -3,13 +3,16 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata alongside. The Spark-side machinery that matters at 100 TB —
 schema, Arrow-batched transfer, ``mapInPandas`` batch shape, partition
-sizing — is real and tested here; the codec itself is STUBBED because
-decode libraries (PIL/ffmpeg/...) are not in this container:
+sizing — is real and tested here. Decode status by format:
 
-- ``decode_stub``: raises NotImplementedError (the marked integration
-  point for a real decoder);
-- ``fake_decode``: deterministic arithmetic on the payload bytes, so
-  the pipeline is end-to-end testable and oracle-checkable.
+- AUDIO (WAV/RIFF) decode is REAL: ``synth_wav_payloads`` writes actual
+  RIFF containers (stdlib ``wave``) and ``decode_wav_features`` parses
+  them back chunk-by-chunk into exact integer features — oracle-checked
+  end to end (`multimodal_wav_decode`).
+- Formats whose codecs are not in the stdlib (JPEG/H.264/...) remain
+  stubs: ``decode_stub`` raises NotImplementedError (the marked
+  integration point for PIL/ffmpeg); ``fake_decode`` is a deterministic
+  stand-in so that pipeline stays end-to-end testable too.
 
 Pattern: one ``mapInPandas`` over binary batches (Arrow transfers the
 bytes zero-copy), emitting fixed-schema feature rows. At scale, set
@@ -126,3 +129,83 @@ def resize_dims(df: DataFrame, target_w: int = 224) -> DataFrame:
             F.expr(f"(fake_height * {target_w}) div fake_width"),
         ).alias("new_height"),
     )
+
+
+WAV_SAMPLE_RATE = 8000
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, sum_sq long, peak long"
+)
+
+
+def _pcm_samples(doc_id: int):
+    """Deterministic int16 PCM for a doc: n = 200 + doc_id % 100 samples
+    of s_i = ((doc_id*7919 + i*104729) mod 65536) - 32768. Pure integer
+    arithmetic so the decode oracle can regenerate it in SQL."""
+    import numpy as np
+
+    n = 200 + doc_id % 100
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 7919 + i * 104729) % 65536) - 32768).astype(np.int16)
+
+
+def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL WAV (RIFF) payload per row — stdlib ``wave`` writes
+    an actual mono/16-bit/8kHz container around the deterministic PCM,
+    so downstream decode exercises a genuine media format, not a
+    stand-in blob."""
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(_pcm_samples(int(doc_id)).tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, "doc_id long, payload binary")
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode (no codec libraries needed): stdlib ``wave``
+    parses the RIFF/fmt/data chunks of each payload, the PCM frames are
+    reinterpreted as int16 and reduced to exact integer features
+    (sample count, energy sum-of-squares, peak amplitude). This is the
+    decoder integration point made concrete — the same mapInPandas
+    batch shape carries PIL/ffmpeg for formats whose codecs aren't in
+    the stdlib (those remain documented stubs in ``decode_stub``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "sum_sq": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    rate = w.getframerate()
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype=np.int16
+                    ).astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(pcm))
+                rows["sum_sq"].append(int((pcm * pcm).sum()))
+                rows["peak"].append(int(np.abs(pcm).max()) if len(pcm) else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, WAV_FEATURE_SCHEMA)

@@ -479,6 +479,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "kll_quantile_sketch_check",
         "sql_udf_quality_score",
         "recursive_cte_user_hierarchy",
+        "multimodal_wav_decode",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
@@ -522,3 +523,26 @@ def test_udaf_runs_as_arrow_grouped_agg(spark):
     # (earlier releases: AggregateInPandas)
     assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_wav_decode_actually_parses_the_container(spark):
+    """The WAV feature op must be a real decoder: corrupting the RIFF
+    magic makes the same payload unreadable (a byte-arithmetic fake
+    would not care)."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        synth_wav_payloads,
+    )
+
+    df = spark.createDataFrame([(7,)], "doc_id long")
+    payload = bytes(synth_wav_payloads(df).collect()[0].payload)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getnframes() == 200 + 7 % 100
+    corrupted = b"JUNK" + payload[4:]
+    with _pytest.raises(wave.Error):
+        wave.open(io.BytesIO(corrupted), "rb")
