@@ -9,7 +9,12 @@ sizing — is real and tested here. Decode status by format:
   RIFF containers (stdlib ``wave``) and ``decode_wav_features`` parses
   them back chunk-by-chunk into exact integer features — oracle-checked
   end to end (`multimodal_wav_decode`).
-- Formats whose codecs are not in the stdlib (JPEG/H.264/...) remain
+- IMAGE (PNG) decode is REAL: ``synth_png_payloads`` emits spec-valid
+  grayscale PNGs (full filter set incl. Paeth, correct CRCs) and
+  ``decode_png_features`` walks the chunk stream, verifies CRCs,
+  inflates IDAT, and unfilters every scanline — oracle-checked
+  (`multimodal_png_decode`).
+- Formats needing codecs outside the stdlib (JPEG/H.264/...) remain
   stubs: ``decode_stub`` raises NotImplementedError (the marked
   integration point for PIL/ffmpeg); ``fake_decode`` is a deterministic
   stand-in so that pipeline stays end-to-end testable too.
@@ -209,3 +214,172 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(run, WAV_FEATURE_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, pixel_sum long, corner long"
+)
+
+
+def _png_pixels(doc_id: int):
+    """Deterministic 8-bit grayscale image for a doc: width 16 +
+    doc_id % 16, height 12 + doc_id % 8, pixel(r,c) = (doc_id*31 +
+    r*17 + c*7) mod 256 — integer arithmetic the oracle regenerates."""
+    w = 16 + doc_id % 16
+    h = 12 + doc_id % 8
+    return [
+        [(doc_id * 31 + r * 17 + c * 7) % 256 for c in range(w)] for r in range(h)
+    ]
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PNG per row: signature + IHDR/IDAT/IEND chunks with
+    correct CRCs, scanlines filtered with the full PNG filter set
+    (None/Sub/Up/Average/Paeth cycling by row — so decoding must
+    implement every predictor), zlib-compressed. Only stdlib zlib +
+    struct; the output is a spec-valid grayscale PNG any reader opens."""
+    import struct
+    import zlib
+
+    def encode(doc_id: int) -> bytes:
+        px = _png_pixels(doc_id)
+        h, w = len(px), len(px[0])
+        raw = bytearray()
+        prev = [0] * w
+        for r in range(h):
+            row = px[r]
+            f = r % 5
+            raw.append(f)
+            for i in range(w):
+                left = row[i - 1] if i else 0
+                up = prev[i]
+                ul = prev[i - 1] if i else 0
+                c = row[i]
+                if f == 0:
+                    v = c
+                elif f == 1:
+                    v = c - left
+                elif f == 2:
+                    v = c - up
+                elif f == 3:
+                    v = c - (left + up) // 2
+                else:
+                    v = c - _paeth(left, up, ul)
+                raw.append(v % 256)
+            prev = row
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [encode(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, "doc_id long, payload binary")
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """REAL image decode, stdlib-only: walks the chunk stream (verifying
+    every CRC), reads IHDR, inflates the concatenated IDAT stream, and
+    UNFILTERS each scanline — all five PNG predictors including Paeth —
+    back to pixels, reduced to exact integer features. A wrong
+    predictor, CRC skip, or header misread flips the oracle row red."""
+    import struct
+    import zlib
+
+    def decode(payload: bytes):
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+        pos, w, h, idat = 8, None, None, b""
+        while pos < len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            assert crc == (zlib.crc32(typ + data) & 0xFFFFFFFF), "bad CRC"
+            if typ == b"IHDR":
+                w, h, depth, color = struct.unpack(">IIBB", data[:10])
+                assert depth == 8 and color == 0, "unsupported PNG subtype"
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + length
+        raw = zlib.decompress(idat)
+        assert len(raw) == h * (w + 1), "bad scanline length"
+        px_prev = [0] * w
+        total = 0
+        corner = 0
+        for r in range(h):
+            line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+            f, vals = line[0], line[1:]
+            row = [0] * w
+            for i in range(w):
+                left = row[i - 1] if i else 0
+                up = px_prev[i]
+                ul = px_prev[i - 1] if i else 0
+                v = vals[i]
+                if f == 0:
+                    c = v
+                elif f == 1:
+                    c = v + left
+                elif f == 2:
+                    c = v + up
+                elif f == 3:
+                    c = v + (left + up) // 2
+                elif f == 4:
+                    c = v + _paeth(left, up, ul)
+                else:
+                    raise ValueError(f"unknown filter {f}")
+                row[i] = c % 256
+            total += sum(row)
+            corner = row[-1]
+            px_prev = row
+        return w, h, total, corner
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+                "corner": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, total, corner = decode(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(total)
+                rows["corner"].append(corner)
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)

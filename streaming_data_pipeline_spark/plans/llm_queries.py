@@ -1355,3 +1355,38 @@ SELECT doc_id,
        CAST(MAX(ABS(s)) AS BIGINT) AS peak
 FROM pcm GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: spec-valid grayscale PNGs (full
+    filter set incl. Paeth, correct CRCs) synthesized per doc, then a
+    second Arrow stage walks the chunk stream, inflates IDAT, and
+    unfilters every scanline back to pixels. The oracle regenerates the
+    pixel formula in SQL, so any predictor/CRC/header bug in the codec
+    flips rows red. With `multimodal_wav_decode` this makes BOTH image
+    and audio decode real, stdlib-only."""
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        decode_png_features,
+        synth_png_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png_features(synth_png_payloads(docs)).orderBy("doc_id")
+
+
+QUERIES["multimodal_png_decode"] = multimodal_png_decode
+ORACLE["multimodal_png_decode"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h, r.i AS r, c.i AS c,
+         (d.doc_id * 31 + r.i * 17 + c.i * 7) % 256 AS p
+  FROM dims d,
+       UNNEST(range(CAST(d.h AS BIGINT))) AS r(i),
+       UNNEST(range(CAST(d.w AS BIGINT))) AS c(i))
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MAX(CASE WHEN r = h - 1 AND c = w - 1 THEN p END) AS BIGINT)
+         AS corner
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""

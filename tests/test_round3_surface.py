@@ -480,6 +480,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "sql_udf_quality_score",
         "recursive_cte_user_hierarchy",
         "multimodal_wav_decode",
+        "multimodal_png_decode",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
@@ -546,3 +547,32 @@ def test_wav_decode_actually_parses_the_container(spark):
     corrupted = b"JUNK" + payload[4:]
     with _pytest.raises(wave.Error):
         wave.open(io.BytesIO(corrupted), "rb")
+
+
+def test_png_decode_verifies_structure(spark):
+    """The PNG op must be a real codec: the payload opens as a
+    spec-valid PNG (signature + IHDR), and corrupting one IDAT byte
+    trips the CRC check in the decoder."""
+    import struct
+
+    import pytest as _pytest
+
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        decode_png_features,
+        synth_png_payloads,
+    )
+
+    df = spark.createDataFrame([(11,)], "doc_id long")
+    payload = bytes(synth_png_payloads(df).collect()[0].payload)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    (ihdr_len,) = struct.unpack(">I", payload[8:12])
+    assert payload[12:16] == b"IHDR" and ihdr_len == 13
+    row = decode_png_features(synth_png_payloads(df)).collect()[0]
+    assert (row.width, row.height) == (16 + 11 % 16, 12 + 11 % 8)
+
+    idat_pos = payload.find(b"IDAT")
+    corrupted = bytearray(payload)
+    corrupted[idat_pos + 6] ^= 0xFF
+    bad = spark.createDataFrame([(11, bytes(corrupted))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="(?i)crc"):
+        decode_png_features(bad).collect()
