@@ -119,6 +119,7 @@ _SWEEP_PRIORITY = [
     "recursive_cte_user_hierarchy",
     "multimodal_wav_decode",
     "multimodal_png_decode",
+    "multimodal_png_resize",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

@@ -304,65 +304,69 @@ def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, "doc_id long, payload binary")
 
 
+def _decode_png(payload: bytes):
+    """Parse a grayscale-8 PNG to (w, h, rows): CRC-verified chunk walk,
+    IDAT inflate, scanline unfiltering with all five predictors."""
+    import struct
+    import zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+    pos, w, h, idat = 8, None, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        assert crc == (zlib.crc32(typ + data) & 0xFFFFFFFF), "bad CRC"
+        if typ == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            assert depth == 8 and color == 0, "unsupported PNG subtype"
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    assert len(raw) == h * (w + 1), "bad scanline length"
+    rows = []
+    px_prev = [0] * w
+    for r in range(h):
+        line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+        f, vals = line[0], line[1:]
+        row = [0] * w
+        for i in range(w):
+            left = row[i - 1] if i else 0
+            up = px_prev[i]
+            ul = px_prev[i - 1] if i else 0
+            v = vals[i]
+            if f == 0:
+                c = v
+            elif f == 1:
+                c = v + left
+            elif f == 2:
+                c = v + up
+            elif f == 3:
+                c = v + (left + up) // 2
+            elif f == 4:
+                c = v + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"unknown filter {f}")
+            row[i] = c % 256
+        rows.append(row)
+        px_prev = row
+    return w, h, rows
+
+
 def decode_png_features(df: DataFrame) -> DataFrame:
     """REAL image decode, stdlib-only: walks the chunk stream (verifying
     every CRC), reads IHDR, inflates the concatenated IDAT stream, and
     UNFILTERS each scanline — all five PNG predictors including Paeth —
     back to pixels, reduced to exact integer features. A wrong
     predictor, CRC skip, or header misread flips the oracle row red."""
-    import struct
-    import zlib
 
     def decode(payload: bytes):
-        assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
-        pos, w, h, idat = 8, None, None, b""
-        while pos < len(payload):
-            (length,) = struct.unpack(">I", payload[pos : pos + 4])
-            typ = payload[pos + 4 : pos + 8]
-            data = payload[pos + 8 : pos + 8 + length]
-            (crc,) = struct.unpack(
-                ">I", payload[pos + 8 + length : pos + 12 + length]
-            )
-            assert crc == (zlib.crc32(typ + data) & 0xFFFFFFFF), "bad CRC"
-            if typ == b"IHDR":
-                w, h, depth, color = struct.unpack(">IIBB", data[:10])
-                assert depth == 8 and color == 0, "unsupported PNG subtype"
-            elif typ == b"IDAT":
-                idat += data
-            elif typ == b"IEND":
-                break
-            pos += 12 + length
-        raw = zlib.decompress(idat)
-        assert len(raw) == h * (w + 1), "bad scanline length"
-        px_prev = [0] * w
-        total = 0
-        corner = 0
-        for r in range(h):
-            line = raw[r * (w + 1) : (r + 1) * (w + 1)]
-            f, vals = line[0], line[1:]
-            row = [0] * w
-            for i in range(w):
-                left = row[i - 1] if i else 0
-                up = px_prev[i]
-                ul = px_prev[i - 1] if i else 0
-                v = vals[i]
-                if f == 0:
-                    c = v
-                elif f == 1:
-                    c = v + left
-                elif f == 2:
-                    c = v + up
-                elif f == 3:
-                    c = v + (left + up) // 2
-                elif f == 4:
-                    c = v + _paeth(left, up, ul)
-                else:
-                    raise ValueError(f"unknown filter {f}")
-                row[i] = c % 256
-            total += sum(row)
-            corner = row[-1]
-            px_prev = row
-        return w, h, total, corner
+        w, h, rows = _decode_png(payload)
+        return w, h, sum(sum(r) for r in rows), rows[-1][-1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -383,3 +387,42 @@ def decode_png_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+RESIZE_FEATURE_SCHEMA = (
+    "doc_id long, out_w long, out_h long, resized_sum long, resized_corner long"
+)
+
+
+def resize_png_pixels(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL pixel resample (nearest neighbor) over decoded PNG pixels:
+    out(r,c) = in(r*h // out_h, c*w // out_w) — pure integer index
+    arithmetic, so the oracle can regenerate the resized image from the
+    pixel formula without any codec. Completes the decode -> transform
+    story the plumbing-only `resize_dims` plans for; the same Arrow
+    batch shape carries a convolutional resampler when a real image lib
+    is available."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "out_w": [],
+                "out_h": [],
+                "resized_sum": [],
+                "resized_corner": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = _decode_png(bytes(payload))
+                resized = [
+                    [rows[r * h // out_h][c * w // out_w] for c in range(out_w)]
+                    for r in range(out_h)
+                ]
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized_sum"].append(sum(sum(r) for r in resized))
+                out["resized_corner"].append(resized[-1][-1])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_FEATURE_SCHEMA)

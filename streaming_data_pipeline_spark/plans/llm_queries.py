@@ -1390,3 +1390,37 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
          AS corner
 FROM px GROUP BY doc_id, w, h ORDER BY doc_id
 """
+
+
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> transform, fully real: nearest-neighbor resample of the
+    decoded PNG pixels to 8x8 (integer index arithmetic), checksummed.
+    The oracle regenerates the resized image straight from the pixel
+    formula — decode, unfiltering, AND the resample must all be exact
+    for the row to stay green."""
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        resize_png_pixels,
+        synth_png_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_png_pixels(synth_png_payloads(docs)).orderBy("doc_id")
+
+
+QUERIES["multimodal_png_resize"] = multimodal_png_resize
+ORACLE["multimodal_png_resize"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents),
+rz AS (
+  SELECT d.doc_id, d.w, d.h, r.i AS r, c.i AS c,
+         (d.doc_id * 31 + ((r.i * d.h) // 8) * 17 + ((c.i * d.w) // 8) * 7)
+           % 256 AS p
+  FROM dims d,
+       UNNEST(range(CAST(8 AS BIGINT))) AS r(i),
+       UNNEST(range(CAST(8 AS BIGINT))) AS c(i))
+SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       CAST(SUM(p) AS BIGINT) AS resized_sum,
+       CAST(MAX(CASE WHEN r = 7 AND c = 7 THEN p END) AS BIGINT)
+         AS resized_corner
+FROM rz GROUP BY doc_id ORDER BY doc_id
+"""

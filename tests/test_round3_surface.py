@@ -481,6 +481,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "recursive_cte_user_hierarchy",
         "multimodal_wav_decode",
         "multimodal_png_decode",
+        "multimodal_png_resize",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
