@@ -74,17 +74,20 @@ _SWEEP_PRIORITY = [
     "tfidf_top_terms",
     "embedding_quantize_int8",
     "quality_repetition_metrics",
-    "contamination_ngram_overlap",
-    "stratified_sample_docs",
     "pii_redaction_stats",
     "domain_blocklist_filter",
-    "boilerplate_chunk_removal",
-    "pack_training_sequences",
     "scd2_user_state",
     "approx_quantiles_check",
-    "train_val_test_split",
-    "embedding_random_projection",
     "udtf_chunk_split",
+    # session-3 additions answering explicit round-2 weaknesses (real
+    # decode, approximation classes) or completing operator matrices —
+    # promoted over six queries whose families already hold green rows
+    "multimodal_wav_decode",
+    "multimodal_png_decode",
+    "theta_sketch_audience_overlap",
+    "kmeans_lloyd_iterations",
+    "snapshot_time_travel",
+    "streaming_stream_stream_full_join",
     "event_funnel_conversion",
     "retention_cohorts",
     "user_event_transitions",
@@ -98,27 +101,29 @@ _SWEEP_PRIORITY = [
     "heavy_hitter_bigrams",
     "variant_nested_extract",
     "cdc_chunk_dedup",
+    # displaced from the 50-window (families already driver-green);
+    # first in line for round 4
+    "contamination_ngram_overlap",
+    "stratified_sample_docs",
+    "boilerplate_chunk_removal",
+    "pack_training_sequences",
+    "train_val_test_split",
+    "embedding_random_projection",
     # round-3 session-3 additions (UDAF surface, runtime bloom filter,
-    # time-series gap fill) — first in line for the round-4 window
+    # time-series gap fill) — next in line for the round-4 window
     "udaf_median_mad_by_type",
     "bloom_filter_join_pruning",
     "hourly_dense_locf",
     "incremental_rollup_maintenance",
     "tokenizer_bpe_pair_counts",
     "order_rank_profile",
-    "streaming_stream_stream_full_join",
     "bucketed_colocated_join",
-    "kmeans_lloyd_iterations",
-    "snapshot_time_travel",
     "streaming_update_mode_changelog",
     "map_column_roundtrip",
-    "theta_sketch_audience_overlap",
     "approx_topk_mergeable_tokens",
     "kll_quantile_sketch_check",
     "sql_udf_quality_score",
     "recursive_cte_user_hierarchy",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
     "multimodal_png_resize",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
