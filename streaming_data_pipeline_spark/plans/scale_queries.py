@@ -1179,3 +1179,65 @@ ORACLE["kll_quantile_sketch_check"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_rank_ok
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for MULTI-dimensional data skipping:
+    interleave the bits of two independent dimensions (user bucket,
+    value bucket) into one sort key, so that a RANGE of z-values bounds
+    BOTH dimensions at once — the layout trick (Delta ZORDER BY /
+    Iceberg sort orders) that lets one sorted file layout serve
+    predicates on either column. Single-column sorting can only cluster
+    one dimension; the z-curve trades a constant factor on each to get
+    locality on both.
+
+    The query makes the property measurable: group events by the top 4
+    z-bits (16 curve segments) and emit each segment's min/max along
+    BOTH raw dimensions — every segment must span at most half of each
+    dimension's range (tests assert it), versus a full-range spread for
+    the unsorted layout. Bit arithmetic is identical in DuckDB, so the
+    oracle recomputes the interleave exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bits = " + ".join(
+        f"(shiftleft(shiftright(u, {i}) & 1, {2 * i + 1})"
+        f" + shiftleft(shiftright(v, {i}) & 1, {2 * i}))"
+        for i in range(8)
+    )
+    z = (
+        ev.withColumn("u", (F.col("user_id") % 256).cast("int"))
+        .withColumn(
+            "v", F.least(F.lit(255), F.floor(F.col("value") * 2.55).cast("int"))
+        )
+        .withColumn("z", F.expr(bits))
+    )
+    return (
+        z.groupBy(F.shiftright("z", 12).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("u").cast("long").alias("u_min"),
+            F.max("u").cast("long").alias("u_max"),
+            F.min("v").cast("long").alias("v_min"),
+            F.max("v").cast("long").alias("v_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+QUERIES["zorder_locality_buckets"] = zorder_locality_buckets
+_Z_BITS_SQL = " + ".join(
+    f"(((u >> {i}) & 1) << {2 * i + 1}) + (((v >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+ORACLE["zorder_locality_buckets"] = f"""
+WITH z AS (
+  SELECT CAST(user_id % 256 AS INTEGER) AS u,
+         LEAST(255, CAST(FLOOR(value * 2.55) AS INTEGER)) AS v
+  FROM events),
+zz AS (SELECT u, v, {_Z_BITS_SQL} AS zv FROM z)
+SELECT CAST(zv >> 12 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(u) AS BIGINT) AS u_min, CAST(MAX(u) AS BIGINT) AS u_max,
+       CAST(MIN(v) AS BIGINT) AS v_min, CAST(MAX(v) AS BIGINT) AS v_max
+FROM zz GROUP BY 1 ORDER BY z_bucket
+"""

@@ -482,6 +482,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "multimodal_wav_decode",
         "multimodal_png_decode",
         "multimodal_png_resize",
+        "zorder_locality_buckets",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
@@ -577,3 +578,16 @@ def test_png_decode_verifies_structure(spark):
     bad = spark.createDataFrame([(11, bytes(corrupted))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="(?i)crc"):
         decode_png_features(bad).collect()
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Each 16th of the z-curve must span at most half of BOTH raw
+    dimensions' ranges (it actually spans a quarter: 4 z-bucket bits =
+    2 high bits per dimension)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["zorder_locality_buckets"](spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r.u_max - r.u_min <= 128, r
+        assert r.v_max - r.v_min <= 128, r
