@@ -126,6 +126,7 @@ _SWEEP_PRIORITY = [
     "recursive_cte_user_hierarchy",
     "multimodal_png_resize",
     "zorder_locality_buckets",
+    "snapshot_incremental_changes",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

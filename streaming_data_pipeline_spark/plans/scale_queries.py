@@ -1241,3 +1241,66 @@ SELECT CAST(zv >> 12 AS BIGINT) AS z_bucket,
        CAST(MIN(v) AS BIGINT) AS v_min, CAST(MAX(v) AS BIGINT) AS v_max
 FROM zz GROUP BY 1 ORDER BY z_bucket
 """
+
+
+def snapshot_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read over the manifest-versioned table: an
+    incremental consumer that has processed up to v1 reads EXACTLY the
+    files the v2 commit added (manifest difference) — never rescanning
+    history. This is how downstream jobs tail a 100 TB table: commits
+    are append-only file sets, so "what changed since snapshot N" is
+    set subtraction on manifests, zero data reads outside the delta.
+    The oracle recomputes the v2-commit rows (days >= Jan 21) from the
+    raw events, proving the manifest diff captures the commit exactly.
+    """
+    import os as _os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.col("value").cast(_D2).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_cdf_")
+    data = f"{base}/data"
+
+    def _files():
+        out = []
+        for root, _dirs, names in _os.walk(data):
+            out.extend(
+                _os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+        return sorted(out)
+
+    try:
+        ev.filter(F.col("ts") < "2024-01-21").write.partitionBy(
+            "event_type"
+        ).mode("overwrite").parquet(data)
+        v1 = set(_files())
+        ev.filter(F.col("ts") >= "2024-01-21").write.partitionBy(
+            "event_type"
+        ).mode("append").parquet(data)
+        delta_files = [f for f in _files() if f not in v1]
+        changes = spark.read.option("basePath", data).parquet(*delta_files)
+        out = (
+            changes.groupBy("event_type")
+            .agg(
+                F.count("*").alias("changed_rows"),
+                F.sum("value").cast("double").alias("changed_value_sum"),
+                F.min(F.col("ts").cast("date")).cast("timestamp").alias("first_day"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["snapshot_incremental_changes"] = snapshot_incremental_changes
+ORACLE["snapshot_incremental_changes"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS changed_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS changed_value_sum,
+       CAST(MIN(CAST(ts AS DATE)) AS TIMESTAMP) AS first_day
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""

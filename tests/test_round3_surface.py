@@ -483,6 +483,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "multimodal_png_decode",
         "multimodal_png_resize",
         "zorder_locality_buckets",
+        "snapshot_incremental_changes",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
