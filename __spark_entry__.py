@@ -127,6 +127,8 @@ _SWEEP_PRIORITY = [
     "multimodal_png_resize",
     "zorder_locality_buckets",
     "snapshot_incremental_changes",
+    "daily_distribution_drift",
+    "daily_volume_anomaly",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

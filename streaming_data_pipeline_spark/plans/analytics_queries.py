@@ -672,3 +672,147 @@ LEFT JOIN sparse sp
   ON sp.event_type = s.event_type AND sp.hour_ts = s.hour_ts
 ORDER BY s.event_type, s.hour_ts
 """
+
+
+def daily_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: total-variation distance between each day's
+    event-type distribution and the previous day's — the screen a
+    production pipeline runs to catch upstream mix shifts before they
+    poison training data. TV distance instead of KL: TV = (1/2)
+    sum_i |p_i - q_i| is a pure RATIONAL of the integer counts
+    (|c_i*m - d_i*n| summed over types, over 2*n*m), so both engines
+    compute it exactly — no libm log drift, no smoothing constants.
+    Shape: one (day, type) hash-agg, a day-level pivot via map, one lag
+    window over days, and an integer fold — the day table is tiny no
+    matter how big the fact table is.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    daily = ev.groupBy("event_date", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    day_tot = daily.groupBy("event_date").agg(
+        F.sum("c").alias("n"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("dist"),
+    )
+    w = Window.orderBy("event_date")
+    paired = day_tot.select(
+        "event_date",
+        "n",
+        "dist",
+        F.lag("n").over(w).alias("m"),
+        F.lag("dist").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    # numerator = sum over the union of types of |c_i*m - d_i*n|
+    types = [
+        r.event_type
+        for r in ev.select("event_type").distinct().orderBy("event_type").collect()
+    ]
+    num = None
+    for t in types:
+        term = F.abs(
+            F.coalesce(F.col("dist")[t], F.lit(0)) * F.col("m")
+            - F.coalesce(F.col("prev")[t], F.lit(0)) * F.col("n")
+        )
+        num = term if num is None else num + term
+    return paired.select(
+        F.col("event_date").cast("timestamp").alias("event_date"),
+        F.col("n").cast("long").alias("day_events"),
+        num.cast("long").alias("tv_numerator"),
+        (2 * F.col("n") * F.col("m")).cast("long").alias("tv_denominator"),
+        (
+            F.round(num.cast("double") / (2 * F.col("n") * F.col("m")), 6)
+            + F.lit(0.0)
+        ).alias("tv_distance"),
+    ).orderBy("event_date")
+
+
+QUERIES["daily_distribution_drift"] = daily_distribution_drift
+ORACLE["daily_distribution_drift"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+days AS (SELECT event_date, SUM(c) AS n FROM daily GROUP BY 1),
+pairs AS (
+  SELECT event_date, n,
+         LAG(event_date) OVER (ORDER BY event_date) AS prev_date,
+         LAG(n) OVER (ORDER BY event_date) AS m
+  FROM days),
+terms AS (
+  SELECT p.event_date, p.n, p.m,
+         ABS(COALESCE(cur.c, 0) * p.m - COALESCE(prv.c, 0) * p.n) AS term
+  FROM pairs p
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN daily cur
+    ON cur.event_date = p.event_date AND cur.event_type = t.event_type
+  LEFT JOIN daily prv
+    ON prv.event_date = p.prev_date AND prv.event_type = t.event_type
+  WHERE p.prev_date IS NOT NULL)
+SELECT CAST(event_date AS TIMESTAMP) AS event_date,
+       CAST(n AS BIGINT) AS day_events,
+       CAST(SUM(term) AS BIGINT) AS tv_numerator,
+       CAST(2 * n * m AS BIGINT) AS tv_denominator,
+       ROUND(CAST(SUM(term) AS DOUBLE) / (2 * n * m), 6) + 0.0 AS tv_distance
+FROM terms GROUP BY event_date, n, m
+ORDER BY event_date
+"""
+
+
+def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: flag days whose event count deviates
+    more than two standard deviations from that type's daily mean. The
+    2-sigma test is evaluated in PURE INTEGERS — (x*D - S)^2 > 4*(Q*D -
+    S^2) with S = sum of daily counts, Q = sum of squares, D = number
+    of days — so no float variance/sqrt ever enters and both engines
+    agree bit-for-bit. One (type, day) hash-agg, one per-type stats
+    window, one projection: the monitored table is |types| x |days|
+    regardless of fact volume.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    daily = ev.groupBy("event_type", "event_date").agg(
+        F.count("*").alias("x")
+    )
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "event_date",
+        "x",
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+        F.count("*").over(w).alias("d"),
+    )
+    lhs = (F.col("x") * F.col("d") - F.col("s")) * (
+        F.col("x") * F.col("d") - F.col("s")
+    )
+    rhs = 4 * (F.col("q") * F.col("d") - F.col("s") * F.col("s"))
+    return stats.select(
+        "event_type",
+        F.col("event_date").cast("timestamp").alias("event_date"),
+        F.col("x").cast("long").alias("day_count"),
+        (lhs > rhs).alias("is_anomaly"),
+    ).orderBy("event_type", "event_date")
+
+
+QUERIES["daily_volume_anomaly"] = daily_volume_anomaly
+ORACLE["daily_volume_anomaly"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, event_date, x,
+         SUM(x) OVER (PARTITION BY event_type) AS s,
+         SUM(x * x) OVER (PARTITION BY event_type) AS q,
+         COUNT(*) OVER (PARTITION BY event_type) AS d
+  FROM daily)
+SELECT event_type, CAST(event_date AS TIMESTAMP) AS event_date,
+       x AS day_count,
+       (x * d - s) * (x * d - s) > 4 * (q * d - s * s) AS is_anomaly
+FROM stats ORDER BY event_type, event_date
+"""

@@ -484,6 +484,8 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "multimodal_png_resize",
         "zorder_locality_buckets",
         "snapshot_incremental_changes",
+        "daily_distribution_drift",
+        "daily_volume_anomaly",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
