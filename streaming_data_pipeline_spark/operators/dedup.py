@@ -168,6 +168,16 @@ def _minhash_group_stage(
         members.groupBy("fp")
         .agg(F.any_value("toks").alias("toks"), F.count("*").alias("cnt"))
         .withColumn("sz", F.size("toks"))
+        # 64-bit token bitmask (bit_or of hashed token bits): powers a
+        # SAFE intersection upper bound at candidate time — see the
+        # mask_ok pruner below.
+        .withColumn(
+            "mask",
+            F.expr(
+                "aggregate(toks, 0L, (acc, t) -> "
+                "acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))"
+            ),
+        )
     )
 
     # --- LSH banding: candidates FIRST ---------------------------------
@@ -219,9 +229,10 @@ def _minhash_group_stage(
     # cold-run from ~13s to ~11s). The table is one row per (group,
     # band) — bands x distinct-token-sets — so the cache is tiny.
     bucketed = _cached(
-        sig.join(groups.select("fp", "sz"), "fp").select(
+        sig.join(groups.select("fp", "sz", "mask"), "fp").select(
             "fp",
             "sz",
+            "mask",
             F.explode(
                 lsh_band_buckets(
                     F.array(*[F.col(f"h{j}") for j in range(k)]), bands, rows
@@ -239,13 +250,29 @@ def _minhash_group_stage(
     size_ok = F.least("a.sz", "b.sz").cast("double") >= (
         F.lit(threshold - 1e-4) * F.greatest("a.sz", "b.sz")
     )
+    # Bitmask intersection bound, provably safe: any token of A shared
+    # with B must hash to a bit present in B's mask, so tokens of A
+    # whose bit is in (maskA & ~maskB) are certainly NOT shared ->
+    # |A∩B| <= szA - bit_count(maskA & ~maskB) (symmetrically for B).
+    # J >= t' forces |A∩B| >= t'(szA+szB)/(1+t'); candidates whose
+    # bound cannot reach that are dropped BEFORE the distinct and the
+    # exact-Jaccard verify. Hash collisions only WEAKEN the bound
+    # (fewer certainly-unshared bits), never violate it — output is
+    # provably unchanged; same t' slack as size_ok.
+    t_lo = threshold - 1e-4
+    mask_ok = F.expr(
+        "least(a.sz - bit_count(a.mask & ~b.mask),"
+        "      b.sz - bit_count(b.mask & ~a.mask)) >= "
+        f"{t_lo} * (a.sz + b.sz) / (1 + {t_lo})"
+    )
     cand = (
         bucketed.alias("a")
         .join(
             bucketed.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.fp") < F.col("b.fp"))
-            & size_ok,
+            & size_ok
+            & mask_ok,
         )
         .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .distinct()
