@@ -135,7 +135,11 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle emits the exact count plus literal TRUE. A drifting sketch
     turns the row red instead of being unverifiable."""
     ev = _t(spark, sf_dir, "events")
-    approx = F.approx_count_distinct("user_id")
+    # rsd=0.01: the default sketch's 5% relative standard deviation is
+    # the same size as the 5% tolerance below, so ~1-sigma deviations
+    # flipped the boolean at sf0.1 cardinalities (observed). A 1% rsd
+    # sketch gives the check a 5-sigma margin at any scale.
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
     exact = F.countDistinct("user_id")
     return (
         ev.groupBy("event_type")
