@@ -608,13 +608,16 @@ def hourly_dense_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_ts")
         .agg(
             F.count("*").alias("event_count"),
+            # tie-safe integer half-up (see incremental_rollup_maintenance:
+            # a 2-decimal sum over a small count lands exactly on round-
+            # half boundaries at 4 dp, where double round() diverges;
+            # surfaced at sf0.1)
             (
-                F.round(
-                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                    / F.count("*"),
-                    4,
-                )
-                + F.lit(0.0)
+                F.expr(
+                    "(cast(sum(cast(value as decimal(18,2))) * 100 as bigint)"
+                    " * 200 + count(*)) div (2 * count(*))"
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("avg_value"),
         )
     )
@@ -650,8 +653,9 @@ ORACLE["hourly_dense_locf"] = """
 WITH sparse AS (
   SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
          CAST(COUNT(*) AS BIGINT) AS event_count,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-           + 0.0 AS avg_value
+         CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               * 200 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0
+           AS avg_value
   FROM events GROUP BY 1, 2),
 bounds AS (
   SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1

@@ -603,9 +603,13 @@ ORACLE = {
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
-           md5(array_to_string(
+           -- COALESCE: a doc whose chunks are ALL boilerplate has an
+           -- empty kept list; DuckDB's empty aggregate is NULL while
+           -- Spark's collect_list is [] -> md5('') (surfaces at sf0.1,
+           -- where fully-boilerplate docs first appear)
+           md5(COALESCE(array_to_string(
              list(CASE WHEN b.chunk IS NULL THEN c.chunk END ORDER BY c.pos)
-               FILTER (WHERE b.chunk IS NULL), ' ')) AS cleaned_md5
+               FILTER (WHERE b.chunk IS NULL), ' '), '')) AS cleaned_md5
     FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
     GROUP BY c.doc_id, c.source
     ORDER BY c.doc_id
