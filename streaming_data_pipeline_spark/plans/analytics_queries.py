@@ -820,3 +820,92 @@ SELECT event_type, CAST(event_date AS TIMESTAMP) AS event_date,
        (x * d - s) * (x * d - s) > 4 * (q * d - s * s) AS is_anomaly
 FROM stats ORDER BY event_type, event_date
 """
+
+
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph — graph
+    analytics beyond connectivity (the CC operator family): nodes are
+    event types, edge weights are counts of consecutive (prev -> next)
+    transitions within each user's event sequence. Three damped power
+    iterations in FIXED-POINT integer arithmetic (ranks in millionths;
+    contribution = floor(rank * w / W_out), damping 0.85 as 17/20
+    integer ratio) — every step is integer div/mod, so both engines
+    iterate bit-identically with no float summation-order hazard. The
+    oracle unrolls the same three iterations in SQL. At scale the
+    iteration state is |nodes| and each step is one join + hash-agg on
+    the edge list — the standard Pregel-style shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    e = edges.join(out_w, "src")
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n_nodes = nodes.count()
+    base = 150_000 // n_nodes  # 0.15 * 1e6 / N, exact for the 5-type fixture
+    rank = nodes.withColumn("rank", F.lit(1_000_000 // n_nodes).cast("long"))
+    for _ in range(3):
+        contrib = (
+            e.join(rank, e.src == rank.node)
+            .select(
+                "dst",
+                F.expr("(rank * weight) div w_out").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"(17 * coalesce(inflow, 0L)) div 20")
+            ).cast("long").alias("rank"),
+        )
+    return rank.select("node", "rank").orderBy("node")
+
+
+QUERIES["pagerank_event_transitions"] = pagerank_event_transitions
+ORACLE["pagerank_event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+edges AS (
+  SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+outw AS (SELECT src, SUM(weight) AS w_out FROM edges GROUP BY src),
+e AS (SELECT edges.*, outw.w_out FROM edges JOIN outw USING (src)),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS rank FROM nodes, nn),
+r1 AS (
+  SELECT n.node,
+         CAST((SELECT 150000 // n FROM nn)
+              + (17 * COALESCE(SUM((r.rank * e.weight) // e.w_out), 0)) // 20
+           AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN e ON e.dst = n.node LEFT JOIN r0 r ON r.node = e.src
+  GROUP BY n.node),
+r2 AS (
+  SELECT n.node,
+         CAST((SELECT 150000 // n FROM nn)
+              + (17 * COALESCE(SUM((r.rank * e.weight) // e.w_out), 0)) // 20
+           AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN e ON e.dst = n.node LEFT JOIN r1 r ON r.node = e.src
+  GROUP BY n.node),
+r3 AS (
+  SELECT n.node,
+         CAST((SELECT 150000 // n FROM nn)
+              + (17 * COALESCE(SUM((r.rank * e.weight) // e.w_out), 0)) // 20
+           AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN e ON e.dst = n.node LEFT JOIN r2 r ON r.node = e.src
+  GROUP BY n.node)
+SELECT node, rank FROM r3 ORDER BY node
+"""

@@ -486,6 +486,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "snapshot_incremental_changes",
         "daily_distribution_drift",
         "daily_volume_anomaly",
+        "pagerank_event_transitions",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
