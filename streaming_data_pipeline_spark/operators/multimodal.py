@@ -201,7 +201,8 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError("expected mono 16-bit PCM")
                     rate = w.getframerate()
                     pcm = np.frombuffer(
                         w.readframes(w.getnframes()), dtype=np.int16
@@ -310,24 +311,28 @@ def _decode_png(payload: bytes):
     import struct
     import zlib
 
-    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
     pos, w, h, idat = 8, None, None, b""
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
-        assert crc == (zlib.crc32(typ + data) & 0xFFFFFFFF), "bad CRC"
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError("bad CRC")
         if typ == b"IHDR":
             w, h, depth, color = struct.unpack(">IIBB", data[:10])
-            assert depth == 8 and color == 0, "unsupported PNG subtype"
+            if depth != 8 or color != 0:
+                raise ValueError("unsupported PNG subtype")
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
         pos += 12 + length
     raw = zlib.decompress(idat)
-    assert len(raw) == h * (w + 1), "bad scanline length"
+    if len(raw) != h * (w + 1):
+        raise ValueError("bad scanline length")
     rows = []
     px_prev = [0] * w
     for r in range(h):

@@ -34,6 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_spark.functions.text import tokens
+from streaming_data_pipeline_spark.plans.base import (
+    int_halfup_avg_expr,
+    int_halfup_avg_sql,
+)
 from streaming_data_pipeline_spark.sources.batch import load_table
 
 
@@ -608,16 +612,8 @@ def hourly_dense_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_ts")
         .agg(
             F.count("*").alias("event_count"),
-            # tie-safe integer half-up (see incremental_rollup_maintenance:
-            # a 2-decimal sum over a small count lands exactly on round-
-            # half boundaries at 4 dp, where double round() diverges;
-            # surfaced at sf0.1)
-            (
-                F.expr(
-                    "(cast(sum(cast(value as decimal(18,2))) * 100 as bigint)"
-                    " * 200 + count(*)) div (2 * count(*))"
-                ).cast("double")
-                / F.lit(10000.0)
+            int_halfup_avg_expr(
+                "sum(cast(value as decimal(18,2)))", "count(*)"
             ).alias("avg_value"),
         )
     )
@@ -649,12 +645,11 @@ def hourly_dense_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["hourly_dense_locf"] = hourly_dense_locf
-ORACLE["hourly_dense_locf"] = """
+ORACLE["hourly_dense_locf"] = f"""
 WITH sparse AS (
   SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
          CAST(COUNT(*) AS BIGINT) AS event_count,
-         CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-               * 200 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0
+         {int_halfup_avg_sql("SUM(CAST(value AS DECIMAL(18,2)))", "COUNT(*)")}
            AS avg_value
   FROM events GROUP BY 1, 2),
 bounds AS (

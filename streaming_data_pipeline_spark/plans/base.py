@@ -57,3 +57,29 @@ WITH enriched AS (
   WHERE data_quality_score >= 50
 )
 """
+
+
+def int_halfup_avg_expr(sum_expr: str, cnt_expr: str):
+    """Tie-safe rounded average (4 dp) of a DECIMAL(18,2) sum over a
+    count, as a Spark Column: exact integer half-up —
+    (cents*200 + n) div (2n) — because double round() diverges between
+    engines exactly on the .xxxx5 boundaries such quotients hit (found
+    twice at sf0.1). Twin of :func:`int_halfup_avg_sql`."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.expr(
+            f"(cast(({sum_expr}) * 100 as bigint) * 200 + ({cnt_expr}))"
+            f" div (2 * ({cnt_expr}))"
+        ).cast("double")
+        / F.lit(10000.0)
+    )
+
+
+def int_halfup_avg_sql(sum_expr: str, cnt_expr: str) -> str:
+    """DuckDB twin of :func:`int_halfup_avg_expr` (``//`` truncates like
+    Spark's ``div`` for the non-negative operands used here)."""
+    return (
+        f"CAST((CAST(({sum_expr}) * 100 AS BIGINT) * 200 + ({cnt_expr}))"
+        f" // (2 * ({cnt_expr})) AS DOUBLE) / 10000.0"
+    )

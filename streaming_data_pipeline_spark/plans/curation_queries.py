@@ -711,6 +711,13 @@ def _curation_e2e_oracle() -> str:
 ORACLE["corpus_curation_end_to_end"] = _curation_e2e_oracle()
 
 
+# The batch events fixture's actual event_type domain (NOT the wire
+# stream's EVENT_TYPES vocabulary — an earlier copy of that list here
+# flagged every 'view' row and made the domain rule permanently fail).
+# One constant feeds both the Spark rule and the oracle SQL below.
+_EVENT_TYPE_DOMAIN = ("click", "error", "purchase", "signup", "view")
+
+
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate: declarative constraint checks over ``events``
     compiled into ONE conditional-count aggregate pass — the
@@ -734,9 +741,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NULL is a violation here (it is not a domain member) —
             # spelled out because NOT IN over NULL is NULL, not TRUE.
             "event_type_in_domain",
-            ~F.col("event_type").isin(
-                "login", "logout", "purchase", "page_view", "click", "error", "signup"
-            )
+            ~F.col("event_type").isin(*_EVENT_TYPE_DOMAIN)
             | F.col("event_type").isNull(),
         ),
         ("value_non_negative", F.col("value") < 0),
@@ -770,7 +775,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dq_constraint_report"] = dq_constraint_report
-ORACLE["dq_constraint_report"] = """
+ORACLE["dq_constraint_report"] = f"""
 WITH row_rules AS (
   SELECT * FROM (VALUES
     ('event_id_not_null',
@@ -779,7 +784,7 @@ WITH row_rules AS (
       (SELECT COUNT(*) FROM events WHERE user_id IS NULL)),
     ('event_type_in_domain',
       (SELECT COUNT(*) FROM events WHERE event_type NOT IN
-        ('login','logout','purchase','page_view','click','error','signup')
+        ({', '.join(repr(t) for t in _EVENT_TYPE_DOMAIN)})
         OR event_type IS NULL)),
     ('value_non_negative',
       (SELECT COUNT(*) FROM events WHERE value < 0)),

@@ -32,6 +32,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_spark.plans.base import (
+    int_halfup_avg_expr,
+    int_halfup_avg_sql,
+)
 from streaming_data_pipeline_spark.sources.batch import load_table
 
 _D2 = "decimal(18,2)"
@@ -739,18 +743,11 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
                 "event_type",
                 "event_count",
                 F.col("value_sum").cast("double").alias("value_sum"),
-                # derived avg, tie-safe: a 2-decimal sum over a small
-                # count lands EXACTLY on round-half boundaries at 4 dp
-                # (e.g. 307.03/8 = 38.37875), where double round()
-                # diverges between engines. Integer half-up instead:
-                # cents*200 + n over 2n, floor-divided — exact in both.
-                (
-                    F.expr(
-                        "(cast(value_sum * 100 as bigint) * 200 + event_count)"
-                        " div (2 * event_count)"
-                    ).cast("double")
-                    / F.lit(10000.0)
-                ).alias("value_avg"),
+                # derived avg, tie-safe (e.g. 307.03/8 = 38.37875
+                # lands exactly on a round-half boundary)
+                int_halfup_avg_expr("value_sum", "event_count").alias(
+                    "value_avg"
+                ),
             )
             .orderBy("event_date", "event_type")
         )
@@ -760,12 +757,11 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 QUERIES["incremental_rollup_maintenance"] = incremental_rollup_maintenance
-ORACLE["incremental_rollup_maintenance"] = """
+ORACLE["incremental_rollup_maintenance"] = f"""
 SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
        CAST(COUNT(*) AS BIGINT) AS event_count,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
-       CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 200
-             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS value_avg
+       {int_halfup_avg_sql("SUM(CAST(value AS DECIMAL(18,2)))", "COUNT(*)")} AS value_avg
 FROM events
 GROUP BY 1, 2
 ORDER BY event_date, event_type
@@ -786,19 +782,21 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     base = tempfile.mkdtemp(prefix="spark_graft_bkt_")
+    # per-run table names (tempdir suffix): a fixed name would let two
+    # concurrent sessions sharing a warehouse drop each other's tables
+    run_id = base.rsplit("_", 1)[-1]
+    t_orders, t_cust = f"q_orders_bkt_{run_id}", f"q_customer_bkt_{run_id}"
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.sql("DROP TABLE IF EXISTS q_orders_bkt")
-        spark.sql("DROP TABLE IF EXISTS q_customer_bkt")
         orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
             "path", f"{base}/orders"
-        ).mode("overwrite").saveAsTable("q_orders_bkt")
+        ).mode("overwrite").saveAsTable(t_orders)
         cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
             "path", f"{base}/customer"
-        ).mode("overwrite").saveAsTable("q_customer_bkt")
+        ).mode("overwrite").saveAsTable(t_cust)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        o = spark.table("q_orders_bkt")
-        c = spark.table("q_customer_bkt")
+        o = spark.table(t_orders)
+        c = spark.table(t_cust)
         out = (
             o.join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_mktsegment")
@@ -814,8 +812,8 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS q_orders_bkt")
-        spark.sql("DROP TABLE IF EXISTS q_customer_bkt")
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -849,6 +847,8 @@ def kmeans_lloyd_iterations(
     Init: the k lowest vec_ids (deterministic; no sampled seeding).
     Output: final (cluster_id, n_members, pos, mean_x) exploded rows.
     """
+    if iters < 1:
+        raise ValueError("kmeans needs at least one Lloyd iteration")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -941,6 +941,36 @@ ORDER BY cluster_id, pos
 """
 
 
+def _write_versioned_events(spark: SparkSession, sf_dir: str, base: str):
+    """Shared scaffolding for the snapshot/CDF queries: two commits to
+    a manifest-versioned, event_type-partitioned table — v1 = days
+    before Jan 21, v2 = append of the rest. Returns (data_dir,
+    v1_files, v2_files) with files as sorted absolute paths."""
+    import os as _os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.col("value").cast(_D2).alias("value")
+    )
+    data = f"{base}/data"
+
+    def _files():
+        out = []
+        for root, _dirs, names in _os.walk(data):
+            out.extend(
+                _os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+        return sorted(out)
+
+    ev.filter(F.col("ts") < "2024-01-21").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(data)
+    v1 = _files()
+    ev.filter(F.col("ts") >= "2024-01-21").write.partitionBy("event_type").mode(
+        "append"
+    ).parquet(data)
+    return data, v1, _files()
+
+
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table with time-travel reads — the lakehouse
     commit model (Delta/Iceberg's log) reduced to its algebra: each
@@ -958,31 +988,9 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     OF each manifest; the oracle recomputes each snapshot's semantic
     definition from raw events.
     """
-    import os as _os
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", F.col("value").cast(_D2).alias("value")
-    )
     base = tempfile.mkdtemp(prefix="spark_graft_tt_")
-    data = f"{base}/data"
-
-    def _files():
-        out = []
-        for root, _dirs, names in _os.walk(data):
-            out.extend(
-                _os.path.join(root, n) for n in names if n.endswith(".parquet")
-            )
-        return sorted(out)
-
     try:
-        ev.filter(F.col("ts") < "2024-01-21").write.partitionBy(
-            "event_type"
-        ).mode("overwrite").parquet(data)
-        v1 = _files()
-        ev.filter(F.col("ts") >= "2024-01-21").write.partitionBy(
-            "event_type"
-        ).mode("append").parquet(data)
-        v2 = _files()
+        data, v1, v2 = _write_versioned_events(spark, sf_dir, base)
         v3 = [f for f in v2 if "event_type=error" not in f]
         manifests = {1: v1, 2: v2, 3: v3}
 
@@ -1048,15 +1056,25 @@ def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias("est_i"),
         F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est_u"),
     )
-    exact = spark.createDataFrame(
-        [
-            (
-                p.intersect(e).count(),
-                p.union(e).distinct().count(),
-                p.distinct().exceptAll(e.distinct()).count(),
-            )
-        ],
-        "exact_intersection long, exact_union long, exact_purchase_only long",
+    # exact answers in ONE scan: per-user purchase/error flags, then a
+    # single count over the flag table (the earlier three separate
+    # INTERSECT/UNION/EXCEPT actions scanned events three times)
+    flags = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "purchase").alias("has_p"),
+            F.max(F.col("event_type") == "error").alias("has_e"),
+        )
+    )
+    exact = flags.agg(
+        F.sum(F.when(F.col("has_p") & F.col("has_e"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_intersection"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.when(F.col("has_p") & ~F.col("has_e"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_purchase_only"),
     )
     ok = lambda est_c, ex_c: (  # noqa: E731
         F.abs(est_c - ex_c) <= F.greatest(F.lit(1.0), 0.02 * ex_c)
@@ -1253,31 +1271,11 @@ def snapshot_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the v2-commit rows (days >= Jan 21) from the
     raw events, proving the manifest diff captures the commit exactly.
     """
-    import os as _os
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", F.col("value").cast(_D2).alias("value")
-    )
     base = tempfile.mkdtemp(prefix="spark_graft_cdf_")
-    data = f"{base}/data"
-
-    def _files():
-        out = []
-        for root, _dirs, names in _os.walk(data):
-            out.extend(
-                _os.path.join(root, n) for n in names if n.endswith(".parquet")
-            )
-        return sorted(out)
-
     try:
-        ev.filter(F.col("ts") < "2024-01-21").write.partitionBy(
-            "event_type"
-        ).mode("overwrite").parquet(data)
-        v1 = set(_files())
-        ev.filter(F.col("ts") >= "2024-01-21").write.partitionBy(
-            "event_type"
-        ).mode("append").parquet(data)
-        delta_files = [f for f in _files() if f not in v1]
+        data, v1, v2 = _write_versioned_events(spark, sf_dir, base)
+        v1_set = set(v1)
+        delta_files = [f for f in v2 if f not in v1_set]
         changes = spark.read.option("basePath", data).parquet(*delta_files)
         out = (
             changes.groupBy("event_type")

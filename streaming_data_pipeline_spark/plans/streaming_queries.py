@@ -809,6 +809,13 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
+# NOTE (both outer-join oracles): the eviction cutoffs use strict '<'
+# at the exact watermark boundary. Spark's symmetric-hash join applies
+# small +/-1ms adjustments when deriving state watermarks, so a fixture
+# event landing EXACTLY on the boundary could disagree; the fixtures'
+# microsecond-random timestamps make that measure-zero, but if the
+# fixtures are ever regenerated with round-hour timestamps this is the
+# first place to look.
 ORACLE["streaming_stream_stream_full_join"] = """
 WITH views AS (
   SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
