@@ -150,6 +150,50 @@ def streaming_update_mode_changelog(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(base, ignore_errors=True)
 
 
+def streaming_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark >= 3.4
+    time-window column chaining): a 1-hour windowed aggregate feeds a
+    second, 6-hour windowed aggregate over `window_time()` of the first
+    — the hour->day-part rollup hierarchy a metrics pipeline keeps, in
+    ONE query with ONE watermark instead of two jobs with an
+    intermediate sink. Append mode: a 6-hour row emits only when the
+    watermark passes its end (by then every inner hour window inside it
+    has closed too). Oracle: the batch 6-hour aggregation restricted to
+    windows the final watermark (max ts - 2h) closed.
+    """
+    stream = events_fixture_stream(spark, sf_dir).withColumn(
+        # watermarks require TIMESTAMP; session TZ is UTC so the
+        # ntz -> ltz cast maps to identical instants
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+        )
+    )
+    six = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "6 hours").alias("w6"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("long").alias("event_count"),
+            F.sum("vsum").cast("double").alias("value_sum"),
+            F.count("*").cast("long").alias("hours_present"),
+        )
+        .select(
+            F.col("w6.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+            "hours_present",
+        )
+    )
+    return _drain(six, spark, "append").orderBy("window_start", "event_type")
+
+
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (2 h inactivity gap) per user over the
     replayed stream. The oracle sessionizes with the classic
@@ -751,6 +795,7 @@ QUERIES["streaming_stream_stream_join"] = streaming_stream_stream_join
 QUERIES["streaming_stream_stream_left_join"] = streaming_stream_stream_left_join
 QUERIES["streaming_stream_stream_full_join"] = streaming_stream_stream_full_join
 QUERIES["streaming_update_mode_changelog"] = streaming_update_mode_changelog
+QUERIES["streaming_chained_window_rollup"] = streaming_chained_window_rollup
 ORACLE["streaming_stream_stream_join"] = """
 WITH views AS (
   SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
@@ -808,6 +853,27 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
+"""
+ORACLE["streaming_chained_window_rollup"] = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOURS AS cutoff FROM events),
+hours AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS vsum
+  FROM events GROUP BY 1, 2),
+six AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(h) / 21600) AS BIGINT) * 21600)
+              AS TIMESTAMP) AS window_start,
+         event_type,
+         CAST(SUM(n) AS BIGINT) AS event_count,
+         CAST(SUM(vsum) AS DOUBLE) AS value_sum,
+         CAST(COUNT(*) AS BIGINT) AS hours_present
+  FROM hours GROUP BY 1, 2)
+SELECT s.window_start, s.event_type, s.event_count, s.value_sum,
+       s.hours_present
+FROM six s, wm
+WHERE s.window_start + INTERVAL 6 HOURS <= wm.cutoff
+ORDER BY s.window_start, s.event_type
 """
 # NOTE (both outer-join oracles): the eviction cutoffs use strict '<'
 # at the exact watermark boundary. Spark's symmetric-hash join applies

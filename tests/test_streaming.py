@@ -168,7 +168,7 @@ def test_rate_generator_produces_valid_wire_events(spark, tmpdirs):
         assert purchases[0].product_id == "prod_42"
 
 
-@pytest.mark.parametrize("name", ["streaming_windowed_counts", "streaming_user_sessions", "streaming_session_append", "streaming_stream_stream_left_join", "streaming_stream_stream_full_join", "streaming_update_mode_changelog", "streaming_state_inspection"])
+@pytest.mark.parametrize("name", ["streaming_windowed_counts", "streaming_user_sessions", "streaming_session_append", "streaming_stream_stream_left_join", "streaming_stream_stream_full_join", "streaming_update_mode_changelog", "streaming_chained_window_rollup", "streaming_state_inspection"])
 def test_streaming_plans_match_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name, SF_DIR)
 
