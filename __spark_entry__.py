@@ -131,6 +131,7 @@ _SWEEP_PRIORITY = [
     "daily_volume_anomaly",
     "pagerank_event_transitions",
     "streaming_chained_window_rollup",
+    "sql_table_function_calendar",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

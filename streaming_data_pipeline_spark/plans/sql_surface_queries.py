@@ -882,3 +882,61 @@ WITH RECURSIVE chain (user_id, cur, depth) AS (
 SELECT user_id, CAST(MAX(depth) AS BIGINT) AS depth
 FROM chain GROUP BY user_id ORDER BY user_id
 """
+
+
+def sql_table_function_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL TABLE function (Spark 4 `CREATE FUNCTION ...
+    RETURNS TABLE`) — the set-returning twin of `sql_udf_quality_score`:
+    a reusable calendar generator defined in pure SQL, consumed via
+    LATERAL-style table reference to densify the per-type daily series
+    (every (type, day) cell present, zero-filled). Like the scalar SQL
+    UDF it inlines at analysis time — a zero-cost packaging of the
+    sequence()/explode idiom, vs the Python UDTF path
+    (`udtf_chunk_split`) which crosses the interpreter.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION day_seq(d0 DATE, d1 DATE)
+        RETURNS TABLE (day DATE)
+        RETURN SELECT explode(sequence(d0, d1, interval 1 day))
+        """
+    )
+    return spark.sql(
+        """
+        WITH bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+          FROM events),
+        cal AS (
+          SELECT t.day FROM bounds b, LATERAL day_seq(b.d0, b.d1) t),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT CAST(c.day AS TIMESTAMP) AS day, t.event_type,
+               COALESCE(d.n, 0) AS event_count
+        FROM cal c
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+        ORDER BY day, event_type
+        """
+    )
+
+
+QUERIES["sql_table_function_calendar"] = sql_table_function_calendar
+ORACLE["sql_table_function_calendar"] = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+cal AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT CAST(c.day AS TIMESTAMP) AS day, t.event_type,
+       COALESCE(d.n, 0) AS event_count
+FROM cal c
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+ORDER BY day, t.event_type
+"""
