@@ -259,3 +259,43 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_aqe_switches_smj_to_broadcast_at_runtime(spark):
+    """AQE's runtime join replanning, isolated via the two thresholds:
+    the STATIC broadcast threshold is disabled (so the static plan is a
+    sort-merge join), while the ADAPTIVE broadcast threshold stays on —
+    the final plan must have switched to broadcast from the post-
+    shuffle RUNTIME size (10 rows) the static planner never saw."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("lv")
+        )
+        # dense small side: every shuffle partition non-empty, so
+        # DynamicJoinSelection does NOT demote the broadcast (a mostly-
+        # empty build side is deliberately kept on the shuffle path)
+        right = (
+            spark.range(0, 200000)
+            .filter(F.col("id") % 100 == 0)
+            .select((F.col("id") % 1000).alias("k"), F.col("id").alias("rv"))
+        )
+        j = left.join(right, "k")
+        static = j._jdf.queryExecution().sparkPlan().toString()
+        n = j._jdf.queryExecution().executedPlan().execute().count()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert n == 400000  # 2000 right rows x 200 left matches each
+        assert "SortMergeJoin" in static and "BroadcastHashJoin" not in static
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
