@@ -132,6 +132,7 @@ _SWEEP_PRIORITY = [
     "pagerank_event_transitions",
     "streaming_chained_window_rollup",
     "sql_table_function_calendar",
+    "file_metadata_audit",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

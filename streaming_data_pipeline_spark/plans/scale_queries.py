@@ -1302,3 +1302,48 @@ WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden `_metadata` file columns as a storage audit: after a
+    one-file-per-partition write (repartition on the partition column),
+    every day partition must be exactly one parquet file — the layout a
+    small-file-free warehouse maintains — proven by grouping the read
+    on `_metadata.file_path` instead of trusting the writer. This is
+    the per-file observability surface (file path/name/size/mod time)
+    compaction and debugging tools build on; the oracle recomputes the
+    per-day row counts and asserts the one-file invariant as a literal.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_meta_")
+    try:
+        ev.repartition("event_date").write.partitionBy("event_date").mode(
+            "overwrite"
+        ).parquet(base)
+        back = spark.read.parquet(base)
+        out = (
+            back.groupBy(
+                F.col("event_date").cast("timestamp").alias("event_date")
+            )
+            .agg(
+                F.count("*").alias("row_count"),
+                F.countDistinct("_metadata.file_path").cast("long").alias(
+                    "n_files"
+                ),
+            )
+            .orderBy("event_date")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["file_metadata_audit"] = file_metadata_audit
+ORACLE["file_metadata_audit"] = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(1 AS BIGINT) AS n_files
+FROM events GROUP BY 1 ORDER BY event_date
+"""

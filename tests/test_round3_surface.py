@@ -488,6 +488,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "daily_volume_anomaly",
         "pagerank_event_transitions",
         "sql_table_function_calendar",
+        "file_metadata_audit",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
