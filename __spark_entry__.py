@@ -133,6 +133,7 @@ _SWEEP_PRIORITY = [
     "streaming_chained_window_rollup",
     "sql_table_function_calendar",
     "file_metadata_audit",
+    "ab_test_chi_square",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

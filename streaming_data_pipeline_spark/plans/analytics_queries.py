@@ -904,3 +904,82 @@ r3 AS (
   GROUP BY n.node)
 SELECT node, rank FROM r3 ORDER BY node
 """
+
+
+def ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: users hash-split 50/50 into arms A/B
+    (deterministic md5 bucket — the same assignment everywhere), outcome
+    = whether the user ever purchased; the 2x2 contingency table is
+    tested with the chi-square statistic evaluated EXACTLY — chi2 =
+    N*(ad-bc)^2 / (row1*row2*col1*col2) is a pure rational of the
+    counts, so the 95% significance comparison chi2 > 3.841 becomes an
+    integer cross-multiplication (DECIMAL(38) intermediates; ~1e23 max)
+    with no libm, identical in both engines. The fixture's hash split
+    carries no real effect, so `significant` is robustly FALSE — a
+    well-randomized A/A-style check, which is itself the standard
+    sanity screen an experimentation platform runs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "purchase").alias("converted")
+    )
+    arms = per_user.withColumn(
+        "arm",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 2
+            == 0,
+            "A",
+        ).otherwise("B"),
+    )
+    cells = arms.groupBy("arm").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("long").alias("conv"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1)).cast("long").alias("nonconv"),
+    )
+    wide = cells.groupBy().pivot("arm", ["A", "B"]).agg(
+        F.first("conv").alias("conv"), F.first("nonconv").alias("non")
+    )
+    a, b = F.col("A_conv"), F.col("A_non")
+    c, d = F.col("B_conv"), F.col("B_non")
+    n = a + b + c + d
+    lhs = (n * (a * d - b * c) * (a * d - b * c) * 1000).cast("decimal(38,0)")
+    rhs = (F.lit(3841).cast("decimal(38,0)")
+           * ((a + b) * (c + d)).cast("decimal(38,0)")
+           * ((a + c) * (b + d)).cast("decimal(38,0)"))
+    return wide.select(
+        a.alias("a_conv"), b.alias("a_non"),
+        c.alias("b_conv"), d.alias("b_non"),
+        (lhs > rhs).alias("significant_95"),
+    )
+
+
+QUERIES["ab_test_chi_square"] = ab_test_chi_square
+ORACLE["ab_test_chi_square"] = """
+WITH per_user AS (
+  SELECT user_id, MAX(event_type = 'purchase') AS converted
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT *, CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                           AS BIGINT) % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm
+  FROM per_user),
+cells AS (
+  SELECT arm,
+         SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS conv,
+         SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS nonconv
+  FROM arms GROUP BY arm),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN conv END) AS a,
+    MAX(CASE WHEN arm = 'A' THEN nonconv END) AS b,
+    MAX(CASE WHEN arm = 'B' THEN conv END) AS c,
+    MAX(CASE WHEN arm = 'B' THEN nonconv END) AS d
+  FROM cells)
+SELECT CAST(a AS BIGINT) AS a_conv, CAST(b AS BIGINT) AS a_non,
+       CAST(c AS BIGINT) AS b_conv, CAST(d AS BIGINT) AS b_non,
+       (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000
+         > 3841 * ((a + b) * (c + d)) * ((a + c) * (b + d))
+         AS significant_95
+FROM wide
+"""

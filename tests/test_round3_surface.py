@@ -489,6 +489,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "pagerank_event_transitions",
         "sql_table_function_calendar",
         "file_metadata_audit",
+        "ab_test_chi_square",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
