@@ -134,6 +134,7 @@ _SWEEP_PRIORITY = [
     "sql_table_function_calendar",
     "file_metadata_audit",
     "ab_test_chi_square",
+    "null_safe_join_counts",
     # last green row is round 1 (r2's 50-query budget skipped these)
     "top5_latest",
     "windowed_counts_60s",

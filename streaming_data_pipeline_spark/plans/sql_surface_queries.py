@@ -940,3 +940,50 @@ CROSS JOIN (SELECT DISTINCT event_type FROM events) t
 LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
 ORDER BY day, t.event_type
 """
+
+
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two
+    daily aggregates keyed on a NULLABLE key (event_type with 'error'
+    nulled out — the shape real dims take when a key is optional) are
+    joined so the NULL group matches the NULL group instead of being
+    silently dropped the way `=` drops it. The row counts prove the
+    NULL-NULL match happened (a plain join would lose that row)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.nullif(F.col("event_type"), F.lit("error"))
+    )
+    first_half = (
+        ev.filter(F.col("ts") < "2024-01-16")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_first"))
+    )
+    second_half = (
+        ev.filter(F.col("ts") >= "2024-01-16")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_second"))
+    )
+    return (
+        first_half.join(second_half, first_half.k.eqNullSafe(second_half.k))
+        .select(
+            F.coalesce(first_half.k, F.lit("<null-key>")).alias("join_key"),
+            "n_first",
+            "n_second",
+        )
+        .orderBy("join_key")
+    )
+
+
+QUERIES["null_safe_join_counts"] = null_safe_join_counts
+ORACLE["null_safe_join_counts"] = """
+WITH ev AS (
+  SELECT NULLIF(event_type, 'error') AS k, ts FROM events),
+f AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_first
+  FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY k),
+s AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_second
+  FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY k)
+SELECT COALESCE(f.k, '<null-key>') AS join_key, f.n_first, s.n_second
+FROM f JOIN s ON f.k IS NOT DISTINCT FROM s.k
+ORDER BY join_key
+"""

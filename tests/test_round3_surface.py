@@ -490,6 +490,7 @@ def test_round3_batch4_matches_oracle(spark, duck, name):
         "sql_table_function_calendar",
         "file_metadata_audit",
         "ab_test_chi_square",
+        "null_safe_join_counts",
     ],
 )
 def test_round3_batch5_matches_oracle(spark, duck, name):
