@@ -599,3 +599,33 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     for r in rows:
         assert r.u_max - r.u_min <= 128, r
         assert r.v_max - r.v_min <= 128, r
+
+
+def test_bitmask_intersection_bound_is_safe():
+    """Property test for the LSH candidate pruner's bound: for ANY two
+    token sets, |A∩B| <= min(|A| - popcount(maskA & ~maskB),
+    |B| - popcount(maskB & ~maskA)) — i.e. the pruner can only drop
+    pairs that provably cannot reach the threshold, never a true pair.
+    Pure-Python mirror of the Spark expression (same xxhash64-mod-64
+    bit assignment is irrelevant to the property: ANY hash keeps the
+    bound safe, so a simpler hash suffices here)."""
+    import random
+
+    rng = random.Random(7)
+
+    def mask(tokens):
+        m = 0
+        for t in tokens:
+            m |= 1 << (hash(t) % 64)
+        return m
+
+    for _ in range(500):
+        vocab = [f"t{i}" for i in range(rng.randrange(5, 200))]
+        a = set(rng.sample(vocab, rng.randrange(1, len(vocab) + 1)))
+        b = set(rng.sample(vocab, rng.randrange(1, len(vocab) + 1)))
+        ma, mb = mask(a), mask(b)
+        bound = min(
+            len(a) - bin(ma & ~mb & (2**64 - 1)).count("1"),
+            len(b) - bin(mb & ~ma & (2**64 - 1)).count("1"),
+        )
+        assert len(a & b) <= bound, (sorted(a), sorted(b))
