@@ -913,8 +913,12 @@ def ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested with the chi-square statistic evaluated EXACTLY — chi2 =
     N*(ad-bc)^2 / (row1*row2*col1*col2) is a pure rational of the
     counts, so the 95% significance comparison chi2 > 3.841 becomes an
-    integer cross-multiplication (DECIMAL(38) intermediates; ~1e23 max)
-    with no libm, identical in both engines. The fixture's hash split
+    integer cross-multiplication with no libm, identical in both
+    engines. Every product is evaluated in DECIMAL(38,0) — operands
+    cast BEFORE any multiplication, so nothing ever passes through
+    64-bit wraparound arithmetic; exact to ~1e7 users per cell, and
+    past that Spark yields NULL (never a silently wrapped answer)
+    while the HUGEINT oracle stays exact to ~1e9. The fixture's hash split
     carries no real effect, so `significant` is robustly FALSE — a
     well-randomized A/A-style check, which is itself the standard
     sanity screen an experimentation platform runs.
@@ -942,16 +946,31 @@ def ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = F.col("A_conv"), F.col("A_non")
     c, d = F.col("B_conv"), F.col("B_non")
-    n = a + b + c + d
-    lhs = (n * (a * d - b * c) * (a * d - b * c) * 1000).cast("decimal(38,0)")
-    rhs = (F.lit(3841).cast("decimal(38,0)")
-           * ((a + b) * (c + d)).cast("decimal(38,0)")
-           * ((a + c) * (b + d)).cast("decimal(38,0)"))
     return wide.select(
         a.alias("a_conv"), b.alias("a_non"),
         c.alias("b_conv"), d.alias("b_non"),
-        (lhs > rhs).alias("significant_95"),
+        chi_square_significant_95(a, b, c, d).alias("significant_95"),
     )
+
+
+def chi_square_significant_95(a, b, c, d):
+    """chi2(a,b,c,d) > 3.841 as an exact integer cross-multiplication.
+
+    All arithmetic in DECIMAL(38,0) from the first multiplication: the
+    raw LongType product n*(ad-bc)^2*1000 would silently wrap in
+    non-ANSI Spark once counts reach ~1e5 per cell (while DuckDB's
+    BIGINT errors), diverging exactly when the statistic gets large.
+    Decimal keeps the comparison exact to ~1e7 users per cell; beyond
+    that Spark yields NULL (never a wrapped wrong answer).
+    """
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    n = dec(a) + dec(b) + dec(c) + dec(d)
+    diff = dec(a) * dec(d) - dec(b) * dec(c)
+    lhs = n * diff * diff * F.lit(1000).cast("decimal(38,0)")
+    rhs = (F.lit(3841).cast("decimal(38,0)")
+           * ((dec(a) + dec(b)) * (dec(c) + dec(d)))
+           * ((dec(a) + dec(c)) * (dec(b) + dec(d))))
+    return lhs > rhs
 
 
 QUERIES["ab_test_chi_square"] = ab_test_chi_square
@@ -978,8 +997,11 @@ wide AS (
   FROM cells)
 SELECT CAST(a AS BIGINT) AS a_conv, CAST(b AS BIGINT) AS a_non,
        CAST(c AS BIGINT) AS b_conv, CAST(d AS BIGINT) AS b_non,
-       (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000
-         > 3841 * ((a + b) * (c + d)) * ((a + c) * (b + d))
+       CAST(a + b + c + d AS HUGEINT)
+         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) * 1000
+         > 3841 * (CAST(a + b AS HUGEINT) * (c + d))
+                * (CAST(a + c AS HUGEINT) * (b + d))
          AS significant_95
 FROM wide
 """

@@ -164,25 +164,54 @@ class _SynthReader(_SynthReaderBase):
 class _SynthStreamReader(DataSourceStreamReader):
     """Stream reader: offset = {"index": next_unread}; each microbatch
     admits ``rows_per_batch`` more indices until ``num_rows`` is
-    exhausted, then the offset stops advancing (a bounded stream)."""
+    exhausted, then the offset stops advancing (a bounded stream).
+
+    Restart safety: after a checkpoint restart Spark constructs a FRESH
+    reader, so any admission counter kept only in instance memory would
+    restart at 0 and ``latestOffset`` could return a value below the
+    committed position — the engine would then plan a regressed batch
+    and later re-emit committed index ranges (duplicates). Two guards
+    make the reader restart-safe without any external state:
+
+    * ``_floor``: the start index of the FIRST ``partitions`` call this
+      reader ever receives. That start is the engine's own
+      committed/offset-logged frontier (the replayed in-flight batch
+      after a crash, or the first post-restart batch after a clean
+      shutdown), so nothing below it may ever be re-emitted; every
+      emitted range is clamped to it. Capturing it once keeps
+      ``partitions`` IDEMPOTENT — the engine plans the same offset
+      range more than once (plan + execute, retries), and a clamp that
+      advanced per call would swallow the replay (found the hard way:
+      the replayed batch emitted 0 rows).
+    * ``latestOffset`` advances from the largest index the engine has
+      confirmed through any callback (floor, planned batch ends,
+      commits), so a fresh reader jumps forward to the checkpointed
+      frontier instead of recounting admission from 0.
+    """
 
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("num_rows", 1000))
         self.per_batch = int(options.get("rows_per_batch", 250))
         self.p = max(1, int(options.get("num_partitions", 4)))
+        self._latest = 0  # largest index seen via any engine callback
+        self._floor: int | None = None  # first engine-provided start
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        # Monotone admission capped at the configured table size. The
-        # engine calls this once per microbatch; the returned watermark
-        # only ever grows, so committed ranges are never re-emitted.
-        self._latest = min(getattr(self, "_latest", 0) + self.per_batch, self.n)
+        # Monotone admission capped at the configured table size,
+        # resumed from the engine-confirmed frontier after a restart.
+        base = max(self._latest, self._floor or 0)
+        self._latest = min(base + self.per_batch, self.n)
         return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict) -> list[_RangePartition]:
         lo, hi = start["index"], end["index"]
+        if self._floor is None:
+            self._floor = lo
+        self._latest = max(self._latest, hi, self._floor)
+        lo = max(lo, self._floor)  # never re-emit below the restart frontier
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         span = max(1, (hi - lo + self.p - 1) // self.p)
@@ -193,7 +222,9 @@ class _SynthStreamReader(DataSourceStreamReader):
             yield _row(i)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing external to clean up; ranges regenerate on replay
+        # Nothing external to clean up; note the committed frontier so
+        # admission stays monotone relative to it.
+        self._latest = max(self._latest, end["index"])
 
 
 class EventSynthDataSource(DataSource):

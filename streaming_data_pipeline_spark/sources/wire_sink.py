@@ -17,11 +17,24 @@ Spark's own FileStreamSink and the foreachBatch upsert sink
 Both the batch writer and the stream writer reuse one staging core; the
 stream commit stamps the epoch's batchId into the manifest line, so a
 replayed microbatch (restart between sink-commit and source-commit)
-overwrites its own entry idempotently instead of double-publishing.
+supersedes its own entry idempotently instead of double-publishing.
 
-At scale: tasks write independently (no driver data path), commit is
-O(tasks) driver metadata work, and the manifest is append-only — the
-pattern holds at any fan-in.
+Ledger discipline: the manifest is APPEND-ONLY — each commit appends
+exactly one JSON line via a single ``O_APPEND`` write (never a
+read-modify-write of the whole file), and readers resolve it
+last-key-wins. Consequences:
+
+* batch ``mode("append")`` commits carry a fresh ``batch-<uuid>`` key,
+  so successive appends to one path ACCUMULATE entries;
+* batch ``mode("overwrite")`` appends a line flagged ``truncate`` that
+  invalidates every earlier entry at read time (old data files linger
+  but are unreachable, like an overwritten table snapshot);
+* a replayed streaming epoch re-appends its fixed ``epoch-<batchId>``
+  key and last-key-wins keeps exactly one copy visible;
+* two concurrent writers to one path cannot drop each other's entries —
+  each appends its own line. (POSIX ``O_APPEND`` single-write lines on
+  a local/NFS-coherent filesystem; on object stores you'd swap this
+  file for a log table, the protocol is unchanged.)
 """
 
 from __future__ import annotations
@@ -62,17 +75,13 @@ def _stage_partition(path: str, iterator) -> _Staged:
     return _Staged(filename=name, rows=n)
 
 
-def _promote(path: str, messages, ledger_key: str) -> None:
-    """Driver side: move staged files into place and record them under
-    ``ledger_key`` in the manifest (idempotent per key — a replayed
-    streaming batch replaces its own entry)."""
+def _promote(path: str, messages, ledger_key: str, truncate: bool = False) -> None:
+    """Driver side: move staged files into place and APPEND one manifest
+    line recording them under ``ledger_key``. Idempotent per key via
+    last-key-wins at read time (a replayed streaming epoch supersedes
+    its own entry); ``truncate`` marks an overwrite commit that
+    invalidates all earlier entries."""
     manifest = os.path.join(path, "_manifest")
-    entries: dict[str, list[str]] = {}
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            for line in f:
-                e = json.loads(line)
-                entries[e["key"]] = e["files"]
     files = []
     for m in messages:
         if m is None:
@@ -81,12 +90,32 @@ def _promote(path: str, messages, ledger_key: str) -> None:
         dst = os.path.join(path, m.filename)
         os.replace(src, dst)
         files.append(m.filename)
-    entries[ledger_key] = files
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        for k, v in entries.items():
-            f.write(json.dumps({"key": k, "files": v}) + "\n")
-    os.replace(tmp, manifest)
+    entry: dict = {"key": ledger_key, "files": files}
+    if truncate:
+        entry["truncate"] = True
+    # One O_APPEND write per commit: concurrent committers interleave
+    # whole lines instead of clobbering each other's read-modify-write.
+    fd = os.open(manifest, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    try:
+        os.write(fd, (json.dumps(entry) + "\n").encode())
+    finally:
+        os.close(fd)
+
+
+def _manifest_entries(path: str) -> dict[str, list[str]]:
+    """Resolve the append-only manifest: last key wins; a ``truncate``
+    line (overwrite commit) discards everything before it."""
+    manifest = os.path.join(path, "_manifest")
+    entries: dict[str, list[str]] = {}
+    if not os.path.exists(manifest):
+        return entries
+    with open(manifest) as f:
+        for line in f:
+            e = json.loads(line)
+            if e.get("truncate"):
+                entries.clear()
+            entries[e["key"]] = e["files"]
+    return entries
 
 
 def _discard(path: str, messages) -> None:
@@ -100,14 +129,20 @@ def _discard(path: str, messages) -> None:
 
 
 class _WireBatchWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
+        # Fresh key per job: successive mode("append") saves accumulate
+        # manifest entries instead of silently replacing a fixed key.
+        self.job_key = f"batch-{uuid.uuid4().hex}"
 
     def write(self, iterator) -> _Staged:
         return _stage_partition(self.path, iterator)
 
     def commit(self, messages) -> None:
-        _promote(self.path, messages, ledger_key="batch")
+        _promote(
+            self.path, messages, ledger_key=self.job_key, truncate=self.overwrite
+        )
 
     def abort(self, messages) -> None:
         _discard(self.path, messages)
@@ -136,7 +171,7 @@ class WireSinkDataSource(DataSource):
         return "wire_sink"
 
     def writer(self, schema, overwrite: bool) -> _WireBatchWriter:
-        return _WireBatchWriter(self.options)
+        return _WireBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> _WireStreamWriter:
         return _WireStreamWriter(self.options)
@@ -149,14 +184,10 @@ def register(spark) -> None:
 def committed_files(path: str) -> list[str]:
     """Absolute paths of every manifest-committed file (staged/orphaned
     files are invisible by construction)."""
-    manifest = os.path.join(path, "_manifest")
-    if not os.path.exists(manifest):
-        return []
     out = []
-    with open(manifest) as f:
-        for line in f:
-            for name in json.loads(line)["files"]:
-                out.append(os.path.join(path, name))
+    for names in _manifest_entries(path).values():
+        for name in names:
+            out.append(os.path.join(path, name))
     return out
 
 

@@ -189,3 +189,117 @@ def test_wire_sink_streaming_epochs(spark, tmp_path):
 
 def test_wire_sink_roundtrip_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "wire_sink_roundtrip", SF_DIR)
+
+
+def _drain(reader, start_idx, end_idx):
+    parts = reader.partitions({"index": start_idx}, {"index": end_idx})
+    return sorted(i for p in parts for (i, *_rest) in reader.read(p))
+
+
+def test_stream_reader_replays_uncommitted_batch_after_restart():
+    """Restart with an in-flight (offset-logged but uncommitted) batch:
+    the fresh reader must replay exactly the logged range, then resume
+    admission from its end — no duplicates, no gaps."""
+    opts = {"num_rows": "1000", "rows_per_batch": "300"}
+    # --- original run: two batches planned, only the first committed
+    r1 = pysource._SynthStreamReader(opts)
+    assert r1.latestOffset() == {"index": 300}
+    assert _drain(r1, 0, 300) == list(range(0, 300))
+    r1.commit({"index": 300})
+    assert r1.latestOffset() == {"index": 600}  # batch 2 planned, crash here
+    # --- restart: fresh reader, engine replays the logged batch 2
+    r2 = pysource._SynthStreamReader(opts)
+    assert _drain(r2, 300, 600) == list(range(300, 600))  # verbatim replay
+    r2.commit({"index": 600})
+    # admission resumes from the committed frontier, not from 0
+    assert r2.latestOffset() == {"index": 900}
+    assert _drain(r2, 600, 900) == list(range(600, 900))
+
+
+def test_stream_reader_clean_restart_never_duplicates():
+    """Restart after a clean shutdown (all batches committed): the fresh
+    reader's first latestOffset is below the committed start the engine
+    hands to partitions(); the clamp must keep every subsequent emitted
+    range disjoint from the committed prefix."""
+    opts = {"num_rows": "1000", "rows_per_batch": "300"}
+    committed = 600  # rows [0, 600) were committed before shutdown
+    r = pysource._SynthStreamReader(opts)
+    emitted = []
+    # Engine loop: start = previous end (from its offset log), end = the
+    # reader's latestOffset — exactly the regressed-offset scenario.
+    start = committed
+    for _ in range(6):
+        end = r.latestOffset()["index"]
+        emitted += _drain(r, start, end)
+        r.commit({"index": end})
+        start = end
+    assert emitted == list(range(600, 1000))  # no dups below 600, no gaps
+
+
+def test_stream_reader_partitions_idempotent():
+    """The engine plans the same offset range more than once (plan +
+    execute, task retries); partitions() must return the same rows every
+    time — a restart clamp that advanced per call swallowed the replay
+    (the replayed batch emitted 0 rows)."""
+    r = pysource._SynthStreamReader({"num_rows": "1000", "rows_per_batch": "300"})
+    first = _drain(r, 300, 600)
+    second = _drain(r, 300, 600)
+    assert first == second == list(range(300, 600))
+
+
+def test_stream_restart_end_to_end_exactly_once(spark, tmp_path):
+    """Full checkpoint-restart through the engine: run the bounded
+    stream partway, stop, restart against the same checkpoint, and
+    assert the parquet sink holds each event_id exactly once."""
+    import time
+
+    pysource.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _start():
+        return (
+            spark.readStream.format("event_synth")
+            .option("num_rows", 600)
+            .option("rows_per_batch", 100)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = _start()
+    deadline = time.time() + 60
+    while True:  # let at least one batch commit, then stop mid-stream
+        p = q.lastProgress
+        if p and p["numInputRows"] and time.time() > 0:
+            try:
+                if spark.read.parquet(out).count() >= 100:
+                    break
+            except Exception:
+                pass
+        if time.time() > deadline:
+            q.stop()
+            raise TimeoutError("first run never committed a batch")
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    q = _start()  # fresh reader + existing checkpoint = the restart path
+    deadline = time.time() + 90
+    while True:
+        n = spark.read.parquet(out).count()
+        if n >= 600:
+            break
+        if time.time() > deadline:
+            q.stop()
+            raise TimeoutError("restarted run never reached 600 rows")
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 600  # no duplicate re-emission after restart
+    assert got.select("event_id").distinct().count() == 600

