@@ -173,20 +173,23 @@ class _SynthStreamReader(DataSourceStreamReader):
     and later re-emit committed index ranges (duplicates). Two guards
     make the reader restart-safe without any external state:
 
-    * ``_floor``: the start index of the FIRST ``partitions`` call this
-      reader ever receives. That start is the engine's own
-      committed/offset-logged frontier (the replayed in-flight batch
-      after a crash, or the first post-restart batch after a clean
-      shutdown), so nothing below it may ever be re-emitted; every
-      emitted range is clamped to it. Capturing it once keeps
-      ``partitions`` IDEMPOTENT — the engine plans the same offset
-      range more than once (plan + execute, retries), and a clamp that
-      advanced per call would swallow the replay (found the hard way:
-      the replayed batch emitted 0 rows).
+    * ``_floor``: updated ONLY from INVERTED ``partitions`` calls
+      (start > end). An inverted plan is the unique signature of a
+      regressed offset — a fresh reader's first ``latestOffset``
+      returned a value below the engine's logged frontier, and the
+      engine planned (frontier, regressed_latest). That call's START is
+      the engine's own committed/logged frontier, so nothing below it
+      may ever be re-emitted; every later range is clamped to it.
+      Forward calls (start < end) never move the floor — the engine
+      plans the same range repeatedly (a (end,end) probe on restart,
+      plan + execute, retries), and any per-call advancing clamp
+      swallows the legitimate replay of the in-flight batch (found the
+      hard way, twice: the replayed batch emitted 0 rows). This rule
+      keeps ``partitions`` idempotent for any call sequence.
     * ``latestOffset`` advances from the largest index the engine has
-      confirmed through any callback (floor, planned batch ends,
-      commits), so a fresh reader jumps forward to the checkpointed
-      frontier instead of recounting admission from 0.
+      confirmed through any callback (planned starts/ends, commits), so
+      a fresh reader jumps forward to the checkpointed frontier instead
+      of recounting admission from 0.
     """
 
     def __init__(self, options: dict) -> None:
@@ -194,7 +197,7 @@ class _SynthStreamReader(DataSourceStreamReader):
         self.per_batch = int(options.get("rows_per_batch", 250))
         self.p = max(1, int(options.get("num_partitions", 4)))
         self._latest = 0  # largest index seen via any engine callback
-        self._floor: int | None = None  # first engine-provided start
+        self._floor = 0  # committed frontier evidenced by inverted plans
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -202,15 +205,16 @@ class _SynthStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Monotone admission capped at the configured table size,
         # resumed from the engine-confirmed frontier after a restart.
-        base = max(self._latest, self._floor or 0)
-        self._latest = min(base + self.per_batch, self.n)
+        self._latest = min(self._latest + self.per_batch, self.n)
         return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict) -> list[_RangePartition]:
         lo, hi = start["index"], end["index"]
-        if self._floor is None:
-            self._floor = lo
-        self._latest = max(self._latest, hi, self._floor)
+        if lo > hi:
+            # Regressed plan: only happens when a fresh reader's first
+            # latestOffset fell below the engine's logged frontier (lo).
+            self._floor = max(self._floor, lo)
+        self._latest = max(self._latest, lo, hi)
         lo = max(lo, self._floor)  # never re-emit below the restart frontier
         if hi <= lo:
             return [_RangePartition(lo, lo)]

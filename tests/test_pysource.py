@@ -236,6 +236,20 @@ def test_stream_reader_clean_restart_never_duplicates():
     assert emitted == list(range(600, 1000))  # no dups below 600, no gaps
 
 
+def test_stream_reader_probe_then_replay_emits():
+    """The engine's observed restart sequence: first a (end, end) probe
+    whose start is the END of the uncommitted batch, then the real
+    replay of that batch. The probe must not poison the restart floor —
+    an earlier fix used first-call start as the floor and the replay
+    emitted 0 rows."""
+    r = pysource._SynthStreamReader({"num_rows": "600", "rows_per_batch": "100"})
+    assert _drain(r, 400, 400) == []            # probe
+    assert _drain(r, 300, 400) == list(range(300, 400))  # replay survives
+    r.commit({"index": 400})
+    assert r.latestOffset() == {"index": 500}   # resumes past the frontier
+    assert _drain(r, 400, 500) == list(range(400, 500))
+
+
 def test_stream_reader_partitions_idempotent():
     """The engine plans the same offset range more than once (plan +
     execute, task retries); partitions() must return the same rows every
