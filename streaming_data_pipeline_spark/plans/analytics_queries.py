@@ -681,9 +681,16 @@ def daily_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_i |p_i - q_i| is a pure RATIONAL of the integer counts
     (|c_i*m - d_i*n| summed over types, over 2*n*m), so both engines
     compute it exactly — no libm log drift, no smoothing constants.
-    Shape: one (day, type) hash-agg, a day-level pivot via map, one lag
-    window over days, and an integer fold — the day table is tiny no
-    matter how big the fact table is.
+    Shape: one (day, type) hash-agg, a lag window over the tiny day
+    table to pair adjacent days, a full-outer join of each pair's two
+    count sets ON TYPE AS ROWS, and one sum — pure expressions end to
+    end. No driver-side ``collect()`` anywhere: an earlier version
+    enumerated the type domain on the driver and emitted one column
+    expression per type, which made plan size grow with the data's key
+    domain (fine for a 5-value enum, fatal for an open-ended one) and
+    cost an extra job before the real one. The row shape is invariant
+    to domain size: all joins/aggs key on the |days| x |types| table,
+    which stays tiny no matter how big the fact table is.
     """
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
@@ -691,39 +698,43 @@ def daily_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_date", "event_type").agg(
         F.count("*").alias("c")
     )
-    day_tot = daily.groupBy("event_date").agg(
-        F.sum("c").alias("n"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("event_type", "c")))
-        ).alias("dist"),
-    )
     w = Window.orderBy("event_date")
-    paired = day_tot.select(
+    days = daily.groupBy("event_date").agg(F.sum("c").alias("n"))
+    pairs = days.select(
         "event_date",
         "n",
-        "dist",
+        F.lag("event_date").over(w).alias("prev_date"),
         F.lag("n").over(w).alias("m"),
-        F.lag("dist").over(w).alias("prev"),
-    ).filter(F.col("prev").isNotNull())
-    # numerator = sum over the union of types of |c_i*m - d_i*n|
-    types = [
-        r.event_type
-        for r in ev.select("event_type").distinct().orderBy("event_type").collect()
-    ]
-    num = None
-    for t in types:
-        term = F.abs(
-            F.coalesce(F.col("dist")[t], F.lit(0)) * F.col("m")
-            - F.coalesce(F.col("prev")[t], F.lit(0)) * F.col("n")
-        )
-        num = term if num is None else num + term
-    return paired.select(
+    ).filter(F.col("prev_date").isNotNull())
+    cur_k = pairs.join(daily, "event_date").select(
+        "event_date", "n", "m", "event_type", "c"
+    )
+    prv_k = pairs.join(
+        daily.select(
+            F.col("event_date").alias("prev_date"),
+            "event_type",
+            F.col("c").alias("pc"),
+        ),
+        "prev_date",
+    ).select("event_date", "n", "m", "event_type", "pc")
+    # full outer on type within each day pair: types present only in
+    # the current day contribute |c*m|, only in the previous day |pc*n|
+    full = cur_k.join(prv_k, ["event_date", "n", "m", "event_type"], "full_outer")
+    folded = full.groupBy("event_date", "n", "m").agg(
+        F.sum(
+            F.abs(
+                F.coalesce(F.col("c"), F.lit(0)) * F.col("m")
+                - F.coalesce(F.col("pc"), F.lit(0)) * F.col("n")
+            )
+        ).alias("num")
+    )
+    return folded.select(
         F.col("event_date").cast("timestamp").alias("event_date"),
         F.col("n").cast("long").alias("day_events"),
-        num.cast("long").alias("tv_numerator"),
+        F.col("num").cast("long").alias("tv_numerator"),
         (2 * F.col("n") * F.col("m")).cast("long").alias("tv_denominator"),
         (
-            F.round(num.cast("double") / (2 * F.col("n") * F.col("m")), 6)
+            F.round(F.col("num").cast("double") / (2 * F.col("n") * F.col("m")), 6)
             + F.lit(0.0)
         ).alias("tv_distance"),
     ).orderBy("event_date")
@@ -828,7 +839,10 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterate bit-identically with no float summation-order hazard. The
     oracle unrolls the same three iterations in SQL. At scale the
     iteration state is |nodes| and each step is one join + hash-agg on
-    the edge list — the standard Pregel-style shape.
+    the edge list — the standard Pregel-style shape. The 1/N init and
+    0.15/N teleport constants ride along as a broadcast 1-row
+    aggregate (no ``nodes.count()`` driver action at plan-construction
+    time), so the whole query is a single declarative job.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -841,12 +855,15 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
     e = edges.join(out_w, "src")
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    n_nodes = nodes.count()
-    base = 150_000 // n_nodes  # 0.15 * 1e6 / N, exact for the 5-type fixture
-    rank = nodes.withColumn("rank", F.lit(1_000_000 // n_nodes).cast("long"))
+    # 1-row frame carrying N; broadcast-cross-joined so 1/N and 0.15/N
+    # fold into the plan without a driver-side count() action
+    nn = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n_nodes", F.expr("1000000 div n_nodes").cast("long").alias("rank")
+    )
     for _ in range(3):
         contrib = (
-            e.join(rank, e.src == rank.node)
+            e.join(rank.select("node", "rank"), e.src == F.col("node"))
             .select(
                 "dst",
                 F.expr("(rank * weight) div w_out").alias("c"),
@@ -854,14 +871,17 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        rank = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"(17 * coalesce(inflow, 0L)) div 20")
-            ).cast("long").alias("rank"),
+        rank = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                "n_nodes",
+                (
+                    F.expr("150000 div n_nodes")
+                    + F.expr("(17 * coalesce(inflow, 0L)) div 20")
+                ).cast("long").alias("rank"),
+            )
         )
     return rank.select("node", "rank").orderBy("node")
 

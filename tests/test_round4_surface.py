@@ -111,3 +111,31 @@ def test_wire_sink_replayed_epoch_superseded(tmp_path):
     assert entries == {"epoch-0": ["b.jsonl"], "epoch-1": ["c.jsonl"]}
     # the manifest itself is append-only: three lines, never rewritten
     assert sum(1 for _ in open(os.path.join(base, "_manifest"))) == 3
+
+
+def test_no_driver_actions_in_plan_construction():
+    """Plans must be pure declarative DataFrame construction: no
+    .collect()/.toPandas() anywhere in plans/, and no bare-variable
+    .count() actions (groupBy().count() transformations and streaming
+    poll loops on spark.table(...) chains are fine). Guards the
+    daily_distribution_drift / pagerank reshapes against regression."""
+    import ast
+    import pathlib
+
+    plans = pathlib.Path("streaming_data_pipeline_spark/plans")
+    offenders = []
+    for path in sorted(plans.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
+                continue
+            name = node.func.attr
+            if name in ("collect", "toPandas"):
+                offenders.append(f"{path.name}:{node.lineno} .{name}()")
+            elif name == "count" and not node.args:
+                # flag df.count() on a plain variable — the plan-time
+                # driver-action shape; itertools.count() is a module call
+                v = node.func.value
+                if isinstance(v, ast.Name) and v.id != "itertools":
+                    offenders.append(f"{path.name}:{node.lineno} .count()")
+    assert not offenders, offenders
