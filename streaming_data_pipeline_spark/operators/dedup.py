@@ -716,3 +716,93 @@ def minhash_cluster_labels(
         "cluster_id",
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+def phash_near_dup_pairs(
+    sig: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs over a perceptual-hash frame
+    ``(doc_id, h_lo, h_hi)`` (two uint32-valued longs = one 64-bit
+    dHash, operators/multimodal.py:dhash_png). Same scale machinery as
+    ``simhash_near_dup_pairs``: images collapse to DISTINCT hash groups
+    first, candidates come from a 4x16-bit chunk pigeonhole band join
+    (any pair within hamming <= 3 must agree on at least one chunk —
+    never all-pairs), verification is exact ``bit_count(xor)`` on the
+    packed longs, and verified group pairs expand back to doc pairs
+    (plus hamming-0 pairs within identical-hash groups). Returns
+    (id_a, id_b, hamming)."""
+    _release_caches()
+    members = _cached(sig.select(F.col("doc_id").alias("id"), "h_lo", "h_hi"))
+    groups = _cached(members.groupBy("h_lo", "h_hi").agg(F.count("*").alias("cnt")))
+
+    def _chunk(p):
+        src = F.col("h_lo") if p < 2 else F.col("h_hi")
+        return F.shiftright(src, 16 * (p % 2)).bitwiseAND(F.lit(0xFFFF))
+
+    banded = groups.select(
+        "h_lo",
+        "h_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("pos"), _chunk(p).alias("chunk"))
+                    for p in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("h_lo", "h_hi", "c.pos", "c.chunk")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (
+                F.struct(F.col("a.h_lo"), F.col("a.h_hi"))
+                < F.struct(F.col("b.h_lo"), F.col("b.h_hi"))
+            ),
+        )
+        .select(
+            F.col("a.h_lo").alias("lo_a"),
+            F.col("a.h_hi").alias("hi_a"),
+            F.col("b.h_lo").alias("lo_b"),
+            F.col("b.h_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    verified = cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= F.lit(max_hamming)
+    )
+    m_a = members.select(
+        F.col("h_lo").alias("lo_a"), F.col("h_hi").alias("hi_a"),
+        F.col("id").alias("ida"),
+    )
+    m_b = members.select(
+        F.col("h_lo").alias("lo_b"), F.col("h_hi").alias("hi_b"),
+        F.col("id").alias("idb"),
+    )
+    cross = (
+        verified.join(m_a, ["lo_a", "hi_a"])
+        .join(m_b, ["lo_b", "hi_b"])
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        groups.filter(F.col("cnt") > 1)
+        .join(members.withColumnRenamed("id", "ida"), ["h_lo", "h_hi"])
+        .join(members.withColumnRenamed("id", "idb"), ["h_lo", "h_hi"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)

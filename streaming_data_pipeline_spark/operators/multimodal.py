@@ -431,3 +431,45 @@ def resize_png_pixels(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, RESIZE_FEATURE_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id long, h_lo long, h_hi long"
+
+
+def dhash_png(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over DECODED pixels: resize
+    the unfiltered grayscale image to a 9x8 grid (nearest neighbor,
+    integer index arithmetic), then bit(r,c) = [px[r][c+1] > px[r][c]]
+    for c in 0..7 — 64 gradient-sign bits, invariant to global
+    brightness shifts, the standard screen for visually-identical
+    images. Packed as two uint32-valued longs (bits 0-31 -> h_lo,
+    32-63 -> h_hi) so XOR/bit_count stay sign-safe in both Spark and
+    the SQL oracle. Same Arrow mapInPandas shape as the other decode
+    stages; at 100 TB this is one narrow pass producing 2 longs per
+    image, and all pairing happens on the hashes, never the pixels.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "h_lo": [], "h_hi": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = _decode_png(bytes(payload))
+                grid = [
+                    [rows[r * h // 8][c * w // 9] for c in range(9)]
+                    for r in range(8)
+                ]
+                lo = hi = 0
+                for r in range(8):
+                    for c in range(8):
+                        if grid[r][c + 1] > grid[r][c]:
+                            k = r * 8 + c
+                            if k < 32:
+                                lo |= 1 << k
+                            else:
+                                hi |= 1 << (k - 32)
+                out["doc_id"].append(doc_id)
+                out["h_lo"].append(lo)
+                out["h_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, DHASH_SCHEMA)

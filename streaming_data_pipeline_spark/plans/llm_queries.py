@@ -1424,3 +1424,61 @@ SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
          AS resized_corner
 FROM rz GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over DECODED pixels — the fusion
+    of the multimodal and dedup stacks: spec-valid PNGs are decoded and
+    unfiltered (operators/multimodal.py:_decode_png), dHashed on a 9x8
+    nearest-neighbor grid (64 gradient-sign bits packed into two
+    sign-safe longs), and paired via the Hamming-pigeonhole band join
+    (operators/dedup.py:phash_near_dup_pairs — distinct-hash collapse,
+    4x16-bit chunk candidates, exact bit_count(xor) verify, never
+    all-pairs). dHash is brightness-shift invariant, so images of the
+    same scene at different exposure land within a few bits. The oracle
+    regenerates grid, bits, packed hashes, and pairs entirely in SQL
+    from the pixel formula — decode, resample, hashing, and pairing all
+    have to be exact for the row to stay green."""
+    from streaming_data_pipeline_spark.operators.dedup import phash_near_dup_pairs
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        dhash_png,
+        synth_png_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dhash_png(synth_png_payloads(docs))
+    return phash_near_dup_pairs(sig, max_hamming=3).orderBy("id_a", "id_b")
+
+
+QUERIES["image_phash_near_dup"] = image_phash_near_dup
+ORACLE["image_phash_near_dup"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents),
+g AS (
+  SELECT d.doc_id, r.i AS r, c.i AS c,
+         (d.doc_id * 31 + ((r.i * d.h) // 8) * 17 + ((c.i * d.w) // 9) * 7)
+           % 256 AS p
+  FROM dims d,
+       UNNEST(range(CAST(8 AS BIGINT))) AS r(i),
+       UNNEST(range(CAST(9 AS BIGINT))) AS c(i)),
+bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS k,
+         CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32
+                       THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS h_lo,
+         CAST(SUM(CASE WHEN k >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS h_hi
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi))
+            AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+ORDER BY id_a, id_b
+"""

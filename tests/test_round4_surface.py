@@ -139,3 +139,36 @@ def test_no_driver_actions_in_plan_construction():
                 if isinstance(v, ast.Name) and v.id != "itertools":
                     offenders.append(f"{path.name}:{node.lineno} .count()")
     assert not offenders, offenders
+
+
+def test_image_phash_near_dup_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "image_phash_near_dup", SF_DIR)
+
+
+def test_phash_banding_finds_every_bruteforce_pair(spark):
+    """The 4x16-bit pigeonhole candidates must recover EXACTLY the
+    brute-force hamming<=3 pairs (banding is a pruning strategy, never
+    a recall loss at this threshold)."""
+    from streaming_data_pipeline_spark.operators.dedup import phash_near_dup_pairs
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        dhash_png,
+        synth_png_payloads,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    sig = dhash_png(synth_png_payloads(docs))
+    hashes = {r.doc_id: (r.h_lo, r.h_hi) for r in sig.collect()}
+    import itertools
+
+    brute = {
+        (a, b): bin((hashes[a][0] ^ hashes[b][0]) | ((hashes[a][1] ^ hashes[b][1]) << 32)).count("1")
+        for a, b in itertools.combinations(sorted(hashes), 2)
+    }
+    brute = {k: v for k, v in brute.items() if v <= 3}
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(sig).collect()
+    }
+    assert got == brute
+    assert len(brute) > 0  # the fixture genuinely contains near-dups
