@@ -172,3 +172,23 @@ def test_phash_banding_finds_every_bruteforce_pair(spark):
     }
     assert got == brute
     assert len(brute) > 0  # the fixture genuinely contains near-dups
+
+
+def test_similarity_int8_rerank_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "similarity_int8_rerank", SF_DIR)
+
+
+def test_int8_rerank_recall_is_perfect_here(spark):
+    """The documented recall floor: on the fixture, int8 quantization
+    error is far below the top-10/rest cosine margin, so the two-stage
+    path recovers the exact brute-force top-10 for every probe."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        similarity_recall_at_k,
+    )
+
+    rows = similarity_recall_at_k(spark, SF_DIR).collect()
+    assert rows and all(r.int8_rerank_recall == 1.0 for r in rows)
+    # and the approximate paths stay ordered as documented
+    assert all(
+        r.multitable_recall >= r.multiprobe_recall >= r.lsh_recall for r in rows
+    )
