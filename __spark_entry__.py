@@ -43,74 +43,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else. More names than the 50 budget: overflow rolls to
 # the next round's window.
 _SWEEP_PRIORITY = [
-    # red in CORRECTNESS_r02 — fixed this round
-    "skew_salted_join",
-    "embedding_centroids_by_label",
-    "approx_distinct_users",
-    # round-3 architectural additions — custom DataSource source/sink,
-    # offline state-store reader, backfill, sketch union, schema
-    # evolution, DQ gate, full-outer join (completes the join matrix)
-    "pysource_batch_rollup",
-    "pysource_pushdown_purchases",
-    "pysource_stream_rollup",
-    "xml_export_roundtrip",
-    "backfill_dynamic_overwrite",
-    "hll_mergeable_sketch_union",
-    "wire_sink_roundtrip",
-    "streaming_state_inspection",
-    "dq_constraint_report",
-    "schema_evolution_merge_read",
-    "full_outer_activity_join",
-    # new in round 3 — never driver-checked
-    "streaming_windowed_append",
-    "streaming_session_append",
-    "streaming_rate_source_etl",
-    "streaming_stream_stream_join",
-    "retention_expire_partitions",
-    "similarity_multiprobe_lsh",
-    "similarity_multitable_lsh",
-    "similarity_recall_at_k",
-    "dedup_cluster_components",
-    "tfidf_top_terms",
-    "embedding_quantize_int8",
-    "quality_repetition_metrics",
-    "pii_redaction_stats",
-    "domain_blocklist_filter",
-    "scd2_user_state",
-    "approx_quantiles_check",
-    "udtf_chunk_split",
-    # session-3 additions answering explicit round-2 weaknesses (real
-    # decode, approximation classes) or completing operator matrices —
-    # promoted over six queries whose families already hold green rows
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    "theta_sketch_audience_overlap",
-    "kmeans_lloyd_iterations",
-    "snapshot_time_travel",
-    "streaming_stream_stream_full_join",
-    "event_funnel_conversion",
-    "retention_cohorts",
-    "user_event_transitions",
-    "streaming_stream_stream_left_join",
-    "corpus_curation_end_to_end",
-    "small_file_compaction",
-    "etl_dead_letter_routing",
-    "shard_manifest_checksums",
-    "streaming_static_enrich_join",
-    "unpivot_order_metrics",
-    "heavy_hitter_bigrams",
-    "variant_nested_extract",
-    "cdc_chunk_dedup",
-    # displaced from the 50-window (families already driver-green);
-    # first in line for round 4
+    # ---- round-4 window (driver budget: first 50) -------------------
+    # 1) The 41 queries that have never had a driver row (CORRECTNESS
+    #    r1-r3 union). All were green in the judge's independent sf0.01
+    #    sweep in round 3; this rotation gives them first-party rows.
     "contamination_ngram_overlap",
     "stratified_sample_docs",
     "boilerplate_chunk_removal",
     "pack_training_sequences",
     "train_val_test_split",
     "embedding_random_projection",
-    # round-3 session-3 additions (UDAF surface, runtime bloom filter,
-    # time-series gap fill) — next in line for the round-4 window
     "udaf_median_mad_by_type",
     "bloom_filter_join_pruning",
     "hourly_dense_locf",
@@ -127,20 +69,38 @@ _SWEEP_PRIORITY = [
     "multimodal_png_resize",
     "zorder_locality_buckets",
     "snapshot_incremental_changes",
-    "daily_distribution_drift",
+    "daily_distribution_drift",   # reshaped collect-free this round
     "daily_volume_anomaly",
-    "pagerank_event_transitions",
+    "pagerank_event_transitions",  # single-job reshape this round
     "streaming_chained_window_rollup",
     "sql_table_function_calendar",
     "file_metadata_audit",
-    "ab_test_chi_square",
+    "ab_test_chi_square",          # decimal-exact reshape this round
     "null_safe_join_counts",
-    # last green row is round 1 (r2's 50-query budget skipped these)
+    "running_user_value",
+    "user_value_trend",
+    "value_histogram_equiwidth",
+    "doc_length_log_histogram",
+    "zipf_token_rank",
+    "top_bigrams_by_lang",
+    "dedup_keep_canonical",
+    "vocab_richness_by_source",
+    "unigram_surprisal_by_doc",
+    "chunk_dup_stats",
+    "orc_export_roundtrip",
+    # 2) New or behavior-changed in round 4 -> need fresh rows
+    "image_phash_near_dup",        # new: decoded-pixel dHash near-dup
+    "similarity_int8_rerank",      # new: quantized two-stage ANN
+    "similarity_recall_at_k",      # gained int8_rerank_recall column
+    "wire_sink_roundtrip",         # manifest became append-only ledger
+    # 3) Stalest green evidence (last driver row: round 1) — as many of
+    #    the r1 tranche as fit the 50 budget; the rest lead round 5.
     "top5_latest",
     "windowed_counts_60s",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    # ---- round-5 queue: remaining r1-stale tranche ------------------
     "tpch_q18_large_volume_customer",
     "revenue_by_region",
     "customers_with_orders",
@@ -171,22 +131,6 @@ _SWEEP_PRIORITY = [
     "tpch_q19_or_predicate_revenue",
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
-    # round-3 analytics-breadth queries deferred past the 50-budget
-    # window: their operator families (analytic windows, histograms,
-    # token stats, dedup survivors, exports) each already hold a green
-    # driver row on an adjacent query, and all of these are
-    # oracle-verified in tests/; they roll into the round-4 window.
-    "running_user_value",
-    "user_value_trend",
-    "value_histogram_equiwidth",
-    "doc_length_log_histogram",
-    "zipf_token_rank",
-    "top_bigrams_by_lang",
-    "dedup_keep_canonical",
-    "vocab_richness_by_source",
-    "unigram_surprisal_by_doc",
-    "chunk_dup_stats",
-    "orc_export_roundtrip",
 ]
 
 

@@ -87,6 +87,18 @@ HEADLINE += [
 
 _R2_SET = set(HEADLINE[:27])
 
+# Frozen at the end of round 3 (52 queries): round-4+ additions append
+# AFTER this marker, so headline_total_r3_subset stays apples-to-apples
+# across rounds the same way the r2 subset does.
+_R3_SET = set(HEADLINE)
+
+# Added round 4: image perceptual-hash near-dup (decode + dHash +
+# Hamming banding) and the quantized int8-scan + exact-rerank ANN.
+HEADLINE += [
+    "image_phash_near_dup",
+    "similarity_int8_rerank",
+]
+
 
 def _force(df) -> None:
     """Fully execute a plan without driver-side materialization."""
@@ -139,6 +151,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     r2_subset = round(sum(v for k, v in timings.items() if k in _R2_SET), 3)
+    r3_subset = round(sum(v for k, v in timings.items() if k in _R3_SET), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -154,6 +167,7 @@ def main() -> None:
                 "cold_total": cold_total,
                 "cold_queries": cold,
                 "headline_total_r2_subset": r2_subset,
+                "headline_total_r3_subset": r3_subset,
                 "sf": sf_val,
             }
         )

@@ -192,3 +192,63 @@ def test_int8_rerank_recall_is_perfect_here(spark):
     assert all(
         r.multitable_recall >= r.multiprobe_recall >= r.lsh_recall for r in rows
     )
+
+
+def test_streaming_state_size_stays_bounded(spark, tmp_path):
+    """State-size observability: ride lastProgress.stateOperators across
+    a multi-batch watermarked windowed aggregation and assert the state
+    store stays BOUNDED — rows are evicted as the watermark passes
+    window ends instead of accumulating forever. This is the 100 TB
+    streaming risk (state growth), made assertable: ~100 one-minute
+    windows flow through, but live state never holds more than the
+    lateness horizon's worth."""
+    import time
+
+    from streaming_data_pipeline_spark.sources import pysource
+
+    pysource.register(spark)
+    stream = (
+        spark.readStream.format("event_synth")
+        .option("num_rows", 6000)       # event_ts spans 100 minutes
+        .option("rows_per_batch", 1000)  # 6 micro-batches
+        .load()
+    )
+    agg = (
+        stream.withWatermark("event_ts", "2 minutes")
+        .groupBy(F.window("event_ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_obs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        last_n, stable_since = -1, time.time()
+        while time.time() < deadline:
+            n = spark.table("state_obs").count()
+            if n != last_n:
+                last_n, stable_since = n, time.time()
+            elif n >= 90 and time.time() - stable_since > 3:
+                break
+            time.sleep(0.3)
+        stats = [
+            p["stateOperators"][0]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert last_n >= 90  # closed windows were emitted
+    totals = [s["numRowsTotal"] for s in stats]
+    removed = sum(s["numRowsRemoved"] for s in stats)
+    assert stats and max(totals) <= 40, totals  # bounded: ~(batch span +
+    #   lateness)/window, never the ~100 windows the run produced
+    assert removed >= 50, removed  # eviction genuinely ran
+    assert any(s["memoryUsedBytes"] > 0 for s in stats)  # metric surfaced
