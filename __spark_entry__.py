@@ -91,6 +91,8 @@ _SWEEP_PRIORITY = [
     # 2) New or behavior-changed in round 4 -> need fresh rows
     "image_phash_near_dup",        # new: decoded-pixel dHash near-dup
     "similarity_int8_rerank",      # new: quantized two-stage ANN
+    "semantic_dedup_keep_canonical",   # new: SemDeDup-style embedding CC
+    "dedup_minhash_estimate_error",    # new: integer-exact est-vs-exact
     "similarity_recall_at_k",      # gained int8_rerank_recall column
     "wire_sink_roundtrip",         # manifest became append-only ledger
     # 3) Stalest green evidence (last driver row: round 1) — as many of
@@ -98,9 +100,9 @@ _SWEEP_PRIORITY = [
     "top5_latest",
     "windowed_counts_60s",
     "tpch_q1_pricing_summary",
+    # ---- round-5 queue: remaining r1-stale tranche ------------------
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    # ---- round-5 queue: remaining r1-stale tranche ------------------
     "tpch_q18_large_volume_customer",
     "revenue_by_region",
     "customers_with_orders",

@@ -97,6 +97,8 @@ _R3_SET = set(HEADLINE)
 HEADLINE += [
     "image_phash_near_dup",
     "similarity_int8_rerank",
+    "semantic_dedup_keep_canonical",
+    "dedup_minhash_estimate_error",
 ]
 
 

@@ -1551,3 +1551,222 @@ FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
 ORDER BY id_a, id_b
 """
+
+
+def semantic_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication over the embedding space —
+    the third dedup modality alongside lexical (minhash/simhash) and
+    visual (image_phash_near_dup): near-dup pairs from bucketed cosine
+    similarity (operators/similarity.py:near_dup_pairs — LSH buckets,
+    never all-pairs), connected components via the two-phase distributed
+    union-find (operators/dedup.py:_unionfind_components, bounded by
+    |vectors-with-edges|), then keep the minimum vec_id per cluster.
+    Output: (vec_id, cluster_id, cluster_size, keep) — the `keep=false`
+    rows are the semantically redundant vectors a curation pipeline
+    drops. The oracle recomputes pairs and components with a recursive
+    transitive-closure CTE (oracle-only O(cluster^2) shape)."""
+    from streaming_data_pipeline_spark.operators.dedup import _unionfind_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    labels = _unionfind_components(pairs, nodes)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").cast("long").alias("vec_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+            F.col("sz").cast("long").alias("cluster_size"),
+            (F.col("node") == F.col("label")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["semantic_dedup_keep_canonical"] = semantic_dedup_keep_canonical
+
+_EMB_PAIRS_SQL = ORACLE["embedding_near_dup_pairs"].rsplit("ORDER BY", 1)[0]
+
+ORACLE["semantic_dedup_keep_canonical"] = f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ( {_EMB_PAIRS_SQL} )),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT vec_id AS node FROM embeddings),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node
+),
+labels AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT CAST(l.vec_id AS BIGINT) AS vec_id,
+       CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(c.sz AS BIGINT) AS cluster_size,
+       l.vec_id = l.cluster_id AS keep
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id) c
+  USING (cluster_id)
+ORDER BY l.vec_id
+"""
+
+
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash APPROXIMATION QUALITY, measured — the dedup analog of
+    similarity_recall_at_k: for every LSH candidate pair (shares >= 1
+    band bucket; no threshold pruning), the signature-estimated Jaccard
+    (matching slots / 32) is compared against the exact token-set
+    Jaccard, ENTIRELY IN INTEGERS: err = |m/32 - i/u| is reported as
+    err_num = |m*u - 32*i| over err_den = 32*u, so the row is exact in
+    both engines — no float subtraction, no rounding ties. Same scale
+    shape as minhash_lsh_pairs: docs collapse to distinct token-set
+    groups, one codegen signature hash-agg, banding self-join at group
+    level, doc-pair expansion last. Empty-token docs are excluded (their
+    signature is all-NULL and their Jaccard 0/0 — undefined on both
+    sides of the comparison by construction).
+    Reference anchor: SURVEY §2.12 dedup; the measurement a production
+    dedup pipeline runs before trusting a signature size."""
+    from streaming_data_pipeline_spark.functions.text import (
+        MINHASH_A,
+        MINHASH_B,
+        distinct_tokens,
+        lsh_band_buckets,
+    )
+
+    k, bands, rows = 32, 8, 4
+    docs = load_table(spark, sf_dir, "documents")
+    members = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.array_sort(distinct_tokens(F.col("text"))).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .withColumn("fp", F.md5(F.concat_ws(" ", "toks")))
+    )
+    groups = members.groupBy("fp").agg(
+        F.any_value("toks").alias("toks"), F.count("*").alias("cnt")
+    )
+    tok = groups.select("fp", F.explode("toks").alias("t")).withColumn(
+        "x", F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("long")
+    )
+    sig = tok.groupBy("fp").agg(
+        *[
+            F.min(
+                F.expr(f"({MINHASH_A[j]}L * x + {MINHASH_B[j]}L) div 2147483648L")
+            )
+            .cast("string")
+            .alias(f"h{j}")
+            for j in range(k)
+        ]
+    )
+    bucketed = sig.select(
+        "fp",
+        F.explode(
+            lsh_band_buckets(F.array(*[F.col(f"h{j}") for j in range(k)]), bands, rows)
+        ).alias("bucket"),
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+    sig_a = sig.select(F.col("fp").alias("fp_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
+    sig_b = sig.select(F.col("fp").alias("fp_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(k)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    ).cast("long")
+    g_a = groups.select(F.col("fp").alias("fp_a"), F.col("toks").alias("toks_a"))
+    g_b = groups.select(F.col("fp").alias("fp_b"), F.col("toks").alias("toks_b"))
+    scored = (
+        cand.join(sig_a, "fp_a")
+        .join(sig_b, "fp_b")
+        .withColumn("m", matches)
+        .join(g_a, "fp_a")
+        .join(g_b, "fp_b")
+        .select(
+            "fp_a",
+            "fp_b",
+            "m",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("i"),
+            F.size(F.array_union("toks_a", "toks_b")).cast("long").alias("u"),
+        )
+    )
+    m_a = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ida"))
+    m_b = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("idb"))
+    cross = (
+        scored.join(m_a, "fp_a")
+        .join(m_b, "fp_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "m",
+            "i",
+            "u",
+        )
+    )
+    within = (
+        groups.filter(F.col("cnt") > 1)
+        .join(members.select("fp", F.col("id").alias("ida")), "fp")
+        .join(members.select("fp", F.col("id").alias("idb")), "fp")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            F.lit(32).cast("long").alias("m"),
+            F.size("toks").cast("long").alias("i"),
+            F.size("toks").cast("long").alias("u"),
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("m").alias("sig_matches"),
+            F.col("i").alias("inter_sz"),
+            F.col("u").alias("union_sz"),
+            F.abs(F.col("m") * F.col("u") - 32 * F.col("i")).alias("err_num"),
+            (32 * F.col("u")).alias("err_den"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES["dedup_minhash_estimate_error"] = dedup_minhash_estimate_error
+
+ORACLE["dedup_minhash_estimate_error"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_DTOKS} AS ts FROM documents WHERE len({_DTOKS}) > 0),
+sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
+banded AS (
+  SELECT id,
+         md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*4+1] AS VARCHAR) || '|'
+             || CAST(sig[b*4+2] AS VARCHAR) || '|' || CAST(sig[b*4+3] AS VARCHAR)
+             || '|' || CAST(sig[b*4+4] AS VARCHAR)) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(32),
+              j -> CASE WHEN sa.sig[j+1] = sb.sig[j+1] THEN 1 ELSE 0 END))
+           AS BIGINT) AS m,
+         CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS i,
+         CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS BIGINT) AS u
+  FROM cand
+  JOIN sigs sa ON cand.id_a = sa.id JOIN sigs sb ON cand.id_b = sb.id
+  JOIN toks ta ON cand.id_a = ta.id JOIN toks tb ON cand.id_b = tb.id
+)
+SELECT id_a, id_b, m AS sig_matches, i AS inter_sz, u AS union_sz,
+       abs(m * u - 32 * i) AS err_num, 32 * u AS err_den
+FROM scored ORDER BY id_a, id_b
+"""

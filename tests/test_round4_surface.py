@@ -252,3 +252,57 @@ def test_streaming_state_size_stays_bounded(spark, tmp_path):
     #   lateness)/window, never the ~100 windows the run produced
     assert removed >= 50, removed  # eviction genuinely ran
     assert any(s["memoryUsedBytes"] > 0 for s in stats)  # metric surfaced
+
+
+def test_semantic_dedup_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "semantic_dedup_keep_canonical", SF_DIR)
+
+
+def test_semantic_dedup_keep_flags_are_consistent(spark):
+    """Exactly one keep per cluster, the keep is the min vec_id, and
+    cluster sizes sum to the corpus size."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        semantic_dedup_keep_canonical,
+    )
+
+    rows = semantic_dedup_keep_canonical(spark, SF_DIR).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1 and keeps[0].vec_id == min(m.vec_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+    assert sum(len(m) for m in by_cluster.values()) == len(rows)
+    assert any(len(m) > 1 for m in by_cluster.values())  # real clusters exist
+
+
+def test_minhash_estimate_error_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_minhash_estimate_error", SF_DIR)
+
+
+def test_minhash_estimate_error_is_integer_exact(spark):
+    """The integer error encoding must agree with recomputing est-exact
+    in rationals; identical-set pairs must read error 0; and on the
+    pairs the dedup threshold actually acts on (exact J >= 0.8) the
+    k=32 estimator averages under 0.2 absolute error. (Across ALL
+    candidates the mean error is ~0.3 — banding selects for signature
+    collisions, which biases estimates upward on low-J pairs; that
+    selection bias is exactly what this query exists to expose.)"""
+    from fractions import Fraction
+
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        dedup_minhash_estimate_error,
+    )
+
+    rows = dedup_minhash_estimate_error(spark, SF_DIR).collect()
+    assert rows
+    hi_errs = []
+    for r in rows:
+        err = abs(Fraction(r.sig_matches, 32) - Fraction(r.inter_sz, r.union_sz))
+        assert Fraction(r.err_num, r.err_den) == err
+        if r.inter_sz == r.union_sz:  # identical token sets
+            assert r.err_num == 0
+        if Fraction(r.inter_sz, r.union_sz) >= Fraction(4, 5):
+            hi_errs.append(float(err))
+    assert hi_errs and sum(hi_errs) / len(hi_errs) < 0.2
