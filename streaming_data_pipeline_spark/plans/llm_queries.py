@@ -1626,8 +1626,15 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     level, doc-pair expansion last. Empty-token docs are excluded (their
     signature is all-NULL and their Jaccard 0/0 — undefined on both
     sides of the comparison by construction).
-    Reference anchor: SURVEY §2.12 dedup; the measurement a production
-    dedup pipeline runs before trusting a signature size."""
+
+    Runs on a DETERMINISTIC 1-in-10 SAMPLE (doc_id % 10 = 0): unlike
+    the production dedup path, this diagnostic keeps candidates that
+    can never reach the threshold (that bias is what it measures), so
+    its candidate set is near-quadratic on token-sharing corpora —
+    estimator calibration on a fixed sample is exactly how a production
+    pipeline sizes k before trusting a signature, and the sample keeps
+    the diagnostic linear-ish at any corpus size.
+    Reference anchor: SURVEY §2.12 dedup."""
     from streaming_data_pipeline_spark.functions.text import (
         MINHASH_A,
         MINHASH_B,
@@ -1636,7 +1643,9 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k, bands, rows = 32, 8, 4
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
     members = (
         docs.select(
             F.col("doc_id").alias("id"),
@@ -1742,7 +1751,8 @@ QUERIES["dedup_minhash_estimate_error"] = dedup_minhash_estimate_error
 
 ORACLE["dedup_minhash_estimate_error"] = f"""
 WITH toks AS (
-  SELECT doc_id AS id, {_DTOKS} AS ts FROM documents WHERE len({_DTOKS}) > 0),
+  SELECT doc_id AS id, {_DTOKS} AS ts FROM documents
+  WHERE doc_id % 10 = 0 AND len({_DTOKS}) > 0),
 sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
 banded AS (
   SELECT id,
