@@ -29,7 +29,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from streaming_data_pipeline_spark.functions.vectors import cosine, sign_bucket
+from streaming_data_pipeline_spark.functions.vectors import (
+    cosine,
+    dot,
+    norm,
+    sign_bucket,
+)
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
@@ -45,17 +50,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k for every probe vector (probe broadcast)."""
+    """Exact cosine top-k for every probe vector (probe broadcast).
+
+    Norms are precomputed per side before the scoring join (one fold per
+    row instead of two per pair) — identical double products, so results
+    are bit-for-bit the same as inline cosine()."""
     cand = emb.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cnrm"),
     )
     pr = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("pnrm"),
     )
     scored = (
         cand.crossJoin(F.broadcast(pr))
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("pnrm") * F.col("cnrm")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -87,16 +104,22 @@ def lsh_topk(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("cnrm"),
     )
     pr = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("pnrm"),
     )
     scored = (
         cand.join(F.broadcast(pr), "bucket")
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("pnrm") * F.col("cnrm")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -120,11 +143,14 @@ def stored_codes(
     """The ingest-time projection of a vector table: (id, vec, bucket
     code). In production this frame is what gets persisted — written
     bucketed/partitioned BY the code so probe lookups are pruned file
-    reads; here it is the stored side of the multiprobe join."""
+    reads; here it is the stored side of the multiprobe join. The
+    vector norm is part of the stored projection too (computed once at
+    ingest, never re-folded at query time)."""
     return emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("cnrm"),
     )
 
 
@@ -163,10 +189,12 @@ def multiprobe_lsh_topk(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         sign_bucket(F.col(vec_col), planes).alias("code"),
+        norm(F.col(vec_col)).alias("pnrm"),
     )
     probe_codes = base.select(
         "probe_id",
         "probe_vec",
+        "pnrm",
         F.explode(
             F.array(F.col("code"), *[_flip_bit(F.col("code"), j) for j in range(n_planes)])
         ).alias("bucket"),
@@ -177,7 +205,11 @@ def multiprobe_lsh_topk(
         # a candidate can collide with a probe through several probed
         # codes; pairs are identical whichever code matched, so keep one
         .dropDuplicates(["probe_id", "cand_id"])
-        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("pnrm") * F.col("cnrm")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -279,6 +311,7 @@ def multitable_lsh_topk(
     cand = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cnrm"),
         F.explode(
             table_code_array(F.col(vec_col), n_tables, bits, dim, seed)
         ).alias("bucket"),
@@ -286,6 +319,7 @@ def multitable_lsh_topk(
     pr = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("pnrm"),
         F.explode(
             table_code_array(F.col(vec_col), n_tables, bits, dim, seed)
         ).alias("bucket"),
@@ -295,7 +329,11 @@ def multitable_lsh_topk(
         .filter(F.col("probe_id") != F.col("cand_id"))
         # one (probe, cand) pair per colliding table is enough
         .dropDuplicates(["probe_id", "cand_id"])
-        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("pnrm") * F.col("cnrm")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -331,30 +369,52 @@ def ivf_topk(
     the assignment/probe/scan dataflow below is unchanged.)
     """
     cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("centnrm"),
     )
-    cand = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
     w_assign = Window.partitionBy("cand_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
     assigned = (
         cand.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col("cand_vec"), F.col("cent_vec")))
+        .withColumn(
+            "ccos",
+            dot(F.col("cand_vec"), F.col("cent_vec"))
+            / (F.col("cnrm") * F.col("centnrm")),
+        )
         .withColumn("arank", F.row_number().over(w_assign))
         .filter(F.col("arank") == 1)
-        .select("cand_id", "cand_vec", "cent_id")
+        .select("cand_id", "cand_vec", "cnrm", "cent_id")
     )
-    pr = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("pnrm"),
+    )
     w_probe = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), F.asc("cent_id"))
     probe_lists = (
         pr.crossJoin(F.broadcast(cents))
-        .withColumn("pcos", cosine(F.col("probe_vec"), F.col("cent_vec")))
+        .withColumn(
+            "pcos",
+            dot(F.col("probe_vec"), F.col("cent_vec"))
+            / (F.col("pnrm") * F.col("centnrm")),
+        )
         .withColumn("prank", F.row_number().over(w_probe))
         .filter(F.col("prank") <= nprobe)
-        .select("probe_id", "probe_vec", "cent_id")
+        .select("probe_id", "probe_vec", "pnrm", "cent_id")
     )
     scored = (
         assigned.join(F.broadcast(probe_lists), "cent_id")
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("pnrm") * F.col("cnrm")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -381,15 +441,24 @@ def near_dup_pairs(
     """Embedding-cosine near-duplicate pairs within LSH buckets (few
     planes -> coarse buckets -> higher recall, more comparisons)."""
     planes = hyperplanes(n_planes, dim, seed)
+    # Norm precomputed ONCE per vector before the bucket self-join: the
+    # join scores O(n^2/buckets) pairs, and cosine() inline would fold
+    # the 64-element norm twice per pair (3 array folds instead of 1).
+    # norm(a)*norm(b) from precomputed columns is the identical double
+    # product, so results are bit-for-bit unchanged (oracle stays green).
     tagged = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos", cosine(F.col("a.vec"), F.col("b.vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
+        )
         .filter(F.col("cos") >= F.lit(threshold))
         .select(
             F.col("a.id").alias("id_a"),
@@ -436,21 +505,35 @@ def int8_rerank_topk(
                 lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("double"),
             ),
         )
-        .select("cand_id", "cand_vec", "q")
+        .select(
+            "cand_id",
+            "cand_vec",
+            "q",
+            norm(F.col("q")).alias("qnrm"),
+            norm(F.col("cand_vec")).alias("cnrm"),
+        )
     )
     pr = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("pnrm"),
     )
     approx = (
         cand.crossJoin(F.broadcast(pr))
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .withColumn("acos", cosine(F.col("probe_vec"), F.col("q")))
+        .withColumn(
+            "acos",
+            dot(F.col("probe_vec"), F.col("q")) / (F.col("pnrm") * F.col("qnrm")),
+        )
     )
     wa = Window.partitionBy("probe_id").orderBy(F.desc("acos"), F.asc("cand_id"))
     short = approx.withColumn("arank", F.row_number().over(wa)).filter(
         F.col("arank") <= shortlist
     )
-    rer = short.withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    rer = short.withColumn(
+        "cos",
+        dot(F.col("probe_vec"), F.col("cand_vec")) / (F.col("pnrm") * F.col("cnrm")),
+    )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         rer.withColumn("rank", F.row_number().over(w))
