@@ -93,14 +93,16 @@ _SWEEP_PRIORITY = [
     "similarity_int8_rerank",      # new: quantized two-stage ANN
     "semantic_dedup_keep_canonical",   # new: SemDeDup-style embedding CC
     "dedup_minhash_estimate_error",    # new: integer-exact est-vs-exact
+    "streaming_scd2_asof_enrich",  # new: temporal as-of dim enrichment
+    "streaming_multimodal_phash_rollup",  # new: Arrow decode on stream
     "similarity_recall_at_k",      # gained int8_rerank_recall column
     "wire_sink_roundtrip",         # manifest became append-only ledger
     # 3) Stalest green evidence (last driver row: round 1) — as many of
     #    the r1 tranche as fit the 50 budget; the rest lead round 5.
     "top5_latest",
+    # ---- round-5 queue: remaining r1-stale tranche ------------------
     "windowed_counts_60s",
     "tpch_q1_pricing_summary",
-    # ---- round-5 queue: remaining r1-stale tranche ------------------
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",

@@ -99,6 +99,8 @@ HEADLINE += [
     "similarity_int8_rerank",
     "semantic_dedup_keep_canonical",
     "dedup_minhash_estimate_error",
+    "streaming_scd2_asof_enrich",
+    "streaming_multimodal_phash_rollup",
 ]
 
 

@@ -1045,3 +1045,154 @@ SELECT event_type,
        MIN(value) AS value_min
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def streaming_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL dimension enrichment on a stream: each event is joined
+    to the SCD2 state its user's last PURCHASE put them in AS OF the
+    event's own timestamp — the as-of join a production pipeline runs
+    against a warehouse dimension (user tier, consent state, plan) that
+    changes over time.
+
+    Shape: the dim is the SCD2 compaction of purchase events
+    ([valid_from, valid_to) intervals via one lead() window — the batch
+    scd2_user_state pattern on the purchase subset), read as a STATIC
+    table; the unbounded event stream joins it per micro-batch on
+    user_id equality + interval containment (ts >= valid_from AND
+    (valid_to IS NULL OR ts < valid_to)). Stream-static joins re-plan
+    every batch, the equality key hashes, the range rides as a join
+    filter, and the dim broadcasts — the stream never shuffles for the
+    join, and a dim refresh needs no stream restart. Events before the
+    user's first purchase keep NULL state (left join; 'none' bucket),
+    the correct late-dim posture. Spark streaming has no native as-of
+    join; interval-containment against an SCD2 static is the standard
+    re-expression (each event matches exactly one interval)."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev_batch.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.lit("purchaser").alias("base_state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn(
+            "state",
+            F.concat(
+                F.lit("since_"), F.date_format("valid_from", "yyyy-MM-dd HH")
+            ),
+        )
+    )
+    stream = events_fixture_stream(spark, sf_dir)
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    agg = joined.groupBy(
+        F.coalesce(F.col("state"), F.lit("none")).alias("asof_state")
+    ).agg(
+        F.count("*").alias("n_events"),
+        # exact DECIMAL sum (order-independent, float protocol); distinct
+        # counts aren't allowed in streaming aggs
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    return _drain_complete(agg, spark).orderBy("asof_state")
+
+
+QUERIES["streaming_scd2_asof_enrich"] = streaming_scd2_asof_enrich
+ORACLE["streaming_scd2_asof_enrich"] = """
+WITH dim AS (
+  SELECT user_id AS d_user,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         'since_' || strftime(ts, '%Y-%m-%d %H') AS state
+  FROM events WHERE event_type = 'purchase'),
+joined AS (
+  SELECT e.user_id, e.value, COALESCE(d.state, 'none') AS asof_state
+  FROM events e
+  LEFT JOIN dim d
+    ON e.user_id = d.d_user
+   AND e.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR e.ts < d.valid_to))
+SELECT asof_state,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM joined GROUP BY asof_state ORDER BY asof_state
+"""
+
+
+def streaming_multimodal_phash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode ON THE STREAMING PATH: the documents table
+    replayed through the micro-batch engine, real PNG payloads
+    synthesized and DECODED per batch in the same Arrow ``mapInPandas``
+    stages the batch path uses (operators/multimodal.py:synth_png_payloads
+    / dhash_png — spec-valid PNGs, full filter set, perceptual dHash),
+    then a stateful rollup over the 64-bit hash space (16 buckets of
+    h_lo). Proves the §2.9 Arrow escape hatch composes with Structured
+    Streaming unchanged — the decode stage is batch/stream symmetric,
+    so an image-ingest pipeline reuses the exact operator objects. The
+    oracle regenerates pixels, dHash bits, packed hashes, and the
+    rollup in SQL."""
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        dhash_png,
+        synth_png_payloads,
+    )
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    sig = dhash_png(synth_png_payloads(docs))
+    agg = sig.groupBy(F.pmod(F.col("h_lo"), F.lit(16)).alias("bucket")).agg(
+        F.count("*").alias("n_images"),
+        F.sum("h_lo").alias("h_lo_sum"),
+        F.sum("h_hi").alias("h_hi_sum"),
+    )
+    return _drain_complete(agg, spark).orderBy("bucket")
+
+
+QUERIES["streaming_multimodal_phash_rollup"] = streaming_multimodal_phash_rollup
+ORACLE["streaming_multimodal_phash_rollup"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents),
+g AS (
+  SELECT d.doc_id, r.i AS r, c.i AS c,
+         (d.doc_id * 31 + ((r.i * d.h) // 8) * 17 + ((c.i * d.w) // 9) * 7)
+           % 256 AS p
+  FROM dims d,
+       UNNEST(range(CAST(8 AS BIGINT))) AS r(i),
+       UNNEST(range(CAST(9 AS BIGINT))) AS c(i)),
+bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS k,
+         CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32
+                       THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS h_lo,
+         CAST(SUM(CASE WHEN k >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS h_hi
+  FROM bits GROUP BY doc_id)
+SELECT h_lo % 16 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(h_lo) AS BIGINT) AS h_lo_sum,
+       CAST(SUM(h_hi) AS BIGINT) AS h_hi_sum
+FROM h GROUP BY bucket ORDER BY bucket
+"""

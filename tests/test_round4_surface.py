@@ -306,3 +306,43 @@ def test_minhash_estimate_error_is_integer_exact(spark):
         if Fraction(r.inter_sz, r.union_sz) >= Fraction(4, 5):
             hi_errs.append(float(err))
     assert hi_errs and sum(hi_errs) / len(hi_errs) < 0.2
+
+
+def test_streaming_scd2_asof_enrich_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "streaming_scd2_asof_enrich", SF_DIR)
+
+
+def test_streaming_multimodal_phash_rollup_matches_oracle(spark, duck):
+    assert_query_matches_oracle(
+        spark, duck, "streaming_multimodal_phash_rollup", SF_DIR
+    )
+
+
+def test_streaming_phash_rollup_equals_batch_dhash(spark):
+    """Batch/stream symmetry of the Arrow decode stage: the streaming
+    rollup must equal the same aggregation over the batch dhash frame —
+    the operator objects are literally shared."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        dhash_png,
+        synth_png_payloads,
+    )
+    from streaming_data_pipeline_spark.plans.streaming_queries import (
+        streaming_multimodal_phash_rollup,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    batch = (
+        dhash_png(synth_png_payloads(load_table(spark, SF_DIR, "documents")))
+        .groupBy(F.pmod(F.col("h_lo"), F.lit(16)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("h_lo").alias("h_lo_sum"),
+            F.sum("h_hi").alias("h_hi_sum"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    stream = streaming_multimodal_phash_rollup(spark, SF_DIR).collect()
+    assert stream == batch
