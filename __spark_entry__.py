@@ -95,12 +95,11 @@ _SWEEP_PRIORITY = [
     "dedup_minhash_estimate_error",    # new: integer-exact est-vs-exact
     "streaming_scd2_asof_enrich",  # new: temporal as-of dim enrichment
     "streaming_multimodal_phash_rollup",  # new: Arrow decode on stream
+    "dedup_keep_best_quality",     # new: quality-policy canonical keep
     "similarity_recall_at_k",      # gained int8_rerank_recall column
     "wire_sink_roundtrip",         # manifest became append-only ledger
-    # 3) Stalest green evidence (last driver row: round 1) — as many of
-    #    the r1 tranche as fit the 50 budget; the rest lead round 5.
+    # ---- round-5 queue: the r1-stale tranche (oldest evidence) ------
     "top5_latest",
-    # ---- round-5 queue: remaining r1-stale tranche ------------------
     "windowed_counts_60s",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

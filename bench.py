@@ -101,6 +101,7 @@ HEADLINE += [
     "dedup_minhash_estimate_error",
     "streaming_scd2_asof_enrich",
     "streaming_multimodal_phash_rollup",
+    "dedup_keep_best_quality",
 ]
 
 

@@ -130,11 +130,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-score histogramming (integer x10 scores -> exact avg)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _doc_q10() -> "F.Column":
+    """Integer x10 document quality score (length band + punct ratio +
+    stopword presence) — shared by the per-source histogram and the
+    keep-best-quality dedup policy."""
     n = F.length("text")
-    q10 = (
+    return (
         F.when((n >= 20) & (n <= 10000), F.lit(4)).otherwise(F.lit(0))
         + F.when(punct_ratio(F.col("text")) <= 0.2, F.lit(3)).otherwise(F.lit(0))
         + F.when(
@@ -142,8 +143,13 @@ def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(3),
         ).otherwise(F.lit(0))
     ).cast("long")
+
+
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogramming (integer x10 scores -> exact avg)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("source", q10.alias("q10"))
+        docs.select("source", _doc_q10().alias("q10"))
         .groupBy("source")
         .agg(
             F.count("*").alias("doc_count"),
@@ -1779,4 +1785,65 @@ scored AS (
 SELECT id_a, id_b, m AS sig_matches, i AS inter_sz, u AS union_sz,
        abs(m * u - 32 * i) AS err_num, 32 * u AS err_den
 FROM scored ORDER BY id_a, id_b
+"""
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CANONICAL-SELECTION POLICY variant: within each token-set
+    duplicate group, keep the HIGHEST-quality document (tie -> lowest
+    doc_id) instead of the lowest id — the policy a production corpus
+    actually wants (of N near-identical crawls, keep the cleanest).
+    Quality is the shared integer x10 score (_doc_q10); selection is
+    one rank-window per group. Output: every member of a dup group
+    (dup_count > 1) with its score and keep flag. Scale shape: one
+    fingerprint hash-agg + one window partitioned by the same key —
+    no extra shuffle beyond the groups themselves."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.functions.text import token_set_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_set_fingerprint(F.col("text")).alias("fp"),
+        _doc_q10().alias("q10"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("q10"), F.asc("doc_id"))
+    grp = base.groupBy("fp").agg(F.count("*").cast("long").alias("dup_count"))
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .join(grp, "fp")
+        .filter(F.col("dup_count") > 1)
+        .select(
+            "fp",
+            "doc_id",
+            "q10",
+            (F.col("rn") == 1).alias("keep"),
+            "dup_count",
+        )
+        .orderBy("fp", "doc_id")
+    )
+
+
+QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
+
+ORACLE["dedup_keep_best_quality"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort({_DTOKS}), ' ')) AS fp,
+         CAST(
+           CASE WHEN length(text) >= 20 AND length(text) <= 10000 THEN 4 ELSE 0 END
+         + CASE WHEN (CASE WHEN length(text) > 0
+                      THEN round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text), 6)
+                      ELSE 0.0 END) <= 0.2 THEN 3 ELSE 0 END
+         + CASE WHEN len(list_filter({_TOKS}, x -> x IN ({_STOPS_IN}))) > 0 THEN 3 ELSE 0 END
+           AS BIGINT) AS q10
+  FROM documents),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY fp ORDER BY q10 DESC, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count
+  FROM base)
+SELECT fp, doc_id, q10, rn = 1 AS keep, dup_count
+FROM ranked WHERE dup_count > 1 ORDER BY fp, doc_id
 """

@@ -346,3 +346,28 @@ def test_streaming_phash_rollup_equals_batch_dhash(spark):
     )
     stream = streaming_multimodal_phash_rollup(spark, SF_DIR).collect()
     assert stream == batch
+
+
+def test_dedup_keep_best_quality_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_keep_best_quality", SF_DIR)
+
+
+def test_keep_best_quality_policy_holds(spark):
+    """Exactly one keep per dup group, and it carries the group-max
+    quality (ties resolved to the lowest doc_id)."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        dedup_keep_best_quality,
+    )
+
+    rows = dedup_keep_best_quality(spark, SF_DIR).collect()
+    assert rows
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.fp, []).append(r)
+    for fp, members in groups.items():
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1
+        best_q = max(m.q10 for m in members)
+        assert keeps[0].q10 == best_q
+        assert keeps[0].doc_id == min(m.doc_id for m in members if m.q10 == best_q)
+        assert all(m.dup_count == len(members) for m in members)
