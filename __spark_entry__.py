@@ -96,9 +96,14 @@ _SWEEP_PRIORITY = [
     "streaming_scd2_asof_enrich",  # new: temporal as-of dim enrichment
     "streaming_multimodal_phash_rollup",  # new: Arrow decode on stream
     "dedup_keep_best_quality",     # new: quality-policy canonical keep
+    "streaming_approx_users_per_window",  # new: stream HLL self-check
+    "dedup_incremental_ingest",    # new: O(delta) ingest-time dedup
+    # ---- round-5 queue ----------------------------------------------
+    # changed this round, locally re-verified at sf0.01+sf0.1; their
+    # prior driver rows were green, so they queue behind the brand-new
     "similarity_recall_at_k",      # gained int8_rerank_recall column
     "wire_sink_roundtrip",         # manifest became append-only ledger
-    # ---- round-5 queue: the r1-stale tranche (oldest evidence) ------
+    # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",
     "tpch_q1_pricing_summary",

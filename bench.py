@@ -102,6 +102,8 @@ HEADLINE += [
     "streaming_scd2_asof_enrich",
     "streaming_multimodal_phash_rollup",
     "dedup_keep_best_quality",
+    "streaming_approx_users_per_window",
+    "dedup_incremental_ingest",
 ]
 
 

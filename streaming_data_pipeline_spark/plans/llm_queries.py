@@ -1847,3 +1847,65 @@ ranked AS (
 SELECT fp, doc_id, q10, rn = 1 AS keep, dup_count
 FROM ranked WHERE dup_count > 1 ORDER BY fp, doc_id
 """
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the shape a daily ingest actually
+    runs: the corpus is split into an already-deduped BASE (80%) and
+    today's DELTA (doc_id % 5 = 4); only delta docs are checked, (a)
+    against the base fingerprint set via a LEFT SEMI-shaped join (one
+    hash lookup per delta doc, never re-pairing the base with itself)
+    and (b) within the delta (first doc_id wins). Output per delta doc:
+    dup_of_base / dup_within_delta / keep (novel AND first-in-delta).
+    At 100 TB the base fingerprints are a stored, bucketed table and
+    the daily cost is |delta| hash probes — O(delta), not O(corpus)."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.functions.text import text_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_fingerprint(F.col("text")).alias("fp")
+    )
+    is_delta = F.col("doc_id") % 5 == 4
+    base_fps = docs.filter(~is_delta).select("fp").distinct()
+    delta = docs.filter(is_delta)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        delta.join(
+            base_fps.withColumn("in_base", F.lit(True)), "fp", "left"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.coalesce(F.col("in_base"), F.lit(False)).alias("dup_of_base"),
+            (F.col("rn") > 1).alias("dup_within_delta"),
+            (
+                F.coalesce(F.col("in_base"), F.lit(False)).eqNullSafe(False)
+                & (F.col("rn") == 1)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
+
+ORACLE["dedup_incremental_ingest"] = """
+WITH fps AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         doc_id % 5 = 4 AS is_delta
+  FROM documents),
+base AS (SELECT DISTINCT fp FROM fps WHERE NOT is_delta),
+delta AS (
+  SELECT f.doc_id, f.fp,
+         b.fp IS NOT NULL AS dup_of_base,
+         row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn
+  FROM fps f LEFT JOIN base b ON f.fp = b.fp
+  WHERE f.is_delta)
+SELECT doc_id, fp, dup_of_base,
+       rn > 1 AS dup_within_delta,
+       (NOT dup_of_base) AND rn = 1 AS keep
+FROM delta ORDER BY doc_id
+"""

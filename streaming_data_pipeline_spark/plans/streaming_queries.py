@@ -1196,3 +1196,52 @@ SELECT h_lo % 16 AS bucket,
        CAST(SUM(h_hi) AS BIGINT) AS h_hi_sum
 FROM h GROUP BY bucket ORDER BY bucket
 """
+
+
+def streaming_approx_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE distinct users per 6-hour window ON THE STREAM —
+    the sketch-aggregation cell of the streaming matrix (exact distinct
+    counts are disallowed in streaming aggs; HLL++ is the production
+    answer). Self-validating protocol (same as approx_distinct_users /
+    hll_mergeable_sketch_union): the sketch value itself is engine-
+    internal, so the query emits what IS reproducible — per window, the
+    exact-count join back and the boolean "approx within 5% of exact"
+    (guaranteed: rsd=0.01). The oracle emits the exact counts and
+    literal TRUE."""
+    stream = events_fixture_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "6 hours").alias("w")).agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+    drained = _drain_complete(agg, spark).select(
+        F.col("w.start").alias("window_start"), "approx_users", "n_events"
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(F.col("w.start").alias("window_start"), "exact_users")
+    )
+    return (
+        drained.join(exact, "window_start")
+        .select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("window_start")
+    )
+
+
+QUERIES["streaming_approx_users_per_window"] = streaming_approx_users_per_window
+ORACLE["streaming_approx_users_per_window"] = """
+SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS TIMESTAMP) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -371,3 +371,45 @@ def test_keep_best_quality_policy_holds(spark):
         assert keeps[0].q10 == best_q
         assert keeps[0].doc_id == min(m.doc_id for m in members if m.q10 == best_q)
         assert all(m.dup_count == len(members) for m in members)
+
+
+def test_streaming_approx_users_matches_oracle(spark, duck):
+    assert_query_matches_oracle(
+        spark, duck, "streaming_approx_users_per_window", SF_DIR
+    )
+
+
+def test_dedup_incremental_ingest_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_incremental_ingest", SF_DIR)
+
+
+def test_incremental_ingest_agrees_with_full_dedup(spark):
+    """The O(delta) incremental result must agree with full-corpus exact
+    dedup: a delta doc is kept iff the full dedup would make it a group
+    canonical among (base + earlier delta) docs."""
+    from streaming_data_pipeline_spark.functions.text import text_fingerprint
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        dedup_incremental_ingest,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    fps = {
+        r.doc_id: r.fp
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", text_fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    got = {r.doc_id: r for r in dedup_incremental_ingest(spark, SF_DIR).collect()}
+    assert got
+    for doc_id, r in got.items():
+        base_has = any(
+            fp == fps[doc_id] for d, fp in fps.items() if d % 5 != 4
+        )
+        earlier_delta = any(
+            fp == fps[doc_id]
+            for d, fp in fps.items()
+            if d % 5 == 4 and d < doc_id
+        )
+        assert r.dup_of_base == base_has, doc_id
+        assert r.dup_within_delta == earlier_delta, doc_id
+        assert r.keep == (not base_has and not earlier_delta), doc_id
