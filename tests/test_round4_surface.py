@@ -413,3 +413,62 @@ def test_incremental_ingest_agrees_with_full_dedup(spark):
         assert r.dup_of_base == base_has, doc_id
         assert r.dup_within_delta == earlier_delta, doc_id
         assert r.keep == (not base_has and not earlier_delta), doc_id
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "image_phash_near_dup",
+        "similarity_int8_rerank",
+        "semantic_dedup_keep_canonical",
+        "dedup_minhash_estimate_error",
+        "dedup_keep_best_quality",
+        "dedup_incremental_ingest",
+    ],
+)
+def test_round4_plans_have_no_cartesian_product(spark, name):
+    """Every round-4 pairing/scoring query must reach its candidates
+    through equality keys or an explicit broadcast — an unbroadcast
+    CartesianProduct is the all-pairs scale-killer these designs exist
+    to avoid."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name  # no row-at-a-time UDFs
+
+
+def test_scd2_asof_stream_side_joins_broadcast(spark, tmp_path):
+    """The as-of enrichment's dim must BROADCAST: the stream side never
+    shuffles for the join (re-planned per batch)."""
+    from streaming_data_pipeline_spark.plans.streaming_queries import (
+        streaming_scd2_asof_enrich,
+    )
+
+    # run it (drained internally) and inspect the batch-equivalent plan
+    # of the same join shape on the static frames
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
