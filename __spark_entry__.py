@@ -99,8 +99,9 @@ _SWEEP_PRIORITY = [
     "streaming_approx_users_per_window",  # new: stream HLL self-check
     "dedup_incremental_ingest",    # new: O(delta) ingest-time dedup
     # ---- round-5 queue ----------------------------------------------
-    # changed this round, locally re-verified at sf0.01+sf0.1; their
-    # prior driver rows were green, so they queue behind the brand-new
+    # new/changed this round, locally re-verified at sf0.01+sf0.1 but
+    # displaced by the 50-budget; first in line next round
+    "range_join_binned_incidents", # new: binned big-big interval join
     "similarity_recall_at_k",      # gained int8_rerank_recall column
     "wire_sink_roundtrip",         # manifest became append-only ledger
     # the r1-stale tranche (oldest evidence)

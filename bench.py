@@ -104,6 +104,7 @@ HEADLINE += [
     "dedup_keep_best_quality",
     "streaming_approx_users_per_window",
     "dedup_incremental_ingest",
+    "range_join_binned_incidents",
 ]
 
 

@@ -1025,3 +1025,97 @@ SELECT CAST(a AS BIGINT) AS a_conv, CAST(b AS BIGINT) AS a_non,
          AS significant_95
 FROM wide
 """
+
+
+def range_join_binned_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED RANGE JOIN — the technique for joining events to time
+    INTERVALS when BOTH sides are too big to broadcast: a naive
+    `ts BETWEEN start AND end` join has no equality key, so Spark
+    falls back to a cartesian (BroadcastNestedLoop) plan that dies at
+    scale. Binning restores an equality key: each interval explodes to
+    the fixed-width time bins it covers (sequence()), each event maps
+    to its single bin (date_trunc), the join runs on `bin` as a plain
+    hash-shuffle join, and the exact containment predicate rides along
+    as a join filter. Join size = |events| + |intervals x bins/interval|
+    shuffled by bin — linear, skew-safe for bounded interval lengths.
+    An event's single bin matches at most one exploded row per
+    interval, so no post-join dedup is needed.
+
+    Fixture semantics: two deterministic "incident windows" per day
+    (03:17-05:43 and 14:00-15:30); the query reports per-incident
+    event pressure. The oracle joins by raw containment — binning must
+    change nothing."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    iv = days.select(
+        "d",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("idx"),
+                    (F.col("d").cast("timestamp") + F.expr("INTERVAL '3:17' HOUR TO MINUTE")).alias("start"),
+                    (F.col("d").cast("timestamp") + F.expr("INTERVAL '5:43' HOUR TO MINUTE")).alias("end"),
+                ),
+                F.struct(
+                    F.lit(1).alias("idx"),
+                    (F.col("d").cast("timestamp") + F.expr("INTERVAL '14:00' HOUR TO MINUTE")).alias("start"),
+                    (F.col("d").cast("timestamp") + F.expr("INTERVAL '15:30' HOUR TO MINUTE")).alias("end"),
+                ),
+            )
+        ).alias("w"),
+    ).select("d", "w.idx", "w.start", "w.end")
+    iv_binned = iv.select(
+        "d",
+        "idx",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("start")),
+                F.date_trunc("hour", F.col("end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    ev_binned = ev.withColumn("bin", F.date_trunc("hour", F.col("ts")))
+    joined = ev_binned.join(iv_binned, "bin").filter(
+        (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end"))
+    )
+    return (
+        joined.groupBy("d", "idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("d").cast("timestamp").alias("incident_date"),
+            F.col("idx").cast("long").alias("incident_idx"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("incident_date", "incident_idx")
+    )
+
+
+QUERIES["range_join_binned_incidents"] = range_join_binned_incidents
+ORACLE["range_join_binned_incidents"] = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+iv AS (
+  SELECT d, 0 AS idx,
+         CAST(d AS TIMESTAMP) + INTERVAL 197 MINUTE AS s,
+         CAST(d AS TIMESTAMP) + INTERVAL 343 MINUTE AS e
+  FROM days
+  UNION ALL
+  SELECT d, 1,
+         CAST(d AS TIMESTAMP) + INTERVAL 840 MINUTE,
+         CAST(d AS TIMESTAMP) + INTERVAL 930 MINUTE
+  FROM days)
+SELECT CAST(iv.d AS TIMESTAMP) AS incident_date,
+       CAST(iv.idx AS BIGINT) AS incident_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY iv.d, iv.idx ORDER BY incident_date, incident_idx
+"""

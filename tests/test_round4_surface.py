@@ -472,3 +472,26 @@ def test_scd2_asof_stream_side_joins_broadcast(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_range_join_binned_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "range_join_binned_incidents", SF_DIR)
+
+
+def test_range_join_binned_has_equality_key(spark):
+    """The binning must turn the interval containment into a hash join
+    on `bin` — no BroadcastNestedLoopJoin / CartesianProduct fallback
+    anywhere in the plan (that fallback is exactly what the technique
+    exists to avoid on big-big sides)."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        range_join_binned_incidents,
+    )
+
+    plan = (
+        range_join_binned_incidents(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
