@@ -105,6 +105,8 @@ HEADLINE += [
     "streaming_approx_users_per_window",
     "dedup_incremental_ingest",
     "range_join_binned_incidents",
+    "dedup_unicode_normalized",
+    "dedup_edit_distance_pairs",
 ]
 
 

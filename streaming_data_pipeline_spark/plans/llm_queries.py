@@ -1909,3 +1909,148 @@ SELECT doc_id, fp, dup_of_base,
        (NOT dup_of_base) AND rn = 1 AS keep
 FROM delta ORDER BY doc_id
 """
+
+
+def dedup_unicode_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE-NORMALIZATION-AWARE exact dedup: byte-level fingerprints
+    miss duplicates that differ only in Unicode form (NFC "é" vs the
+    decomposed "e"+U+0301 — endemic in web-crawled corpora), so the
+    canonical fingerprint must hash the NFC-normalized text. The fixture
+    is ASCII, so the form divergence is synthesized deterministically:
+    even doc_ids get a COMPOSED suffix, odd ones the DECOMPOSED spelling
+    of the same string. Normalized fingerprints collapse the two forms
+    (raw fingerprints cannot), and the query reports exactly those
+    groups — a correct implementation shows n_raw_variants = 2 on
+    cross-parity dup groups.
+
+    NFC itself has no Spark built-in, so it runs as an Arrow-batched
+    pandas UDF (§2.9 escape hatch, justified: codepoint normalization
+    is not expressible in column expressions); the oracle uses DuckDB's
+    utf8proc-backed nfc_normalize — agreement proves the two
+    implementations normalize identically. Everything around the UDF
+    (fingerprint, group, count) stays JVM-side."""
+    import pandas
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s: pandas.Series) -> pandas.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # explicit real annotations (module uses `from __future__ import
+    # annotations`, so inline hints stringify and pandas_udf can't
+    # resolve them without a module-global `pd`)
+    _nfc_batch.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    nfc = pandas_udf(_nfc_batch, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    # canonicalize to the sorted token set first (the fixture's dup
+    # signal lives at the token-set level - no byte- or case-identical
+    # texts exist below sf0.1), THEN append the Unicode-form suffix: dup
+    # groups exist at every scale and the only divergence left inside
+    # them is normalization form
+    from streaming_data_pipeline_spark.functions.text import distinct_tokens
+
+    canon = F.concat_ws(" ", F.array_sort(distinct_tokens(F.col("text"))))
+    suffixed = docs.select(
+        "doc_id",
+        F.concat(
+            canon,
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" café")).otherwise(
+                F.lit(" café")
+            ),
+        ).alias("text"),
+    )
+    fps = suffixed.select(
+        "doc_id",
+        F.md5("text").alias("raw_fp"),
+        F.md5(nfc(F.col("text"))).alias("norm_fp"),
+    )
+    return (
+        fps.groupBy("norm_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("raw_fp").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("norm_fp")
+    )
+
+
+QUERIES["dedup_unicode_normalized"] = dedup_unicode_normalized
+
+ORACLE["dedup_unicode_normalized"] = f"""
+WITH suffixed AS (
+  SELECT doc_id,
+         array_to_string(list_sort({_DTOKS}), ' ')
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' caf' || chr(233)
+                   ELSE ' cafe' || chr(769) END AS text
+  FROM documents),
+fps AS (
+  SELECT doc_id, md5(text) AS raw_fp, md5(nfc_normalize(text)) AS norm_fp
+  FROM suffixed)
+SELECT norm_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM fps GROUP BY norm_fp HAVING COUNT(*) > 1 ORDER BY norm_fp
+"""
+
+
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-dup pairs — the modality that catches OCR
+    noise and small in-place edits that token-set methods blur: within
+    each token-set BLOCK (same bag of words — the cheap blocker that
+    makes pairwise edit distance tractable; blocks are the collapsed
+    dup groups, so pair expansion is bounded by group sizes, never the
+    corpus), every doc pair gets the exact unit-cost Levenshtein
+    distance between raw texts. Distance 0 = byte-identical; positive =
+    same words, different order/spacing — reorder distance. Both
+    engines evaluate the same classic DP (Spark levenshtein / DuckDB
+    levenshtein), integer-exact."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.functions.text import token_set_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_set_fingerprint(F.col("text")).alias("fp")
+    )
+    grp = docs.groupBy("fp").agg(F.count("*").alias("cnt"))
+    members = docs.join(grp.filter(F.col("cnt") > 1), "fp")
+    a = members.select(
+        "fp", F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = members.select(
+        "fp", F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES["dedup_edit_distance_pairs"] = dedup_edit_distance_pairs
+
+ORACLE["dedup_edit_distance_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         md5(array_to_string(list_sort({_DTOKS}), ' ')) AS fp
+  FROM documents),
+grp AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) > 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN grp g ON g.fp = a.fp
+ORDER BY id_a, id_b
+"""

@@ -495,3 +495,49 @@ def test_range_join_binned_has_equality_key(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_unicode_normalized", "dedup_edit_distance_pairs"]
+)
+def test_round4b_dedup_modalities_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_unicode_dedup_collapses_cross_form_duplicates(spark):
+    """Cross-parity dup groups carry one COMPOSED and one DECOMPOSED
+    suffix; the normalized fingerprint must merge them (raw variants=2)
+    while same-parity groups stay at 1 — proving the NFC pass does real
+    normalization work, not identity hashing."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        dedup_unicode_normalized,
+    )
+
+    rows = dedup_unicode_normalized(spark, SF_DIR).collect()
+    assert rows
+    variants = {r.n_raw_variants for r in rows}
+    assert 2 in variants  # at least one cross-form group was merged
+
+
+def test_edit_distance_zero_iff_identical_text(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        dedup_edit_distance_pairs,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    rows = dedup_edit_distance_pairs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # distance 0 iff byte-identical text (the fixture has no
+        # byte-identical pairs, so every pair here is a real edit)
+        assert (r.edit_distance == 0) == (texts[r.id_a] == texts[r.id_b])
+    assert all(r.edit_distance > 0 for r in rows)
+    # blocked pairs are same-token-set docs: distances are small edits
+    # (case/space/reorder), never unrelated-document magnitudes
+    assert min(r.edit_distance for r in rows) < 100
