@@ -31,13 +31,19 @@ def spark():
     spark.stop()
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def duck():
-    from streaming_data_pipeline_spark.schema import ALL_TABLES
-
+    # FUNCTION-scoped on purpose: a session-scoped connection
+    # accumulates buffer memory across ~100 oracle queries and the
+    # heavy recursive-closure oracles then die with allocator-level
+    # OOM ("Failed to allocate block of 2048 bytes") — observed as
+    # order-dependent flakes in full-suite runs next to the Spark JVM.
+    # A fresh connection per test releases everything between tests;
+    # the explicit memory limit + spill dir keeps the closure CTEs
+    # disk-spilling instead of fighting the JVM for the whole box.
     con = duckdb.connect()
-    for sf_dir in {SF_DIR, SF_DIR_MID}:
-        pass  # views are registered per-call in oracle_df (sf_dir varies)
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     yield con
     con.close()
 
