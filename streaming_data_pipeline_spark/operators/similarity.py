@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_spark.functions.vectors import (
-    cosine,
     dot,
     norm,
     sign_bucket,
