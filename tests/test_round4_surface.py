@@ -541,3 +541,109 @@ def test_edit_distance_zero_iff_identical_text(spark):
     # blocked pairs are same-token-set docs: distances are small edits
     # (case/space/reorder), never unrelated-document magnitudes
     assert min(r.edit_distance for r in rows) < 100
+
+
+def test_png_decoder_rejects_corruption():
+    """Codec hardening: every single-byte flip inside a chunk body or
+    CRC must be caught (CRC verify), and truncation/bad signatures must
+    raise — a decoder that silently tolerates corruption would poison
+    features downstream."""
+    import random
+
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        _png_pixels,
+    )
+
+    # build one valid payload via the same synth path (driver-side)
+    import struct
+    import zlib
+
+    def encode(doc_id):
+        px = _png_pixels(doc_id)
+        h, w = len(px), len(px[0])
+        raw = bytearray()
+        prev = [0] * w
+        for r in range(h):
+            raw.append(0)
+            raw.extend(px[r])
+            prev = px[r]
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    good = encode(7)
+    w, h, rows = _decode_png(good)
+    assert (w, h) == (16 + 7 % 16, 12 + 7 % 8)
+    assert rows == _png_pixels(7)
+
+    rng = random.Random(11)
+    rejected = 0
+    for _ in range(60):
+        i = rng.randrange(8, len(good))  # anywhere past the signature
+        bad = bytearray(good)
+        bad[i] ^= 1 << rng.randrange(8)
+        try:
+            w2, h2, rows2 = _decode_png(bytes(bad))
+            # a flip the walk never touches (e.g. trailing garbage) may
+            # decode — but then the pixels must be the true pixels
+            assert rows2 == rows
+        except (ValueError, Exception):
+            rejected += 1
+    assert rejected >= 50  # corruption is overwhelmingly detected
+    for bad in (b"", good[:7], b"NOTAPNG" + good[7:]):
+        try:
+            _decode_png(bytes(bad))
+            raise AssertionError("accepted a non-PNG payload")
+        except AssertionError:
+            raise
+        except Exception:
+            pass
+
+
+def test_dhash_brightness_shift_invariance():
+    """The dHash property the operator's docstring claims: two images
+    whose pixels differ by a constant brightness delta (same dims, no
+    mod-256 wraparound in either grid) hash identically. doc_id pairs
+    congruent mod 16 share dims and differ by a constant 31*(d2-d1)
+    mod 256 — pairs where neither 9x8 grid wraps must land at Hamming
+    distance 0."""
+    from streaming_data_pipeline_spark.operators.multimodal import _png_pixels
+
+    def grid(doc_id):
+        px = _png_pixels(doc_id)
+        h, w = len(px), len(px[0])
+        return [[px[r * h // 8][c * w // 9] for c in range(9)] for r in range(8)]
+
+    def dhash(g):
+        return tuple(g[r][c + 1] > g[r][c] for r in range(8) for c in range(8))
+
+    checked = equal_bits = 0
+    for d1 in range(0, 256, 16):
+        for delta_id in (16, 32, 48):
+            d2 = d1 + delta_id
+            delta_px = (d2 * 31 - d1 * 31) % 256
+            if delta_px == 0:
+                continue
+            g1, g2 = grid(d1), grid(d2)
+            h1, h2 = dhash(g1), dhash(g2)
+            for r in range(8):
+                for c in range(8):
+                    # a bit is shift-invariant unless the +delta wrapped
+                    # one of its two comparand pixels past 255
+                    if g1[r][c] + delta_px <= 255 and g1[r][c + 1] + delta_px <= 255:
+                        assert h1[r * 8 + c] == h2[r * 8 + c], (d1, d2, r, c)
+                        equal_bits += 1
+            checked += 1
+    assert checked >= 10 and equal_bits >= 200  # genuinely exercised
