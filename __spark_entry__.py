@@ -102,6 +102,7 @@ _SWEEP_PRIORITY = [
     # new/changed this round, locally re-verified at sf0.01+sf0.1 but
     # displaced by the 50-budget; first in line next round
     "range_join_binned_incidents", # new: binned big-big interval join
+    "similarity_pq_adc",           # new: 32x PQ codes + ADC + rerank
     "dedup_unicode_normalized",    # new: NFC-aware exact dedup
     "dedup_edit_distance_pairs",   # new: blocked Levenshtein near-dup
     "similarity_recall_at_k",      # gained int8_rerank_recall column

@@ -107,6 +107,7 @@ HEADLINE += [
     "range_join_binned_incidents",
     "dedup_unicode_normalized",
     "dedup_edit_distance_pairs",
+    "similarity_pq_adc",
 ]
 
 

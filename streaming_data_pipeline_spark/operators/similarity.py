@@ -544,3 +544,116 @@ def int8_rerank_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN with asymmetric-distance (ADC) scoring —
+    the aggressive compression tier beyond int8: the 64-dim vector
+    splits into ``n_sub`` 8-dim subvectors, each encoded as the index of
+    its nearest codebook entry (``n_codes`` entries per subspace;
+    deterministic training-free seeding from the first ``n_codes``
+    vectors, same convention as ivf_topk's centroids) — 8 nibble-sized
+    codes ~ 8 bytes per vector, 32x smaller than f32. Scoring never
+    reconstructs candidates: per probe a tiny LUT[s][j] =
+    dot(probe_sub_s, codebook_j_sub_s) is precomputed (n_sub x n_codes
+    dot products), and a candidate's approximate dot is just n_sub LUT
+    additions — the classic ADC trick (Jegou et al., PAMI'11). ADC
+    ranks by approximate DOT (not cosine); the exact-cosine rerank of
+    the ``shortlist`` absorbs both quantization and norm effects,
+    mirroring int8_rerank_topk's two-stage contract.
+
+    Determinism for the oracle: subspace distances and LUT entries are
+    fixed-order left-to-right sums; code assignment tie-breaks via
+    struct-min on (distance, code) — identical to SQL ORDER BY d, code;
+    the ADC sum is a fixed 8-term chain, never a shuffle-order
+    aggregation. At scale: the codebook (n_codes rows) broadcasts for
+    ingest-time encoding, the stored side is read as 8 tiny ints per
+    vector, probes and their LUTs broadcast, and f64 math touches only
+    |probes| x shortlist rows."""
+    dims_of = lambda s: range(8 * s, 8 * s + 8)  # noqa: E731
+
+    cb = emb.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).cast("int").alias("code"), F.col(vec_col).alias("cb_vec")
+    )
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
+    paired = cand.crossJoin(F.broadcast(cb))
+    for s in range(n_sub):
+        d = None
+        for i in dims_of(s):
+            term = (
+                F.element_at("cand_vec", i + 1).cast("double")
+                - F.element_at("cb_vec", i + 1).cast("double")
+            )
+            term = term * term
+            d = term if d is None else d + term
+        paired = paired.withColumn(f"d{s}", d)
+    enc = paired.groupBy("cand_id").agg(
+        F.any_value("cand_vec").alias("cand_vec"),
+        F.any_value("cnrm").alias("cnrm"),
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("code").alias("c")))
+            .getField("c")
+            .alias(f"c{s}")
+            for s in range(n_sub)
+        ],
+    )
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("pnrm"),
+    )
+    lut = pr.crossJoin(F.broadcast(cb))
+    for s in range(n_sub):
+        v = None
+        for i in dims_of(s):
+            term = F.element_at("probe_vec", i + 1).cast("double") * F.element_at(
+                "cb_vec", i + 1
+            ).cast("double")
+            v = term if v is None else v + term
+        lut = lut.withColumn(f"l{s}", v)
+    scored = enc.crossJoin(
+        F.broadcast(pr.select("probe_id", "probe_vec", "pnrm"))
+    ).filter(F.col("probe_id") != F.col("cand_id"))
+    for s in range(n_sub):
+        piece = lut.select(
+            "probe_id",
+            F.col("code").alias(f"c{s}"),
+            F.col(f"l{s}").alias(f"lv{s}"),
+        )
+        scored = scored.join(F.broadcast(piece), ["probe_id", f"c{s}"])
+    adc = None
+    for s in range(n_sub):
+        adc = F.col(f"lv{s}") if adc is None else adc + F.col(f"lv{s}")
+    scored = scored.withColumn("adc", adc)
+    wa = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    short = scored.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= shortlist
+    )
+    rer = short.withColumn(
+        "cos",
+        dot(F.col("probe_vec"), F.col("cand_vec")) / (F.col("pnrm") * F.col("cnrm")),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

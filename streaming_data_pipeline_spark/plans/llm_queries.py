@@ -509,8 +509,12 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-table (16x6) ~0.4 min / ~0.6 avg at a ~25% scan fraction,
     IVF 0.94-0.98 (IVF exploits the residual directional structure
     directly), int8+rerank 1.0 (quantization error is far below the
-    top-10/rest margin, and the 5x shortlist absorbs what remains).
-    Demonstrates multitable >= multiprobe >= single-bucket recall."""
+    top-10/rest margin, and the 5x shortlist absorbs what remains),
+    PQ-ADC 0.4-0.9 avg ~0.7 (8-byte codes, 32x compression — the
+    recall price of a 16-entry codebook on near-isotropic data; real
+    clustered corpora sit much higher). Demonstrates multitable >=
+    multiprobe >= single-bucket recall, and the compression/recall
+    ladder int8 (4x, ~1.0) vs PQ (32x, ~0.7)."""
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     bf = brute_force_topk(emb, probes).select("probe_id", "cand_id")
@@ -520,6 +524,10 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multitable_recall": multitable_lsh_topk(emb, probes),
         "ivf_recall": ivf_topk(emb, probes),
         "int8_rerank_recall": int8_rerank_topk(emb, probes),
+        "pq_adc_recall": __import__(
+            "streaming_data_pipeline_spark.operators.similarity",
+            fromlist=["pq_adc_topk"],
+        ).pq_adc_topk(emb, probes),
     }
     out = bf
     for name, df in approx.items():
@@ -1136,19 +1144,23 @@ def _sql_recall_oracle() -> str:
     ),
     ivf AS ({topk.format(scored=ivf_scored)}),
     {_sql_int8_ctes()},
-    i8 AS ({topk.format(scored=_SQL_INT8_SCORED)})
+    i8 AS ({topk.format(scored=_SQL_INT8_SCORED)}),
+    {_sql_pq_ctes()},
+    pq AS ({topk.format(scored=_SQL_PQ_SCORED)})
     SELECT b.probe_id,
            round(CAST(COUNT(l.cand_id) AS DOUBLE) / COUNT(*), 4) AS lsh_recall,
            round(CAST(COUNT(m.cand_id) AS DOUBLE) / COUNT(*), 4) AS multiprobe_recall,
            round(CAST(COUNT(t.cand_id) AS DOUBLE) / COUNT(*), 4) AS multitable_recall,
            round(CAST(COUNT(i.cand_id) AS DOUBLE) / COUNT(*), 4) AS ivf_recall,
-           round(CAST(COUNT(q.cand_id) AS DOUBLE) / COUNT(*), 4) AS int8_rerank_recall
+           round(CAST(COUNT(q.cand_id) AS DOUBLE) / COUNT(*), 4) AS int8_rerank_recall,
+           round(CAST(COUNT(pa.cand_id) AS DOUBLE) / COUNT(*), 4) AS pq_adc_recall
     FROM bf b
     LEFT JOIN lsh l ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id
     LEFT JOIN mp  m ON b.probe_id = m.probe_id AND b.cand_id = m.cand_id
     LEFT JOIN mt  t ON b.probe_id = t.probe_id AND b.cand_id = t.cand_id
     LEFT JOIN ivf i ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
     LEFT JOIN i8  q ON b.probe_id = q.probe_id AND b.cand_id = q.cand_id
+    LEFT JOIN pq pa ON b.probe_id = pa.probe_id AND b.cand_id = pa.cand_id
     GROUP BY b.probe_id ORDER BY b.probe_id
     """
 
@@ -1202,7 +1214,8 @@ WHERE rank <= 10 ORDER BY probe_id, rank
 """
 
 
-ORACLE["similarity_recall_at_k"] = _sql_recall_oracle()
+# (similarity_recall_at_k oracle assigned at end of module —
+# it now depends on _sql_pq_ctes, defined below)
 
 
 # Reuse the minhash pair oracle as the edge set of the clustering oracle
@@ -2057,3 +2070,108 @@ JOIN d m ON m.fp = g.fp AND m.doc_id <> g.canon_id
 JOIN d c ON c.doc_id = g.canon_id
 ORDER BY id_a, id_b
 """
+
+
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (operators/similarity.py:pq_adc_topk): 8x8-dim subvector codes
+    (~8 bytes/vector, 32x smaller than f32), per-probe LUT scoring,
+    exact-cosine rerank of the 50-candidate shortlist. The most
+    compressed tier of the similarity stack; recall measured against
+    brute force in similarity_recall_at_k (pq_adc_recall)."""
+    from streaming_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
+        "probe_id", "rank"
+    )
+
+
+QUERIES["similarity_pq_adc"] = similarity_pq_adc
+
+
+def _sql_pq_ctes(
+    n_probes: int = N_PROBES, n_sub: int = 8, n_codes: int = 16, shortlist: int = 50
+) -> str:
+    """CTE chain for the PQ-ADC path: codebook from the first n_codes
+    vectors, per-subspace nearest-code assignment (fixed-order distance
+    chains, ORDER BY d, code tie-break — mirroring Spark's struct-min),
+    per-probe LUT, 8-term ADC sum, shortlist. The caller appends the
+    exact-rerank SELECT."""
+
+    def sub_d(s: int) -> str:
+        return " + ".join(
+            f"(CAST(cv[{i + 1}] AS DOUBLE) - CAST(cb.cb_vec[{i + 1}] AS DOUBLE))"
+            f" * (CAST(cv[{i + 1}] AS DOUBLE) - CAST(cb.cb_vec[{i + 1}] AS DOUBLE))"
+            for i in range(8 * s, 8 * s + 8)
+        )
+
+    def sub_l(s: int) -> str:
+        return " + ".join(
+            f"CAST(pv[{i + 1}] AS DOUBLE) * CAST(cb.cb_vec[{i + 1}] AS DOUBLE)"
+            for i in range(8 * s, 8 * s + 8)
+        )
+
+    dist_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT cand_id, cb.code, {s} AS s, {sub_d(s)} AS d FROM pqcand, pqcb cb"
+        for s in range(n_sub)
+    )
+    lut_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT probe_id, cb.code, {s} AS s, {sub_l(s)} AS v FROM pqprobes, pqcb cb"
+        for s in range(n_sub)
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(n_sub)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN pqlut l{s} ON l{s}.probe_id = p.probe_id AND l{s}.s = {s}"
+        f" AND l{s}.code = e.c{s}"
+        for s in range(n_sub)
+    )
+    adc = " + ".join(f"l{s}.v" for s in range(n_sub))
+    return f"""
+pqcb AS (SELECT vec_id AS code, embedding AS cb_vec FROM embeddings
+         WHERE vec_id < {n_codes}),
+pqcand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+pqprobes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+             WHERE vec_id < {n_probes}),
+pqdists AS (
+  {dist_selects}),
+pqenc0 AS (
+  SELECT cand_id, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY cand_id, s ORDER BY d, code) AS rn
+    FROM pqdists) WHERE rn = 1),
+pqenc AS (SELECT cand_id, {code_cols} FROM pqenc0 GROUP BY cand_id),
+pqlut AS (
+  {lut_selects}),
+pqadc AS (
+  SELECT e.cand_id, p.probe_id, {adc} AS adc
+  FROM pqenc e CROSS JOIN pqprobes p
+  {lut_joins}
+  WHERE p.probe_id <> e.cand_id),
+pqshort AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY adc DESC, cand_id) AS arank
+    FROM pqadc) WHERE arank <= {shortlist})"""
+
+
+_SQL_PQ_SCORED = (
+    "SELECT s.probe_id, s.cand_id, "
+    f"({_sql_dot('pv', 'cv')}) / "
+    f"(sqrt({_sql_dot('pv', 'pv')}) * sqrt({_sql_dot('cv', 'cv')})) AS cos "
+    "FROM pqshort s JOIN pqprobes USING (probe_id) JOIN pqcand USING (cand_id)"
+)
+
+
+ORACLE["similarity_pq_adc"] = f"""
+WITH {_sql_pq_ctes()}
+SELECT probe_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, cand_id) AS rank
+      FROM ({_SQL_PQ_SCORED}))
+WHERE rank <= 10 ORDER BY probe_id, rank
+"""
+
+
+ORACLE["similarity_recall_at_k"] = _sql_recall_oracle()

@@ -647,3 +647,21 @@ def test_dhash_brightness_shift_invariance():
                         equal_bits += 1
             checked += 1
     assert checked >= 10 and equal_bits >= 200  # genuinely exercised
+
+
+def test_similarity_pq_adc_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "similarity_pq_adc", SF_DIR)
+
+
+def test_pq_codes_compress_and_recall_is_reasonable(spark):
+    """The compression/recall ladder: PQ (32x) recalls less than
+    int8+rerank (4x, ~1.0) but far more than random (10/|corpus|)."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        similarity_recall_at_k,
+    )
+
+    rows = similarity_recall_at_k(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.pq_adc_recall <= r.int8_rerank_recall
+        assert r.pq_adc_recall >= 0.2  # 16-entry codebook floor here
