@@ -108,6 +108,7 @@ HEADLINE += [
     "dedup_unicode_normalized",
     "dedup_edit_distance_pairs",
     "similarity_pq_adc",
+    "cms_token_frequency",
 ]
 
 

@@ -1347,3 +1347,111 @@ SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
        CAST(1 AS BIGINT) AS n_files
 FROM events GROUP BY 1 ORDER BY event_date
 """
+
+
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimation — completes the
+    mergeable-sketch family (HLL distinct / theta set algebra /
+    approx-top-k heavy hitters / KLL quantiles / + CMS frequencies):
+    d=4 hash rows x w=256 buckets, cells built as one hash-aggregate
+    over (row, bucket) increments — the mergeable-partials shape (shard
+    sketches sum cell-wise; map-side combine does the heavy lifting, a
+    1024-cell array moves per shard instead of the token stream).
+    Point estimate for a token = min over rows of its 4 cells; CMS
+    never underestimates (every occurrence lands in all 4 counted
+    cells; collisions only add). Probes: the exact top-10 tokens. The
+    hashes are md5-derived and deterministic, so BOTH the cells and the
+    estimates are exactly reproducible in SQL — the oracle rebuilds the
+    sketch and must agree cell-for-cell, making this a stronger check
+    than the self-validating boolean protocol the engine-internal
+    sketches need."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.functions.text import tokens as _tok
+
+    d, width = 4, 256
+
+    def _rb(tcol):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{j}:"), tcol)), 1, 7
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tok(F.col("text"))).alias("t"))
+    exact = tok.groupBy("t").agg(F.count("*").cast("long").alias("exact_count"))
+    cells = (
+        tok.select(_rb(F.col("t")).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cell"))
+    )
+    w = Window.orderBy(F.desc("exact_count"), F.asc("t"))
+    probes = exact.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 10
+    )
+    probe_buckets = probes.select(
+        "t", "exact_count", "rank", _rb(F.col("t")).alias("rb")
+    ).select("t", "exact_count", "rank", "rb.row", "rb.bucket")
+    est = (
+        probe_buckets.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("t", "exact_count", "rank")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("t").alias("token"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("never_underestimates"),
+        "rank",
+    ).orderBy("rank")
+
+
+QUERIES["cms_token_frequency"] = cms_token_frequency
+ORACLE["cms_token_frequency"] = """
+WITH tok AS (
+  SELECT u.tok AS t
+  FROM documents d,
+       UNNEST(list_filter(string_split(d.text, ' '), x -> x <> '')) AS u(tok)),
+exact AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ec FROM tok GROUP BY t),
+cells AS (
+  SELECT j.j AS row,
+         CAST(CAST('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || t), 1, 7)
+                   AS BIGINT) % 256 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cell
+  FROM tok, (SELECT unnest(range(4)) AS j) j
+  GROUP BY 1, 2),
+probes AS (
+  SELECT t, ec, rnk FROM (
+    SELECT t, ec,
+           CAST(row_number() OVER (ORDER BY ec DESC, t) AS BIGINT) AS rnk
+    FROM exact) WHERE rnk <= 10),
+pb AS (
+  SELECT p.t, p.ec, p.rnk, j.j AS row,
+         CAST(CAST('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || p.t), 1, 7)
+                   AS BIGINT) % 256 AS BIGINT) AS bucket
+  FROM probes p, (SELECT unnest(range(4)) AS j) j),
+est AS (
+  SELECT pb.t, pb.ec, pb.rnk, MIN(c.cell) AS est
+  FROM pb JOIN cells c ON c.row = pb.row AND c.bucket = pb.bucket
+  GROUP BY 1, 2, 3)
+SELECT t AS token, ec AS exact_count, est AS cms_estimate,
+       est >= ec AS never_underestimates, rnk AS rank
+FROM est ORDER BY rank
+"""

@@ -665,3 +665,19 @@ def test_pq_codes_compress_and_recall_is_reasonable(spark):
     for r in rows:
         assert r.pq_adc_recall <= r.int8_rerank_recall
         assert r.pq_adc_recall >= 0.2  # 16-entry codebook floor here
+
+
+def test_cms_token_frequency_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "cms_token_frequency", SF_DIR)
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark):
+    """CMS structural guarantee: estimate >= exact for every probe; and
+    with 1024 cells against this fixture's small vocabulary the top-10
+    estimates should be exact or nearly so."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["cms_token_frequency"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.never_underestimates for r in rows)
+    assert all(r.cms_estimate >= r.exact_count for r in rows)
