@@ -109,6 +109,7 @@ HEADLINE += [
     "dedup_edit_distance_pairs",
     "similarity_pq_adc",
     "cms_token_frequency",
+    "epoch_shuffle_shards",
 ]
 
 

@@ -598,3 +598,101 @@ ORACLE = {
     FROM c ORDER BY doc_id, chunk_id
     """,
 }
+
+
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-EPOCH shuffle + shard assignment — the data-
+    serving layout a training run reads: every epoch reorders the
+    corpus by a salted hash (md5('ep<e>:' || doc_id) — reproducible
+    across reruns and engines, no RNG state) and deals docs into
+    shards by hash range, so (a) each epoch sees a different order,
+    (b) any worker can locate its shard without coordination, and
+    (c) the shuffle is a pure narrow projection — no actual shuffle of
+    corpus bytes, just a computed (epoch, shard) key that the writer
+    partitions by. Per (epoch, shard): doc count, token budget, doc_id
+    checksum, and the serving head (first doc in shard order) — what a
+    loader audits before a run. 3 epochs x 8 shards."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.functions.text import token_count
+
+    epochs, shards = 3, 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    dealt = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).alias("epoch"),
+                        F.md5(
+                            F.concat(F.lit(f"ep{e}:"), F.col("doc_id").cast("string"))
+                        ).alias("order_key"),
+                    )
+                    for e in range(epochs)
+                ]
+            )
+        ).alias("a"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "a.epoch",
+        "a.order_key",
+        (
+            F.conv(F.substring("a.order_key", 1, 7), 16, 10).cast("long") % shards
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("order_key", "doc_id")
+    return (
+        dealt.withColumn("pos", F.row_number().over(w))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("head_doc"),
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "total_tokens",
+            "doc_id_checksum",
+            "head_doc",
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+QUERIES["epoch_shuffle_shards"] = epoch_shuffle_shards
+ORACLE["epoch_shuffle_shards"] = """
+WITH dealt AS (
+  SELECT d.doc_id,
+         CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         e.e AS epoch,
+         md5('ep' || CAST(e.e AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+           AS order_key
+  FROM documents d, (SELECT unnest(range(3)) AS e) e),
+keyed AS (
+  SELECT *,
+         CAST(CAST('0x' || substring(order_key, 1, 7) AS BIGINT) % 8
+              AS BIGINT) AS shard
+  FROM dealt),
+pos AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY epoch, shard
+                            ORDER BY order_key, doc_id) AS p
+  FROM keyed)
+SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum,
+       CAST(MAX(CASE WHEN p = 1 THEN doc_id END) AS BIGINT) AS head_doc
+FROM pos GROUP BY epoch, shard ORDER BY epoch, shard
+"""

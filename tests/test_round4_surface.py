@@ -681,3 +681,30 @@ def test_cms_never_underestimates_and_is_tight_here(spark):
     assert len(rows) == 10
     assert all(r.never_underestimates for r in rows)
     assert all(r.cms_estimate >= r.exact_count for r in rows)
+
+
+def test_epoch_shuffle_shards_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "epoch_shuffle_shards", SF_DIR)
+
+
+def test_epoch_shuffle_reorders_but_conserves(spark):
+    """Each epoch deals the SAME corpus (doc/token totals conserved per
+    epoch) into a DIFFERENT arrangement (shard checksums differ between
+    epochs — the whole point of reshuffling)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["epoch_shuffle_shards"](spark, SF_DIR).collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert sorted(by_epoch) == [0, 1, 2]
+    totals = {
+        e: (sum(r.n_docs for r in v), sum(r.total_tokens for r in v))
+        for e, v in by_epoch.items()
+    }
+    assert len(set(totals.values())) == 1  # conservation across epochs
+    layouts = {
+        e: tuple(sorted((r.shard, r.doc_id_checksum) for r in v))
+        for e, v in by_epoch.items()
+    }
+    assert len(set(layouts.values())) == 3  # every epoch is a new deal
