@@ -110,6 +110,7 @@ HEADLINE += [
     "similarity_pq_adc",
     "cms_token_frequency",
     "epoch_shuffle_shards",
+    "curriculum_mix_schedule",
 ]
 
 

@@ -696,3 +696,131 @@ SELECT CAST(epoch AS BIGINT) AS epoch, shard,
        CAST(MAX(CASE WHEN p = 1 THEN doc_id END) AS BIGINT) AS head_doc
 FROM pos GROUP BY epoch, shard ORDER BY epoch, shard
 """
+
+
+def curriculum_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data-mix SCHEDULE — the per-epoch re-weighting a
+    staged training run applies: docs are tiered by the shared quality
+    score (high >= 7, mid 4-6, low < 4 of the x10 scale), and each
+    epoch samples tiers at scheduled rates (epoch 0 uniform 100%;
+    epoch 1 drops low to 25%; epoch 2 serves only high at 100% + mid
+    50%) via salted deterministic hash gates (md5('mix<e>:'||doc_id)
+    first byte < rate*256 — reproducible, composable with the epoch
+    shuffle, no RNG state). Output per (epoch, tier): scheduled rate in
+    basis points, docs/tokens admitted, docs available — the mix audit
+    table a training launch reviews. Scale shape: one quality pass,
+    one narrow hash-gate filter per epoch arm — no shuffle beyond the
+    final tiny aggregate."""
+    from streaming_data_pipeline_spark.functions.text import token_count
+    from streaming_data_pipeline_spark.plans.llm_queries import _doc_q10
+
+    schedule = {  # (epoch, tier) -> admission rate out of 256
+        (0, "high"): 256, (0, "mid"): 256, (0, "low"): 256,
+        (1, "high"): 256, (1, "mid"): 256, (1, "low"): 64,
+        (2, "high"): 256, (2, "mid"): 128, (2, "low"): 0,
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.when(_doc_q10() >= 7, F.lit("high"))
+        .when(_doc_q10() >= 4, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+    )
+    arms = docs.select(
+        "doc_id",
+        "n_tokens",
+        "tier",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).alias("epoch"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"mix{e}:"),
+                                            F.col("doc_id").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    2,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                        ).alias("gate"),
+                    )
+                    for e in range(3)
+                ]
+            )
+        ).alias("a"),
+    ).select("doc_id", "n_tokens", "tier", "a.epoch", "a.gate")
+    rate = F.lit(None).cast("long")
+    for (e, t), r in schedule.items():
+        rate = F.when((F.col("epoch") == e) & (F.col("tier") == t), F.lit(r)).otherwise(rate)
+    gated = arms.withColumn("rate", rate)
+    return (
+        gated.groupBy("epoch", "tier", "rate")
+        .agg(
+            F.count("*").cast("long").alias("n_available"),
+            F.sum(F.when(F.col("gate") < F.col("rate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+            F.sum(
+                F.when(F.col("gate") < F.col("rate"), F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_admitted"),
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "tier",
+            (F.col("rate") * 10000 / 256).cast("long").alias("rate_bp"),
+            "n_available",
+            "n_admitted",
+            "tokens_admitted",
+        )
+        .orderBy("epoch", "tier")
+    )
+
+
+QUERIES["curriculum_mix_schedule"] = curriculum_mix_schedule
+ORACLE["curriculum_mix_schedule"] = """
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         (CASE WHEN length(text) >= 20 AND length(text) <= 10000 THEN 4 ELSE 0 END
+        + CASE WHEN (CASE WHEN length(text) > 0
+                     THEN round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text), 6)
+                     ELSE 0.0 END) <= 0.2 THEN 3 ELSE 0 END
+        + CASE WHEN len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                        x -> x IN ('the', 'a', 'and', 'of', 'to'))) > 0
+               THEN 3 ELSE 0 END) AS q10
+  FROM documents),
+tiers AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN q10 >= 7 THEN 'high' WHEN q10 >= 4 THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM q),
+sched(epoch, tier, rate) AS (VALUES
+  (0, 'high', 256), (0, 'mid', 256), (0, 'low', 256),
+  (1, 'high', 256), (1, 'mid', 256), (1, 'low', 64),
+  (2, 'high', 256), (2, 'mid', 128), (2, 'low', 0)),
+arms AS (
+  SELECT t.doc_id, t.n_tokens, t.tier, s.epoch, s.rate,
+         CAST('0x' || substring(md5('mix' || CAST(s.epoch AS VARCHAR) || ':'
+                                    || CAST(t.doc_id AS VARCHAR)), 1, 2)
+              AS BIGINT) AS gate
+  FROM tiers t JOIN sched s ON s.tier = t.tier)
+SELECT CAST(epoch AS BIGINT) AS epoch, tier,
+       CAST(rate * 10000 / 256 AS BIGINT) AS rate_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_available,
+       CAST(SUM(CASE WHEN gate < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN gate < rate THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_admitted
+FROM arms GROUP BY epoch, tier, rate ORDER BY epoch, tier
+"""

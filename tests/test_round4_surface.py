@@ -708,3 +708,24 @@ def test_epoch_shuffle_reorders_but_conserves(spark):
         for e, v in by_epoch.items()
     }
     assert len(set(layouts.values())) == 3  # every epoch is a new deal
+
+
+def test_curriculum_mix_schedule_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "curriculum_mix_schedule", SF_DIR)
+
+
+def test_curriculum_rates_behave(spark):
+    """Rate 100% admits everything available, rate 0 admits nothing,
+    and partial rates admit a fraction strictly between."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["curriculum_mix_schedule"](spark, SF_DIR).collect()
+    by = {(r.epoch, r.tier): r for r in rows}
+    for (e, t), r in by.items():
+        if r.rate_bp == 10000:
+            assert r.n_admitted == r.n_available
+        elif r.rate_bp == 0:
+            assert r.n_admitted == 0
+        else:
+            assert 0 < r.n_admitted < r.n_available
+    assert by[(1, "low")].rate_bp == 2500 and by[(2, "mid")].rate_bp == 5000
