@@ -105,7 +105,7 @@ _SWEEP_PRIORITY = [
     "similarity_pq_adc",           # new: 32x PQ codes + ADC + rerank
     "cms_token_frequency",         # new: Count-Min mergeable sketch
     "epoch_shuffle_shards",        # new: per-epoch shuffle + sharding
-    "curriculum_mix_schedule",     # new: per-epoch quality-tier mix
+    "curriculum_mix_schedule",     # new: per-epoch length-tier mix
     "dedup_unicode_normalized",    # new: NFC-aware exact dedup
     "dedup_edit_distance_pairs",   # new: blocked Levenshtein near-dup
     "similarity_recall_at_k",      # gained int8_rerank_recall column

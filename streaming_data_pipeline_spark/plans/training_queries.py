@@ -700,31 +700,31 @@ FROM pos GROUP BY epoch, shard ORDER BY epoch, shard
 
 def curriculum_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum data-mix SCHEDULE — the per-epoch re-weighting a
-    staged training run applies: docs are tiered by the shared quality
-    score (high >= 7, mid 4-6, low < 4 of the x10 scale), and each
-    epoch samples tiers at scheduled rates (epoch 0 uniform 100%;
-    epoch 1 drops low to 25%; epoch 2 serves only high at 100% + mid
-    50%) via salted deterministic hash gates (md5('mix<e>:'||doc_id)
-    first byte < rate*256 — reproducible, composable with the epoch
+    staged training run applies: docs are tiered by length band
+    (short < 200 chars, mid 200-349, long >= 350 — length as the
+    classic easy->hard curriculum proxy), and each epoch samples tiers
+    at scheduled rates (epoch 0 uniform 100%; epoch 1 throttles short
+    to 25%; epoch 2 serves long at 100% + mid 50%, short retired) via
+    salted deterministic hash gates (md5('mix<e>:'||doc_id) first byte
+    < rate, rates out of 256 — reproducible, composable with the epoch
     shuffle, no RNG state). Output per (epoch, tier): scheduled rate in
     basis points, docs/tokens admitted, docs available — the mix audit
-    table a training launch reviews. Scale shape: one quality pass,
+    table a training launch reviews. Scale shape: one length pass,
     one narrow hash-gate filter per epoch arm — no shuffle beyond the
     final tiny aggregate."""
     from streaming_data_pipeline_spark.functions.text import token_count
-    from streaming_data_pipeline_spark.plans.llm_queries import _doc_q10
 
     schedule = {  # (epoch, tier) -> admission rate out of 256
-        (0, "high"): 256, (0, "mid"): 256, (0, "low"): 256,
-        (1, "high"): 256, (1, "mid"): 256, (1, "low"): 64,
-        (2, "high"): 256, (2, "mid"): 128, (2, "low"): 0,
+        (0, "long"): 256, (0, "mid"): 256, (0, "short"): 256,
+        (1, "long"): 256, (1, "mid"): 256, (1, "short"): 64,
+        (2, "long"): 256, (2, "mid"): 128, (2, "short"): 0,
     }
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
-        F.when(_doc_q10() >= 7, F.lit("high"))
-        .when(_doc_q10() >= 4, F.lit("mid"))
-        .otherwise(F.lit("low"))
+        F.when(F.length("text") >= 350, F.lit("long"))
+        .when(F.length("text") >= 200, F.lit("mid"))
+        .otherwise(F.lit("short"))
         .alias("tier"),
     )
     arms = docs.select(
@@ -789,27 +789,18 @@ def curriculum_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["curriculum_mix_schedule"] = curriculum_mix_schedule
 ORACLE["curriculum_mix_schedule"] = """
-WITH q AS (
+WITH tiers AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS n_tokens,
-         (CASE WHEN length(text) >= 20 AND length(text) <= 10000 THEN 4 ELSE 0 END
-        + CASE WHEN (CASE WHEN length(text) > 0
-                     THEN round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text), 6)
-                     ELSE 0.0 END) <= 0.2 THEN 3 ELSE 0 END
-        + CASE WHEN len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
-                        x -> x IN ('the', 'a', 'and', 'of', 'to'))) > 0
-               THEN 3 ELSE 0 END) AS q10
+         CASE WHEN length(text) >= 350 THEN 'long'
+              WHEN length(text) >= 200 THEN 'mid'
+              ELSE 'short' END AS tier
   FROM documents),
-tiers AS (
-  SELECT doc_id, n_tokens,
-         CASE WHEN q10 >= 7 THEN 'high' WHEN q10 >= 4 THEN 'mid'
-              ELSE 'low' END AS tier
-  FROM q),
 sched(epoch, tier, rate) AS (VALUES
-  (0, 'high', 256), (0, 'mid', 256), (0, 'low', 256),
-  (1, 'high', 256), (1, 'mid', 256), (1, 'low', 64),
-  (2, 'high', 256), (2, 'mid', 128), (2, 'low', 0)),
+  (0, 'long', 256), (0, 'mid', 256), (0, 'short', 256),
+  (1, 'long', 256), (1, 'mid', 256), (1, 'short', 64),
+  (2, 'long', 256), (2, 'mid', 128), (2, 'short', 0)),
 arms AS (
   SELECT t.doc_id, t.n_tokens, t.tier, s.epoch, s.rate,
          CAST('0x' || substring(md5('mix' || CAST(s.epoch AS VARCHAR) || ':'

@@ -728,4 +728,5 @@ def test_curriculum_rates_behave(spark):
             assert r.n_admitted == 0
         else:
             assert 0 < r.n_admitted < r.n_available
-    assert by[(1, "low")].rate_bp == 2500 and by[(2, "mid")].rate_bp == 5000
+    assert by[(1, "short")].rate_bp == 2500 and by[(2, "mid")].rate_bp == 5000
+    assert len(by) == 9  # all three tiers genuinely populated
