@@ -110,6 +110,12 @@ _SWEEP_PRIORITY = [
     "dedup_edit_distance_pairs",   # new: blocked Levenshtein near-dup
     "similarity_recall_at_k",      # gained int8_rerank_recall column
     "wire_sink_roundtrip",         # manifest became append-only ledger
+    "graph_triangle_counts",       # new: degree-oriented triangle count
+    "value_histogram_equidepth",   # new: exact ntile without global sort
+    "join_skew_diagnostics",       # new: pre-join skew profile + salt rec
+    "incremental_join_maintenance", # new: two-sided delta-join IVM
+    "char_diversity_by_source",    # new: integer Simpson char diversity
+    "inverted_index_postings",     # new: capped-postings index head
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -111,6 +111,13 @@ HEADLINE += [
     "cms_token_frequency",
     "epoch_shuffle_shards",
     "curriculum_mix_schedule",
+    # round-4 continuation: graph + histogram + join-IVM + index surface
+    "graph_triangle_counts",
+    "value_histogram_equidepth",
+    "join_skew_diagnostics",
+    "incremental_join_maintenance",
+    "char_diversity_by_source",
+    "inverted_index_postings",
 ]
 
 

@@ -1119,3 +1119,223 @@ SELECT CAST(iv.d AS TIMESTAMP) AS incident_date,
 FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
 GROUP BY iv.d, iv.idx ORDER BY incident_date, incident_idx
 """
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
+    """Distributed triangle counting over the token co-occurrence graph
+    (graph analytics beside `pagerank_event_transitions` /
+    `dedup_cluster_components` — reference anchor: the event-graph
+    analytics family of SURVEY §2.5/§2.12).
+
+    Graph: nodes are lowercased tokens, undirected edges between
+    adjacent tokens (bigrams) seen >= 3 times corpus-wide — the
+    collocation graph; triangles are 3-cliques of mutually co-occurring
+    terms (phrase templates / boilerplate cliques).
+
+    Algorithm is the standard DEGREE-ORIENTED distributed count: orient
+    every edge from the (degree, token)-smaller endpoint to the larger,
+    build wedges by joining oriented edges on their source, and close
+    each wedge with a semi-join back to the oriented edge set. Each
+    triangle is counted exactly once (its unique minimum-order apex),
+    and every join key is a token — no global rank, no single-partition
+    window, wedge fan-out bounded by the oriented out-degree, which the
+    orientation caps at O(sqrt(|E|)) for any degree distribution. This
+    is THE shape that survives Zipf-skewed vocabularies at 100 TB; the
+    naive triple self-join explodes on the stopword hub nodes.
+
+    Output: top-k tokens by triangle participation (tie: token asc)
+    with their degree. The oracle recomputes triangles by the naive
+    lexicographic triple join — same triangle set, different algorithm,
+    so the row is an algebraic cross-check of the orientation trick.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from streaming_data_pipeline_spark.functions.text import all_word_ngrams
+
+    pair = F.split(F.col("bg"), " ")
+    edges = (
+        docs.select(
+            F.explode(all_word_ngrams(F.lower(F.col("text")), 2)).alias("bg")
+        )
+        .select(pair.getItem(0).alias("a"), pair.getItem(1).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient each edge from (deg, token)-min to (deg, token)-max; carry
+    # the destination's order key so wedge endpoints can be ordered
+    # without a global node ranking.
+    e = (
+        edges.join(deg.withColumnRenamed("t", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("t", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("dv").alias("ddeg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("du").alias("ddeg"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst", "o.ddeg")
+    )
+    e1 = e.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("ddeg").alias("ydeg")
+    )
+    e2 = e.select(
+        F.col("src"), F.col("dst").alias("z"), F.col("ddeg").alias("zdeg")
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("ydeg") < F.col("zdeg"))
+        | ((F.col("ydeg") == F.col("zdeg")) & (F.col("y") < F.col("z")))
+    )
+    closer = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closer, ["y", "z"]).select(
+        F.col("src").alias("x"), "y", "z"
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    top = (
+        per_node.join(deg, "t")
+        .orderBy(F.desc("n_triangles"), F.asc("t"))
+        .limit(k)
+    )
+    return top.select(
+        F.col("t").alias("token"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("deg").cast("long").alias("degree"),
+    ).orderBy(F.desc("n_triangles"), F.asc("token"))
+
+
+def value_histogram_equidepth(spark: SparkSession, sf_dir: str, b: int = 8) -> DataFrame:
+    """EXACT equi-depth (equal-height) histogram of ``events.value`` in
+    b bins — the partner of `value_histogram_equiwidth` and the layout
+    primitive behind range partitioning and quantile-binned features.
+
+    Scale-safe exact construction WITHOUT a global row_number: rows are
+    ranked through their DISTINCT value's cumulative count (one hash
+    agg to distinct values, one window over the distinct-value frame —
+    cardinality |V| << |rows| for any real metric column), then each
+    value's rank interval [cum-cnt+1, cum] is intersected with each
+    bin's rank interval (ceil(b*N/B)+1 .. ceil((b+1)*N/B) — the exact
+    ntile bounds) via a range join against the tiny 8-row bin frame.
+    Ties are split across bins deterministically by the interval
+    arithmetic itself — no per-row ordering, no single-partition
+    exchange on the fact table, bin counts exactly N/B +- 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy("value").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "value",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    ).select(
+        "value",
+        "cnt",
+        (F.col("cum") - F.col("cnt") + 1).alias("lo"),
+        F.col("cum").alias("hi"),
+    )
+    total = ev.agg(F.count("*").alias("n"))
+    bins = spark.range(b).select(F.col("id").alias("bin")).crossJoin(
+        F.broadcast(total)
+    ).select(
+        "bin",
+        # exact integer ceil-division (LongType `div`, never IEEE `/`)
+        (F.expr(f"(bin * n + {b - 1}) div {b}") + 1).alias("blo"),
+        F.expr(f"((bin + 1) * n + {b - 1}) div {b}").alias("bhi"),
+    )
+    joined = ranked.join(
+        F.broadcast(bins),
+        (F.col("lo") <= F.col("bhi")) & (F.col("hi") >= F.col("blo")),
+    )
+    overlap = F.least("hi", "bhi") - F.greatest("lo", "blo") + 1
+    return (
+        joined.groupBy("bin")
+        .agg(
+            F.sum(overlap).cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct_values"),
+            F.round(F.min("value"), 2).alias("value_min"),
+            F.round(F.max("value"), 2).alias("value_max"),
+        )
+        .select(F.col("bin").cast("long").alias("bin"), "n_rows", "n_distinct_values", "value_min", "value_max")
+        .orderBy("bin")
+    )
+
+
+QUERIES["graph_triangle_counts"] = graph_triangle_counts
+ORACLE["graph_triangle_counts"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+bi AS (
+  SELECT t[x.i] AS a, t[x.i + 1] AS b
+  FROM toks, LATERAL unnest(range(1, len(t))) x(i)),
+und AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v
+  FROM bi WHERE a <> b
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT x AS t FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+deg AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS t FROM und UNION ALL SELECT v FROM und)
+  GROUP BY t)
+SELECT c.t AS token, CAST(COUNT(*) AS BIGINT) AS n_triangles, any_value(d.degree) AS degree
+FROM corners c JOIN deg d ON d.t = c.t
+GROUP BY c.t
+ORDER BY n_triangles DESC, token ASC
+LIMIT 15
+"""
+
+ORACLE["value_histogram_equidepth"] = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+vals AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY value),
+ranked AS (
+  SELECT value, cnt,
+         SUM(cnt) OVER (ORDER BY value) - cnt + 1 AS lo,
+         SUM(cnt) OVER (ORDER BY value) AS hi
+  FROM vals),
+bins AS (
+  SELECT b.bin, ((b.bin * n.n + 7) // 8) + 1 AS blo,
+         ((b.bin + 1) * n.n + 7) // 8 AS bhi
+  FROM (SELECT unnest(range(8)) AS bin) b, n)
+SELECT CAST(bins.bin AS BIGINT) AS bin,
+       CAST(SUM(least(hi, bhi) - greatest(lo, blo) + 1) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+       round(MIN(value), 2) AS value_min,
+       round(MAX(value), 2) AS value_max
+FROM ranked JOIN bins ON lo <= bhi AND hi >= blo
+GROUP BY bins.bin ORDER BY bin
+"""
+QUERIES["value_histogram_equidepth"] = value_histogram_equidepth

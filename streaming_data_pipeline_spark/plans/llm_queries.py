@@ -2175,3 +2175,140 @@ WHERE rank <= 10 ORDER BY probe_id, rank
 
 
 ORACLE["similarity_recall_at_k"] = _sql_recall_oracle()
+
+
+def char_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality screen per source — Simpson/collision
+    diversity of each document's character distribution, in EXACT
+    integer arithmetic (the log-free cousin of character entropy: low
+    diversity = repeated-character junk, key-mash, padding).
+
+    Per doc with n chars and per-char counts c_i: the probability two
+    uniformly drawn positions hold DIFFERENT characters is
+    (n² - Σc_i²)/n², reported in ppm via BIGINT `div` — no IEEE log/
+    division, so Spark and the oracle agree bit-for-bit (bound: a 1e6-
+    char doc gives n²·1e6 = 1e18 < 2⁶³). Shape: explode to (doc, char)
+    → two chained hash aggs → per-source rollup; all map-side
+    combinable, no window, no shuffle beyond the two key sets.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_char = (
+        docs.select("doc_id", "source", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .groupBy("doc_id", "source", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = (
+        per_char.groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("m"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "source",
+            F.expr("(n * n - m) * 1000000 div (n * n)").alias("ppm"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(ppm) div count(*)").cast("long").alias("avg_ppm"),
+            F.min("ppm").cast("long").alias("min_ppm"),
+            F.max("ppm").cast("long").alias("max_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Inverted-index head: per term, document frequency, collection
+    frequency, and a CAPPED posting sample (first 5 doc_ids ascending,
+    comma-joined) — the retrieval-side artifact a corpus pipeline
+    materializes next to the training shards.
+
+    Scale shape: cf is one explode→hash-agg; df aggregates the DISTINCT
+    (term, doc) frame; the posting sample is bounded BEFORE collection —
+    a per-term window keeps row_number ≤ 5 (state: 5 rows per term, the
+    standard bounded-top-k), so no unbounded collect_list ever
+    materializes a stopword's full posting list (which at 100 TB is the
+    corpus itself). Real systems shard postings further; the cap IS the
+    point here. Top-k terms by (df desc, term asc) — deterministic.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    term_doc = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    cf = term_doc.groupBy("term").agg(F.count("*").alias("cf"))
+    td = term_doc.distinct()
+    dfreq = td.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    sample = (
+        td.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("top_docs")
+        )
+    )
+    return (
+        dfreq.join(cf, "term")
+        .join(sample, "term")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            "top_docs",
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+QUERIES["char_diversity_by_source"] = char_diversity_by_source
+ORACLE["char_diversity_by_source"] = """
+WITH per_char AS (
+  SELECT doc_id, source, x.ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents, LATERAL unnest(string_split(text, '')) x(ch)
+  GROUP BY doc_id, source, x.ch),
+per_doc AS (
+  SELECT source,
+         (SUM(c) * SUM(c) - SUM(c * c)) * 1000000
+           // (SUM(c) * SUM(c)) AS ppm
+  FROM per_char GROUP BY doc_id, source HAVING SUM(c) > 0)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_ppm,
+       CAST(MIN(ppm) AS BIGINT) AS min_ppm,
+       CAST(MAX(ppm) AS BIGINT) AS max_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+QUERIES["inverted_index_postings"] = inverted_index_postings
+ORACLE["inverted_index_postings"] = """
+WITH term_doc AS (
+  SELECT doc_id, x.term
+  FROM documents,
+       LATERAL unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) x(term)),
+cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM term_doc GROUP BY term),
+td AS (SELECT DISTINCT doc_id, term FROM term_doc),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',')
+           AS top_docs
+  FROM td GROUP BY term)
+SELECT d.term, d.df, c.cf, d.top_docs
+FROM dfreq d JOIN cf c ON c.term = d.term
+ORDER BY d.df DESC, d.term ASC
+LIMIT 50
+"""

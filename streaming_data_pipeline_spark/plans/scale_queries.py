@@ -1455,3 +1455,140 @@ SELECT t AS token, ec AS exact_count, est AS cms_estimate,
        est >= ec AS never_underestimates, rnk AS rank
 FROM est ORDER BY rank
 """
+
+
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Pre-join skew DIAGNOSTIC — the profiling pass a pipeline runs
+    before a big shuffle join to decide whether to salt (and by how
+    much). Companion to `skew_salted_join`, which applies the cure this
+    query prescribes.
+
+    Per join key (user_id of the events fact side): row count, share of
+    the join input in basis points, and the recommended salt factor —
+    ceil(count * P / total) for P=32 target partitions, i.e. how many
+    reducers this key needs so no single reducer exceeds the uniform
+    per-partition share. All integer arithmetic (BIGINT `div`), one
+    hash aggregate + a distributed top-k (TakeOrderedAndProject) — the
+    diagnostic itself must stay cheap on a 100 TB input.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = 32
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 10000 div total").cast("long").alias("share_bp"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(n * {p} + total - 1) div total").cast("long"),
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join algebra
+    Δ(A ⋈ B) = ΔA ⋈ B₀ + A₀ ⋈ ΔB + ΔA ⋈ ΔB, the two-sided partner of
+    `incremental_rollup_maintenance` (which maintains an aggregate; a
+    100 TB warehouse needs both).
+
+    View: pairs of (view-event, purchase-event) by the same user —
+    i.e. COUNT(*) of the user_id equi-join of the `view` stream with
+    the `purchase` stream, grouped by user bucket (user_id % 16). Both
+    sides split at 2024-01-25: A₀/B₀ are history, ΔA/ΔB the new days.
+    The base join's aggregate is persisted (the stored view), then
+    refreshed by adding ONLY the three delta terms — each a join with
+    at least one delta input, so a refresh touches |Δ| rows of raw
+    data, never the petabyte history. The three delta joins and the
+    base join all shuffle on the same user_id key — one exchange
+    shape, reusable partitioning. The oracle recomputes the joined
+    view from ALL raw events, proving the delta algebra is exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+    )
+    cutoff = "2024-01-25"
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    a0 = views.filter(F.col("d") < cutoff)
+    da = views.filter(F.col("d") >= cutoff)
+    b0 = purchases.filter(F.col("d") < cutoff)
+    db = purchases.filter(F.col("d") >= cutoff)
+
+    def pairs(a: DataFrame, bside: DataFrame) -> DataFrame:
+        return (
+            a.select("user_id")
+            .join(bside.select("user_id"), "user_id")
+            .groupBy(F.pmod(F.col("user_id"), F.lit(16)).alias("bucket"))
+            .agg(F.count("*").alias("pairs"))
+        )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_ivmj_")
+    try:
+        pairs(a0, b0).write.mode("overwrite").parquet(base)
+        stored = spark.read.parquet(base)
+        refreshed = (
+            stored.unionByName(pairs(da, b0))
+            .unionByName(pairs(a0, db))
+            .unionByName(pairs(da, db))
+            .groupBy("bucket")
+            .agg(F.sum("pairs").alias("pairs_refreshed"))
+        )
+        full = (
+            views.select("user_id")
+            .join(purchases.select("user_id"), "user_id")
+            .groupBy(F.pmod(F.col("user_id"), F.lit(16)).alias("bucket"))
+            .agg(F.count("*").alias("pairs_full"))
+        )
+        out = (
+            refreshed.join(full, "bucket", "full_outer")
+            .select(
+                F.col("bucket").cast("long").alias("bucket"),
+                F.coalesce("pairs_full", F.lit(0)).cast("long").alias("pairs_full"),
+                F.coalesce("pairs_refreshed", F.lit(0))
+                .cast("long")
+                .alias("pairs_refreshed"),
+                (
+                    F.coalesce("pairs_full", F.lit(0))
+                    == F.coalesce("pairs_refreshed", F.lit(0))
+                ).alias("is_consistent"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["join_skew_diagnostics"] = join_skew_diagnostics
+ORACLE["join_skew_diagnostics"] = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+SELECT user_id, n,
+       CAST(n * 10000 // total AS BIGINT) AS share_bp,
+       CAST(greatest(1, (n * 32 + total - 1) // total) AS BIGINT) AS salt_factor
+FROM c, t
+ORDER BY n DESC, user_id ASC
+LIMIT 10
+"""
+
+QUERIES["incremental_join_maintenance"] = incremental_join_maintenance
+ORACLE["incremental_join_maintenance"] = """
+WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+full_pairs AS (
+  SELECT v.user_id % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS pairs_full
+  FROM v JOIN p ON p.user_id = v.user_id
+  GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket, pairs_full,
+       pairs_full AS pairs_refreshed, TRUE AS is_consistent
+FROM full_pairs ORDER BY bucket
+"""

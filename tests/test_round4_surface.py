@@ -730,3 +730,118 @@ def test_curriculum_rates_behave(spark):
             assert 0 < r.n_admitted < r.n_available
     assert by[(1, "short")].rate_bp == 2500 and by[(2, "mid")].rate_bp == 5000
     assert len(by) == 9  # all three tiers genuinely populated
+
+
+# ---- continuation-session additions: graph/histogram/IVM-join/skew/
+# char-diversity/inverted-index ---------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_triangle_counts",
+        "value_histogram_equidepth",
+        "join_skew_diagnostics",
+        "incremental_join_maintenance",
+        "char_diversity_by_source",
+        "inverted_index_postings",
+    ],
+)
+def test_new_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name, SF_DIR)
+
+
+def test_triangle_counts_internally_consistent(spark):
+    """Participation counts are per-corner tallies of real 3-cliques:
+    every reported node has degree >= 2 (a triangle corner needs two
+    incident edges) and at least one triangle."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["graph_triangle_counts"](spark, SF_DIR).collect()
+    assert rows, "collocation graph should contain triangles"
+    for r in rows:
+        assert r.degree >= 2 and r.n_triangles >= 1
+    # descending by participation, tie-broken by token
+    keys = [(-r.n_triangles, r.token) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_equidepth_bins_are_equal_height(spark):
+    """Exact ntile semantics without the global row_number: bin sizes
+    differ by at most 1 and sum to the full row count."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["value_histogram_equidepth"](spark, SF_DIR).collect()
+    sizes = [r.n_rows for r in rows]
+    assert len(rows) == 8
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_equidepth_conserves_rows(spark):
+    import __spark_entry__ as entrymod
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = entrymod.queries()["value_histogram_equidepth"](spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_rows for r in rows) == n
+    # bins are ordered and non-overlapping in value space
+    for a, b in zip(rows, rows[1:]):
+        assert a.value_max <= b.value_min + 1e-9
+
+
+def test_skew_diagnostics_math(spark):
+    import __spark_entry__ as entrymod
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = entrymod.queries()["join_skew_diagnostics"](spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.share_bp == r.n * 10000 // total
+        assert r.salt_factor == max(1, -(-r.n * 32 // total))
+        assert r.salt_factor >= 1
+
+
+def test_incremental_join_refresh_is_exact(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["incremental_join_maintenance"](spark, SF_DIR).collect()
+    assert rows and all(r.is_consistent for r in rows)
+    assert all(r.pairs_full == r.pairs_refreshed for r in rows)
+
+
+def test_char_diversity_bounds_and_known_value(spark):
+    """ppm strictly inside [0, 1e6); a synthetic constant-character doc
+    scores 0 and a two-char alternation scores 500000 - epsilon scaled
+    (n=4: (16-8)*1e6 div 16 = 500000)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["char_diversity_by_source"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r.min_ppm <= r.avg_ppm <= r.max_ppm < 1_000_000
+
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([("aaaa",), ("abab",)], "text string")
+    per_char = (
+        df.select("text", F2.explode(F2.split("text", "")).alias("ch"))
+        .groupBy("text", "ch")
+        .agg(F2.count("*").alias("c"))
+        .groupBy("text")
+        .agg(F2.expr("(sum(c)*sum(c) - sum(c*c)) * 1000000 div (sum(c)*sum(c))").alias("ppm"))
+    )
+    got = {r.text: r.ppm for r in per_char.collect()}
+    assert got == {"aaaa": 0, "abab": 500000}
+
+
+def test_inverted_index_postings_capped_and_sorted(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["inverted_index_postings"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        docs = [int(x) for x in r.top_docs.split(",")]
+        assert 1 <= len(docs) <= 5
+        assert docs == sorted(docs)
+        assert len(docs) == min(r.df, 5)
+        assert r.cf >= r.df
