@@ -116,6 +116,12 @@ _SWEEP_PRIORITY = [
     "incremental_join_maintenance", # new: two-sided delta-join IVM
     "char_diversity_by_source",    # new: integer Simpson char diversity
     "inverted_index_postings",     # new: capped-postings index head
+    "dedup_containment_pairs",     # new: rarest-shingle substring containment
+    "gopher_rules_filter",         # new: integer-exact quality rule report
+    "weighted_sample_docs",        # new: A-ES distributed weighted sampling
+    "max_concurrent_shipments",    # new: +1/-1 interval concurrency sweep
+    "bigram_lm_surprisal",         # new: conditional bigram LM scoring
+    "bpe_train_merges",            # new: declarative iterative BPE training
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

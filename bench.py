@@ -118,6 +118,14 @@ HEADLINE += [
     "incremental_join_maintenance",
     "char_diversity_by_source",
     "inverted_index_postings",
+    # round-4 second wave: containment dedup, quality rules, weighted
+    # sampling, interval concurrency, bigram LM
+    "dedup_containment_pairs",
+    "gopher_rules_filter",
+    "weighted_sample_docs",
+    "max_concurrent_shipments",
+    "bigram_lm_surprisal",
+    "bpe_train_merges",
 ]
 
 

@@ -806,3 +806,95 @@ def phash_near_dup_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 12,
+    k_rare: int = 4,
+) -> DataFrame:
+    """Substring-containment dedup: pairs (inner_id, outer_id) where the
+    inner document's full text is a strict character substring of the
+    outer's (strictly shorter). Catches quote-and-extend duplication —
+    a doc republished inside a larger page — which Jaccard-style
+    near-dup can miss when the container is much longer.
+
+    Scale shape (100 TB): never all-pairs. Char ``gram``-gram shingles
+    imply a necessary condition — every shingle of a contained doc
+    appears in its container — so it suffices to probe the ``k_rare``
+    GLOBALLY RAREST shingles of each inner doc against the posting
+    lists of all docs. Stages: (1) one explode -> distinct shingle set
+    per doc (scan-side, no shuffle); (2) one hash-agg for global
+    shingle document-frequency; (3) a bounded per-doc top-k window
+    picks each doc's rarest shingles (k rows of state per doc); (4) the
+    candidate join touches only the rare shingles' posting lists —
+    short by construction of "rarest" — and a pair survives only if
+    ALL k probes hit (count == k pigeonhole); (5) exact verification
+    runs `instr(outer, inner)` on surviving candidates only. md5-hashed
+    shingles keep the shuffle rows narrow (16 bytes, not 12 chars).
+    """
+    from pyspark.sql import Window
+
+    _release_caches()
+    base = docs.filter(F.length(text_col) >= gram).select(
+        F.col(id_col).alias("cid"),
+        F.col(text_col).alias("ctext"),
+        F.length(text_col).alias("clen"),
+    )
+    shingles = _cached(
+        base.select(
+            "cid",
+            "clen",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(ctext) - {gram - 1}),"
+                        f" i -> substr(ctext, i, {gram}))"
+                    )
+                )
+            ).alias("g"),
+        ).select("cid", "clen", F.md5("g").alias("g"))
+    )
+    dfreq = shingles.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("cid").orderBy("df", "g")
+    rare = (
+        shingles.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_rare)
+    )
+    need = rare.groupBy("cid").agg(F.count("*").alias("need"))
+    cand = (
+        rare.select(
+            F.col("cid").alias("inner_id"),
+            F.col("clen").alias("inner_len"),
+            "g",
+        )
+        .join(
+            shingles.select(
+                F.col("cid").alias("outer_id"),
+                F.col("clen").alias("outer_len"),
+                "g",
+            ),
+            "g",
+        )
+        .filter(F.col("inner_len") < F.col("outer_len"))
+        .groupBy("inner_id", "inner_len", "outer_id", "outer_len")
+        .agg(F.count("*").alias("matched"))
+        .join(need.withColumnRenamed("cid", "inner_id"), "inner_id")
+        .filter(F.col("matched") == F.col("need"))
+    )
+    inner_txt = base.select(F.col("cid").alias("inner_id"), F.col("ctext").alias("itext"))
+    outer_txt = base.select(F.col("cid").alias("outer_id"), F.col("ctext").alias("otext"))
+    return (
+        cand.join(inner_txt, "inner_id")
+        .join(outer_txt, "outer_id")
+        .filter(F.instr(F.col("otext"), F.col("itext")) > 0)
+        .select(
+            F.col("inner_id").cast("long").alias("inner_id"),
+            F.col("outer_id").cast("long").alias("outer_id"),
+            F.col("inner_len").cast("long").alias("inner_len"),
+            F.col("outer_len").cast("long").alias("outer_len"),
+        )
+    )

@@ -1339,3 +1339,77 @@ FROM ranked JOIN bins ON lo <= bhi AND hi >= blo
 GROUP BY bins.bin ORDER BY bin
 """
 QUERIES["value_histogram_equidepth"] = value_histogram_equidepth
+
+
+def max_concurrent_shipments(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Peak interval concurrency: the k dates with the most lineitems
+    simultaneously open (order placed, not yet shipped — the interval
+    [o_orderdate, l_shipdate] inclusive) — the classic +1/-1
+    boundary-sweep on intervals, the scalable alternative to an
+    interval self-join for "max concurrent sessions" questions.
+
+    Shape: a broadcast-able FK join attaches the order date; each
+    interval then emits two delta rows (+1 at open, -1 the day AFTER
+    close); one hash-agg collapses deltas per date; a running sum over
+    date order turns deltas into concurrency. The only ordered stage
+    runs on the per-DATE aggregate — the calendar domain (~2.5k dates,
+    bounded regardless of row count) — so at 100 TB the wide work is
+    the join plus one map-side-combined agg keyed by date, and the
+    window is over a provably tiny frame. Final top-k by (concurrency
+    desc, date) is a sort of that same tiny frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # the synthetic fixture doesn't enforce the TPC-H order<=ship
+        # invariant; the interval is only defined for valid spans
+        .filter(F.col("o_orderdate") <= F.col("l_shipdate"))
+        .select("o_orderdate", "l_shipdate")
+    )
+    deltas = spans.select(
+        F.col("o_orderdate").cast("date").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add(F.col("l_shipdate").cast("date"), 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    conc = per_day.withColumn("in_transit", F.sum("net").over(w))
+    ww = Window.orderBy(F.desc("in_transit"), F.asc("d"))
+    return (
+        conc.orderBy(F.desc("in_transit"), F.asc("d"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(ww))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("d").cast("timestamp_ntz").alias("peak_date"),
+            F.col("in_transit").cast("long").alias("in_transit"),
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES["max_concurrent_shipments"] = max_concurrent_shipments
+ORACLE["max_concurrent_shipments"] = """
+WITH spans AS (
+  SELECT o.o_orderdate, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate <= l.l_shipdate),
+deltas AS (
+  SELECT o_orderdate AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT l_shipdate + INTERVAL 1 DAY, -1 FROM spans),
+per_day AS (SELECT CAST(d AS DATE) AS d, SUM(delta) AS net FROM deltas GROUP BY 1),
+conc AS (
+  SELECT d, SUM(net) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS in_transit
+  FROM per_day),
+top AS (SELECT * FROM conc ORDER BY in_transit DESC, d LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY in_transit DESC, d) AS BIGINT) AS rank,
+       CAST(d AS TIMESTAMP) AS peak_date,
+       CAST(in_transit AS BIGINT) AS in_transit
+FROM top ORDER BY rank
+"""

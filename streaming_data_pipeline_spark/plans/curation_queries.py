@@ -800,3 +800,155 @@ SELECT rule, CAST(violations AS BIGINT) AS violations,
        violations = 0 AS passed
 FROM row_rules ORDER BY rule
 """
+
+
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 — public paper), thresholds
+    re-centered on this corpus's distribution so each rule actually
+    discriminates: word count in [25, 90]; mean word length in
+    [3.5, 4.75]; type/token ratio >= 1/3; no single token above 1/8 of
+    the words. Per-source report of per-rule failure counts plus the
+    pass-all survivor count.
+
+    All rule predicates are integer cross-multiplications (e.g.
+    `7*n_words <= 2*chars` for mean>=3.5) — no float thresholds to
+    drift cross-engine. Shape: explode -> (doc,token) hash-agg ->
+    per-doc hash-agg -> per-source hash-agg; three shuffles, each with
+    map-side partial aggregation, nothing driver-side. At 100 TB this
+    is the standard two-level rollup; the token agg is the only wide
+    stage and it keys on (doc_id, token) — naturally high-cardinality,
+    skew-free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_token = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+        )
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count("*").alias("c"), F.sum(F.length("t")).alias("chars"))
+    )
+    per_doc = per_token.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_types"),
+        F.sum("chars").alias("chars"),
+        F.max("c").alias("mx"),
+    )
+    flagged = per_doc.select(
+        "source",
+        (~F.col("n_words").between(25, 90)).cast("int").alias("f_wc"),
+        (
+            (7 * F.col("n_words") > 2 * F.col("chars"))
+            | (4 * F.col("chars") > 19 * F.col("n_words"))
+        ).cast("int").alias("f_mwl"),
+        (3 * F.col("n_types") < F.col("n_words")).cast("int").alias("f_ttr"),
+        (8 * F.col("mx") > F.col("n_words")).cast("int").alias("f_dom"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("f_wc").cast("long").alias("fail_word_count"),
+            F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+            F.sum("f_ttr").cast("long").alias("fail_ttr"),
+            F.sum("f_dom").cast("long").alias("fail_dominance"),
+            F.sum(
+                F.when(
+                    (F.col("f_wc") + F.col("f_mwl") + F.col("f_ttr") + F.col("f_dom")) == 0,
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["gopher_rules_filter"] = gopher_rules_filter
+ORACLE["gopher_rules_filter"] = f"""
+WITH per_token AS (
+  SELECT doc_id, source, x.t, COUNT(*) AS c, SUM(length(x.t)) AS chars
+  FROM documents, LATERAL unnest({_TOKS}) x(t)
+  GROUP BY doc_id, source, x.t),
+per_doc AS (
+  SELECT doc_id, source, SUM(c) AS n_words, COUNT(*) AS n_types,
+         SUM(chars) AS chars, MAX(c) AS mx
+  FROM per_token GROUP BY doc_id, source),
+flagged AS (
+  SELECT source,
+         CASE WHEN n_words BETWEEN 25 AND 90 THEN 0 ELSE 1 END AS f_wc,
+         CASE WHEN 7 * n_words > 2 * chars
+               OR 4 * chars > 19 * n_words THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN 3 * n_types < n_words THEN 1 ELSE 0 END AS f_ttr,
+         CASE WHEN 8 * mx > n_words THEN 1 ELSE 0 END AS f_dom
+  FROM per_doc)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+       CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(f_ttr) AS BIGINT) AS fail_ttr,
+       CAST(SUM(f_dom) AS BIGINT) AS fail_dominance,
+       CAST(SUM(CASE WHEN f_wc + f_mwl + f_ttr + f_dom = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Deterministic weighted sampling without replacement (k=50, weight
+    = n_chars) via Efraimidis-Spirakis A-ES keys (public algorithm:
+    "Weighted random sampling with a reservoir", IPL 2006): each doc
+    gets key = -ln(u)/w with u a per-doc uniform derived from md5, and
+    the global k smallest keys are the sample.
+
+    This is THE distributed weighted-sampling shape at 100 TB: the key
+    is computed scan-side with no shuffle, and the global top-k is
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver) — never a global sort. Determinism contract: u =
+    (x+1)/2^52 from the first 13 md5 hex chars is bit-exact in both
+    engines (power-of-two divide), and the key is quantized to
+    DECIMAL(24,12) before ranking so 1-ulp libm ln() differences
+    cannot reorder the selection; doc_id breaks exact ties.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    x = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (x + F.lit(1)).cast("double") / F.lit(float(16**13))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (-F.log(u) / F.col("n_chars")).cast("decimal(24,12)").alias("key"),
+    )
+    picked = keyed.orderBy("key", "doc_id").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("key", "doc_id")
+    return (
+        picked.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES["weighted_sample_docs"] = weighted_sample_docs
+ORACLE["weighted_sample_docs"] = """
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         CAST(-ln((CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                   AS BIGINT) + 1) / 4503599627370496.0) / n_chars
+              AS DECIMAL(24,12)) AS key
+  FROM documents WHERE n_chars > 0),
+picked AS (SELECT * FROM keyed ORDER BY key, doc_id LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(weight AS BIGINT) AS weight
+FROM picked ORDER BY rank
+"""

@@ -2312,3 +2312,145 @@ FROM dfreq d JOIN cf c ON c.term = d.term
 ORDER BY d.df DESC, d.term ASC
 LIMIT 50
 """
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict substring-containment duplicate pairs over documents —
+    inner text contained verbatim in a strictly longer outer text
+    (SURVEY §2.12 dedup family; complements exact / MinHash / SimHash /
+    edit-distance with the quote-and-extend case).
+
+    Candidates come from the rarest-shingle pigeonhole in
+    operators/dedup.containment_pairs (never all-pairs; see its
+    docstring for the 100 TB argument); `instr` verifies exactly. The
+    oracle is the O(n^2) definitional form — tractable only at oracle
+    scale, which is the point of having the banded production path.
+    """
+    from streaming_data_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs).orderBy("inner_id", "outer_id")
+
+
+QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
+ORACLE["dedup_containment_pairs"] = """
+SELECT CAST(a.doc_id AS BIGINT) AS inner_id,
+       CAST(b.doc_id AS BIGINT) AS outer_id,
+       CAST(length(a.text) AS BIGINT) AS inner_len,
+       CAST(length(b.text) AS BIGINT) AS outer_len
+FROM documents a
+JOIN documents b
+  ON length(a.text) < length(b.text)
+ AND position(a.text IN b.text) > 0
+WHERE length(a.text) >= 12
+ORDER BY inner_id, outer_id
+"""
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str, steps: int = 5) -> DataFrame:
+    """First ``steps`` BPE merge rules learned from the corpus (Sennrich
+    et al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units" — public algorithm): start from characters, repeatedly count
+    adjacent symbol pairs weighted by word frequency and fuse the most
+    frequent pair (tie: lexicographic). Complements
+    ``tokenizer_bpe_pair_counts`` (which only counts round 1) with the
+    actual iterative training loop.
+
+    Fully declarative iteration — no driver-side argmax: each round's
+    winning pair is a broadcast ONE-ROW frame cross-joined into the
+    next state, and the merge itself is `replace(state, ' a b ', ' ab ')`
+    over the space-delimited symbol string (identical non-overlapping
+    left-to-right semantics in Spark and DuckDB — the sentinel spaces
+    make matches symbol-boundary-exact because symbols never contain
+    spaces). Per-round cost at 100 TB: one explode + one hash-agg over
+    the DISTINCT-word frequency table (vocabulary-sized, not
+    corpus-sized) + a broadcast of one row; `localCheckpoint` between
+    rounds keeps lineage linear in ``steps``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    state = wf.select(
+        "n",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    outs = []
+    for step in range(1, steps + 1):
+        syms = F.expr("filter(split(trim(s), ' '), x -> x <> '')")
+        pairs = (
+            state.select("n", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> syms[i - 1] || ' ' || syms[i])"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1)
+        outs.append(
+            top.select(
+                F.lit(step).cast("long").alias("step"), "pair", F.col("c")
+            ).localCheckpoint(eager=True)
+        )
+        ab = top.select(
+            F.expr("split_part(pair, ' ', 1)").alias("a"),
+            F.expr("split_part(pair, ' ', 2)").alias("b"),
+        )
+        state = (
+            state.crossJoin(F.broadcast(ab))
+            .select(
+                "n",
+                F.expr(
+                    "replace(s, ' ' || a || ' ' || b || ' ',"
+                    " ' ' || a || b || ' ')"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+def _sql_bpe_oracle(steps: int = 5) -> str:
+    ctes = [
+        f"wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM "
+        f"(SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w)",
+        "s0 AS (SELECT n, ' ' || array_to_string(string_split(w, ''), ' ')"
+        " || ' ' AS s FROM wf)",
+    ]
+    finals = []
+    for i in range(1, steps + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT syms[CAST(j.j AS INT)] || ' ' || "
+            f"syms[CAST(j.j AS INT) + 1] AS pair, CAST(SUM(n) AS BIGINT) AS c "
+            f"FROM (SELECT n, list_filter(string_split(trim(s), ' '), "
+            f"x -> x <> '') AS syms FROM {prev}) t, "
+            f"UNNEST(range(1, len(syms))) AS j(j) GROUP BY 1)"
+        )
+        ctes.append(f"t{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1)")
+        ctes.append(
+            f"s{i} AS (SELECT n, replace(s, "
+            f"' ' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || ' ', "
+            f"' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s "
+            f"FROM {prev}, t{i})"
+        )
+        finals.append(f"SELECT CAST({i} AS BIGINT) AS step, pair, c FROM t{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals) + "\nORDER BY step"
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+ORACLE["bpe_train_merges"] = _sql_bpe_oracle(5)

@@ -815,3 +815,75 @@ SELECT CAST(epoch AS BIGINT) AS epoch, tier,
          AS tokens_admitted
 FROM arms GROUP BY epoch, tier, rate ORDER BY epoch, tier
 """
+
+
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal -ln p(w2|w1) under the
+    corpus's own bigram LM (MLE, no smoothing needed when scoring the
+    training corpus on itself) — the conditional upgrade of
+    ``unigram_surprisal_by_doc``; low-probability transition chains
+    flag garbled or shuffled text that unigram stats miss.
+
+    Shape: one explode builds the (doc, bigram) stream from the
+    let-bound token array (scan-side); two hash-aggs build the LM
+    (bigram counts + left-context counts, both map-side combined); one
+    equi-join scores, one hash-agg folds per doc. Same cross-engine
+    float contract as the unigram query: per-bigram ln is cast to
+    DECIMAL(18,9) before the order-insensitive sum, killing 1-ulp libm
+    drift. Docs with fewer than two tokens have no bigrams and are
+    excluded by construction.
+    """
+    from streaming_data_pipeline_spark.functions.text import all_word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id", F.explode(all_word_ngrams(F.col("text"), 2)).alias("bg")
+    )
+    c12 = big.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (
+        big.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        c12.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .select(
+            "bg",
+            F.log(F.col("c12") / F.col("c1")).cast("decimal(18,9)").alias("lp"),
+        )
+    )
+    return (
+        big.join(scored, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (
+                F.round(-F.sum("lp").cast("double") / F.count("*"), 6)
+                + F.lit(0.0)
+            ).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["bigram_lm_surprisal"] = bigram_lm_surprisal
+ORACLE["bigram_lm_surprisal"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id, toks[CAST(i.i AS INT)] || ' ' ||
+         toks[CAST(i.i AS INT) + 1] AS bg
+  FROM t, UNNEST(range(1, len(toks))) AS i(i)
+  WHERE len(toks) >= 2),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+       FROM big GROUP BY 1),
+scored AS (
+  SELECT bg, CAST(ln(c12 / CAST(c1 AS DOUBLE)) AS DECIMAL(18,9)) AS lp
+  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) + 0.0 AS surprisal
+FROM big JOIN scored USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+"""

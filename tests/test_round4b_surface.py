@@ -1,0 +1,233 @@
+"""Round-4 second wave: substring-containment dedup, Gopher-style
+quality rules, A-ES weighted sampling, interval-concurrency sweep,
+bigram-LM surprisal."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, assert_query_matches_oracle
+
+
+def test_dedup_containment_pairs_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_containment_pairs", SF_DIR)
+
+
+def test_gopher_rules_filter_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "gopher_rules_filter", SF_DIR)
+
+
+def test_weighted_sample_docs_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "weighted_sample_docs", SF_DIR)
+
+
+def test_max_concurrent_shipments_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "max_concurrent_shipments", SF_DIR)
+
+
+def test_bigram_lm_surprisal_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "bigram_lm_surprisal", SF_DIR)
+
+
+def test_containment_finds_planted_pair_and_rejects_scrambles(spark):
+    """The rare-shingle pigeonhole must (a) surface a true containment
+    even among high-overlap decoys, and (b) never report a pair whose
+    shingles all match but whose text is not contiguous."""
+    from streaming_data_pipeline_spark.operators.dedup import containment_pairs
+
+    inner = "the quick brown fox jumps over the lazy dog tonight"
+    outer = "PREFIX " + inner + " SUFFIX"
+    # same multiset of words, different order: full token overlap, not
+    # a substring
+    scramble = "dog lazy the over jumps fox brown quick the tonight"
+    rows = [
+        (0, inner),
+        (1, outer),
+        (2, scramble),
+        (3, "completely unrelated content that shares nothing at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.inner_id, r.outer_id)
+        for r in containment_pairs(df).collect()
+    }
+    assert (0, 1) in got
+    assert all(p[0] != 2 and p[1] != 2 for p in got)
+
+
+def test_containment_candidates_are_superset_of_truth(spark):
+    """On the fixture: brute-force instr() truth must be exactly what
+    the banded operator returns (candidate completeness: every shingle
+    of a contained doc appears in the container, so probing ANY subset
+    of its shingles cannot miss a true pair)."""
+    from streaming_data_pipeline_spark.operators.dedup import containment_pairs
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.inner_id, r.outer_id)
+        for r in containment_pairs(docs).collect()
+    }
+    a = docs.select(F.col("doc_id").alias("ia"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("ib"), F.col("text").alias("tb"))
+    truth = {
+        (r.ia, r.ib)
+        for r in a.crossJoin(b)
+        .filter(
+            (F.length("ta") < F.length("tb"))
+            & (F.length("ta") >= 12)
+            & (F.instr(F.col("tb"), F.col("ta")) > 0)
+        )
+        .collect()
+    }
+    assert got == truth
+
+
+def test_weighted_sample_matches_pure_python_reimplementation(spark):
+    """The A-ES selection must be reproducible from the documented
+    contract alone: u = (first-13-md5-hex + 1) / 2^52, key = -ln(u)/w
+    quantized HALF_UP to 1e-12, k smallest (tie: doc_id)."""
+    import duckdb
+
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        weighted_sample_docs,
+    )
+
+    got = [
+        (r.rank, r.doc_id, r.weight)
+        for r in weighted_sample_docs(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM '{SF_DIR}/documents.parquet'"
+        " WHERE n_chars > 0"
+    ).fetchall()
+    con.close()
+    keyed = []
+    for doc_id, w in docs:
+        x = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:13], 16)
+        u = (x + 1) / 16**13
+        key = Decimal(repr(-math.log(u) / w)).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+        keyed.append((key, doc_id, w))
+    keyed.sort()
+    want = [(i + 1, d, w) for i, (_, d, w) in enumerate(keyed[:50])]
+    assert got == want
+
+
+def test_max_concurrent_top1_matches_bruteforce(spark):
+    """The sweep's peak must equal a direct count of intervals covering
+    the peak date."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        max_concurrent_shipments,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    top = max_concurrent_shipments(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    d = F.lit(top.peak_date).cast("date")
+    n = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderdate") <= F.col("l_shipdate"))
+        .filter(
+            (F.col("o_orderdate").cast("date") <= d)
+            & (F.col("l_shipdate").cast("date") >= d)
+        )
+        .count()
+    )
+    assert n == top.in_transit
+
+
+def test_bigram_surprisal_nonnegative_and_covers_multi_token_docs(spark):
+    from streaming_data_pipeline_spark.plans.training_queries import (
+        bigram_lm_surprisal,
+    )
+    from streaming_data_pipeline_spark.functions.text import tokens
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    out = bigram_lm_surprisal(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r.surprisal >= 0 for r in rows)
+    docs = load_table(spark, SF_DIR, "documents")
+    n_multi = docs.filter(F.size(tokens(F.col("text"))) >= 2).count()
+    assert len(rows) == n_multi
+
+
+def test_gopher_rule_counts_are_consistent(spark):
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        gopher_rules_filter,
+    )
+
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = gopher_rules_filter(spark, SF_DIR).collect()
+    assert rows, "expected per-source rows"
+    tot = sum(r.n_docs for r in rows)
+    assert tot == load_table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        # pass_all can't exceed docs minus the worst single rule's fails
+        worst = max(
+            r.fail_word_count, r.fail_mean_word_len, r.fail_ttr, r.fail_dominance
+        )
+        assert r.pass_all <= r.n_docs - worst
+    # thresholds must actually discriminate on this corpus: every rule
+    # fails someone, and a meaningful share still passes everything
+    assert sum(r.fail_word_count for r in rows) > 0
+    assert sum(r.fail_mean_word_len for r in rows) > 0
+    assert sum(r.fail_ttr for r in rows) > 0
+    assert sum(r.fail_dominance for r in rows) > 0
+    assert sum(r.pass_all for r in rows) > 100
+
+
+def test_bpe_train_merges_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "bpe_train_merges", SF_DIR)
+
+
+def test_bpe_first_merge_equals_top_pair_count(spark):
+    """Round 1's winner must be exactly the max of the standalone
+    char-pair count (the tokenizer_bpe_pair_counts surface), and each
+    round's winning count must be <= the previous round's (merging
+    can only remove occurrences of other pairs, and the argmax is
+    non-increasing)."""
+    from streaming_data_pipeline_spark.plans.llm_queries import bpe_train_merges
+    from streaming_data_pipeline_spark.functions.text import tokens
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    out = bpe_train_merges(spark, SF_DIR).collect()
+    assert [r.step for r in out] == [1, 2, 3, 4, 5]
+    docs = load_table(spark, SF_DIR, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        wf.select(
+            "n", F.expr("split(w, '')").alias("cs")
+        )
+        .filter(F.size("cs") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1),"
+                    " i -> cs[i - 1] || ' ' || cs[i])"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .first()
+    )
+    assert (out[0].pair, out[0].c) == (pairs.pair, pairs.c)
+    counts = [r.c for r in out]
+    assert counts == sorted(counts, reverse=True)
