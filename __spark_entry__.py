@@ -122,6 +122,8 @@ _SWEEP_PRIORITY = [
     "max_concurrent_shipments",    # new: +1/-1 interval concurrency sweep
     "bigram_lm_surprisal",         # new: conditional bigram LM scoring
     "bpe_train_merges",            # new: declarative iterative BPE training
+    "repeated_passage_coverage",   # new: exact-substring repetition metric
+    "token_budget_selection",      # new: budgeted best-data selection
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

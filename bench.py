@@ -126,6 +126,8 @@ HEADLINE += [
     "max_concurrent_shipments",
     "bigram_lm_surprisal",
     "bpe_train_merges",
+    "repeated_passage_coverage",
+    "token_budget_selection",
 ]
 
 

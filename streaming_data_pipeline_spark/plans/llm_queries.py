@@ -2454,3 +2454,94 @@ def _sql_bpe_oracle(steps: int = 5) -> str:
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
 ORACLE["bpe_train_merges"] = _sql_bpe_oracle(5)
+
+
+def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) -> DataFrame:
+    """Per-source repeated-passage coverage: for every char position,
+    is its 32-gram seen anywhere else in the corpus (>= 2 total
+    occurrences, within- or cross-document)? Reports per source the
+    average/max covered fraction in exact ppm and how many docs are
+    majority-duplicated (> 50%). This is the measurement half of
+    suffix-array exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — public paper): at
+    100 TB you don't build one giant suffix array, you hash fixed-width
+    grams and hash-aggregate.
+
+    Shape: one explode emits (doc, md5(gram), local-count) collapsed
+    per doc — identical grams inside a doc share one row — then one
+    global hash-agg counts occurrences, one join flags repeated grams,
+    and two stacked aggs fold to doc then source. All counts integer;
+    coverage = repeated_positions * 1e6 // positions.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= gram
+    )
+    per_dg = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {gram - 1}),"
+                    f" i -> substr(text, i, {gram}))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", F.md5("g").alias("g"))
+        .groupBy("doc_id", "source", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    gc = per_dg.groupBy("g").agg(F.sum("c").alias("tot"))
+    per_doc = (
+        per_dg.join(gc, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("positions"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(0)).alias("rep"),
+        )
+        .select(
+            "source",
+            (F.col("rep") * 1000000).cast("long").alias("num"),
+            F.col("positions").cast("long").alias("den"),
+        )
+        .select(
+            "source", F.expr("num div den").alias("ppm"), F.lit(1).alias("one")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(ppm) div count(*)").cast("long").alias("avg_ppm"),
+            F.max("ppm").cast("long").alias("max_ppm"),
+            F.sum(F.when(F.col("ppm") > 500000, 1).otherwise(0))
+            .cast("long")
+            .alias("majority_dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["repeated_passage_coverage"] = repeated_passage_coverage
+ORACLE["repeated_passage_coverage"] = """
+WITH per_dg AS (
+  SELECT doc_id, source, md5(substr(text, CAST(i.i AS INT), 32)) AS g,
+         COUNT(*) AS c
+  FROM documents, UNNEST(range(1, length(text) - 30)) AS i(i)
+  WHERE length(text) >= 32
+  GROUP BY 1, 2, 3),
+gc AS (SELECT g, SUM(c) AS tot FROM per_dg GROUP BY g),
+per_doc AS (
+  SELECT doc_id, source,
+         (SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) * 1000000)
+           // SUM(c) AS ppm
+  FROM per_dg JOIN gc USING (g)
+  GROUP BY doc_id, source)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_ppm,
+       CAST(MAX(ppm) AS BIGINT) AS max_ppm,
+       CAST(SUM(CASE WHEN ppm > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS majority_dup_docs
+FROM per_doc GROUP BY source ORDER BY source
+"""

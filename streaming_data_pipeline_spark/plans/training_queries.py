@@ -887,3 +887,118 @@ SELECT doc_id,
 FROM big JOIN scored USING (bg)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents under a global token budget (60% of
+    corpus tokens): rank docs by an integer quality score (type/token
+    ratio in ppm), take whole quality levels from the top, and fill the
+    boundary level doc-by-doc (doc_id order, take-while-fits). The
+    "pick the best data you can afford" step every budgeted training
+    run needs.
+
+    Scalable two-phase selection — no global sort of the corpus:
+    phase 1 aggregates tokens per QUALITY LEVEL (the window runs over
+    the distinct-ppm frame, <= 1e6 rows by construction, exactly the
+    equi-depth-histogram trick); phase 2 joins the level verdicts back
+    (full / partial / none) and orders only WITHIN the single boundary
+    level. Budget arithmetic is integer (tot*3 div 5); output is the
+    per-source selection tally.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    per_doc = (
+        tok.groupBy("doc_id", "source", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("c").alias("w"), F.count("*").alias("types"))
+        .filter(F.col("w") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.expr("types * 1000000 div w").alias("q"),
+        )
+    )
+    levels = per_doc.groupBy("q").agg(F.sum("w").alias("lw"))
+    wlev = Window.orderBy(F.desc("q")).rowsBetween(Window.unboundedPreceding, 0)
+    lev = levels.withColumn("cum", F.sum("lw").over(wlev))
+    budget = per_doc.agg(F.expr("sum(w) * 3 div 5").alias("b"))
+    marked = lev.crossJoin(F.broadcast(budget)).select(
+        "q",
+        "lw",
+        "cum",
+        F.when(F.col("cum") <= F.col("b"), F.lit("full"))
+        .when(F.col("cum") - F.col("lw") < F.col("b"), F.lit("partial"))
+        .otherwise(F.lit("none"))
+        .alias("status"),
+        (F.col("b") - (F.col("cum") - F.col("lw"))).alias("remaining"),
+    )
+    sel_full = per_doc.join(
+        marked.filter(F.col("status") == "full").select("q"), "q"
+    ).select("source", "w")
+    wb = Window.partitionBy("q").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sel_part = (
+        per_doc.join(
+            marked.filter(F.col("status") == "partial").select("q", "remaining"),
+            "q",
+        )
+        .withColumn("cw", F.sum("w").over(wb))
+        .filter(F.col("cw") <= F.col("remaining"))
+        .select("source", "w")
+    )
+    return (
+        sel_full.unionByName(sel_part)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("w").cast("long").alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["token_budget_selection"] = token_budget_selection
+ORACLE["token_budget_selection"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, x.t
+  FROM documents, LATERAL unnest({_TOKS}) x(t)),
+per_doc AS (
+  SELECT doc_id, source, SUM(c) AS w,
+         COUNT(*) * 1000000 // SUM(c) AS q
+  FROM (SELECT doc_id, source, t, COUNT(*) AS c FROM tok GROUP BY 1,2,3)
+  GROUP BY doc_id, source HAVING SUM(c) > 0),
+levels AS (SELECT q, SUM(w) AS lw FROM per_doc GROUP BY q),
+lev AS (
+  SELECT q, lw, SUM(lw) OVER (ORDER BY q DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM levels),
+budget AS (SELECT SUM(w) * 3 // 5 AS b FROM per_doc),
+marked AS (
+  SELECT q, lw, cum,
+         CASE WHEN cum <= b THEN 'full'
+              WHEN cum - lw < b THEN 'partial'
+              ELSE 'none' END AS status,
+         b - (cum - lw) AS remaining
+  FROM lev, budget),
+sel_full AS (
+  SELECT p.source, p.w FROM per_doc p
+  JOIN marked m ON p.q = m.q AND m.status = 'full'),
+sel_part AS (
+  SELECT source, w FROM (
+    SELECT p.source, p.w, m.remaining,
+           SUM(p.w) OVER (PARTITION BY p.q ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+    FROM per_doc p JOIN marked m ON p.q = m.q AND m.status = 'partial')
+  WHERE cw <= remaining),
+sel AS (SELECT * FROM sel_full UNION ALL SELECT * FROM sel_part)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(w) AS BIGINT) AS tokens_selected
+FROM sel GROUP BY source ORDER BY source
+"""

@@ -231,3 +231,31 @@ def test_bpe_first_merge_equals_top_pair_count(spark):
     assert (out[0].pair, out[0].c) == (pairs.pair, pairs.c)
     counts = [r.c for r in out]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_repeated_passage_coverage_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "repeated_passage_coverage", SF_DIR)
+
+
+def test_token_budget_selection_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "token_budget_selection", SF_DIR)
+
+
+def test_token_budget_selection_respects_budget(spark):
+    """Selected tokens never exceed the 60% budget, and the selection is
+    maximal at level granularity: adding the boundary level's first
+    unselected doc would overflow."""
+    from streaming_data_pipeline_spark.functions.text import tokens
+    from streaming_data_pipeline_spark.plans.training_queries import (
+        token_budget_selection,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    total = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t")).count()
+    )
+    budget = total * 3 // 5
+    rows = token_budget_selection(spark, SF_DIR).collect()
+    picked = sum(r.tokens_selected for r in rows)
+    assert 0 < picked <= budget
