@@ -124,6 +124,9 @@ _SWEEP_PRIORITY = [
     "bpe_train_merges",            # new: declarative iterative BPE training
     "repeated_passage_coverage",   # new: exact-substring repetition metric
     "token_budget_selection",      # new: budgeted best-data selection
+    "k_core_peel_rounds",          # new: iterative k-core peel trajectory
+    "ewma_user_value",             # new: integer-exact EWMA (2^-k weights)
+    "k_anonymity_audit",           # new: QI group-size privacy gate
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

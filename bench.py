@@ -128,6 +128,9 @@ HEADLINE += [
     "bpe_train_merges",
     "repeated_passage_coverage",
     "token_budget_selection",
+    "k_core_peel_rounds",
+    "ewma_user_value",
+    "k_anonymity_audit",
 ]
 
 

@@ -832,8 +832,10 @@ def containment_pairs(
     candidate join touches only the rare shingles' posting lists —
     short by construction of "rarest" — and a pair survives only if
     ALL k probes hit (count == k pigeonhole); (5) exact verification
-    runs `instr(outer, inner)` on surviving candidates only. md5-hashed
-    shingles keep the shuffle rows narrow (16 bytes, not 12 chars).
+    runs `instr(outer, inner)` on surviving candidates only. Shingles
+    shuffle as xxhash64 longs (8 bytes, not 12-char strings) — the
+    hash is engine-internal, never part of the verified result, so the
+    md5 cross-engine contract doesn't apply to it.
     """
     from pyspark.sql import Window
 
@@ -855,11 +857,11 @@ def containment_pairs(
                     )
                 )
             ).alias("g"),
-        ).select("cid", "clen", F.md5("g").alias("g"))
+        ).select("cid", "clen", F.xxhash64("g").alias("g"))
     )
     dfreq = shingles.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("cid").orderBy("df", "g")
-    rare = (
+    rare = _cached(
         shingles.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k_rare)

@@ -1413,3 +1413,167 @@ SELECT CAST(row_number() OVER (ORDER BY in_transit DESC, d) AS BIGINT) AS rank,
        CAST(in_transit AS BIGINT) AS in_transit
 FROM top ORDER BY rank
 """
+
+
+def k_core_peel_rounds(spark: SparkSession, sf_dir: str, k: int = 3, rounds: int = 4) -> DataFrame:
+    """k-core decomposition by iterative peeling over the token
+    collocation graph (same edge set as `graph_triangle_counts`):
+    each round removes nodes with degree < k and the edges touching
+    them; the output is the (round, nodes, edges) trajectory — the
+    standard connectivity-density screen for boilerplate clique mining.
+
+    Fixed ``rounds`` unrolled iterations, fully declarative (the same
+    loop discipline as `bpe_train_merges` / `kmeans_lloyd_iterations`):
+    per round one degree hash-agg + two semi-joins, each keyed on a
+    token — no global ordering anywhere, survives Zipf vocabularies.
+    `localCheckpoint` between rounds keeps lineage linear. Honest
+    bound: this reports the trajectory of the FIRST ``rounds`` peels
+    (the fixpoint may need more rounds on other graphs; the trajectory
+    makes convergence — or its absence — visible instead of assuming
+    it).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from streaming_data_pipeline_spark.functions.text import all_word_ngrams
+
+    pair = F.split(F.col("bg"), " ")
+    edges = (
+        docs.select(
+            F.explode(all_word_ngrams(F.lower(F.col("text")), 2)).alias("bg")
+        )
+        .select(pair.getItem(0).alias("a"), pair.getItem(1).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for rnd in range(1, rounds + 1):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionByName(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            # the surviving edge set only shrinks; fewer partitions cut
+            # the per-round checkpoint + shuffle task overhead (the
+            # count is collocation-graph-sized, not corpus-sized)
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            edges.select(F.col("u").alias("n"))
+            .unionByName(edges.select(F.col("v").alias("n")))
+            .agg(
+                F.lit(rnd).cast("long").alias("round"),
+                F.countDistinct("n").cast("long").alias("nodes"),
+                (F.count("*") / 2).cast("long").alias("edges"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round")
+
+
+def _sql_kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous one several times, so inlining
+    # re-evaluates the whole chain exponentially (observed OOM at
+    # sf0.1); materialization makes the oracle linear in rounds
+    ctes = [
+        "bg AS MATERIALIZED (SELECT toks[CAST(i.i AS INT)] AS a, toks[CAST(i.i AS INT)+1] AS b "
+        "FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+        "FROM documents) t, UNNEST(range(1, len(toks))) AS i(i) WHERE len(toks) >= 2)",
+        "e0 AS MATERIALIZED (SELECT least(a,b) AS u, greatest(a,b) AS v FROM bg WHERE a <> b "
+        "GROUP BY 1,2 HAVING COUNT(*) >= 3)",
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        p = f"e{r-1}"
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM "
+            f"(SELECT u AS n FROM {p} UNION ALL SELECT v FROM {p}) GROUP BY n)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM {p} "
+            f"WHERE u IN (SELECT n FROM d{r} WHERE d >= {k}) "
+            f"AND v IN (SELECT n FROM d{r} WHERE d >= {k}))"
+        )
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, "
+            f"CAST(COUNT(DISTINCT n) AS BIGINT) AS nodes, "
+            f"CAST(COUNT(*) / 2 AS BIGINT) AS edges FROM "
+            f"(SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r})"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals) + "\nORDER BY round"
+
+
+QUERIES["k_core_peel_rounds"] = k_core_peel_rounds
+ORACLE["k_core_peel_rounds"] = _sql_kcore_oracle(3, 4)
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str, span: int = 16) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (alpha = 1/2) over each user's last ``span`` events — the
+    recency-weighted engagement score. Integer-exact cross-engine:
+    weights are powers of two (2^(span-rn)), values are cents, and the
+    final average is one integer division; no float accumulation at
+    all.
+
+    Shape: one per-user window ranks events newest-first
+    (WindowGroupLimit-bounded to ``span`` rows of state per user),
+    then a hash-agg folds weight*cents. Both stages key on user_id —
+    embarrassingly parallel at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= span
+    )
+    return (
+        recent.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(
+                f"sum(cents * shiftleft(1L, {span} - rn))"
+                f" div sum(shiftleft(1L, {span} - rn))"
+            )
+            .cast("long")
+            .alias("ewma_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["ewma_user_value"] = ewma_user_value
+ORACLE["ewma_user_value"] = """
+WITH ranked AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+recent AS (SELECT * FROM ranked WHERE rn <= 16)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << (16 - rn)))
+            // SUM(CAST(1 AS BIGINT) << (16 - rn)) AS BIGINT) AS ewma_cents
+FROM recent GROUP BY user_id ORDER BY user_id
+"""

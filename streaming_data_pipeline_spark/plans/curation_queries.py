@@ -952,3 +952,59 @@ SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank,
        CAST(weight AS BIGINT) AS weight
 FROM picked ORDER BY rank
 """
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """k-anonymity audit over the events table (public privacy model,
+    Sweeney 2002): treating (event_type, event date, value band of 10)
+    as the quasi-identifier, any combination shared by fewer than k
+    rows re-identifies its members. Reports, per event_type, how many
+    QI groups exist, how many are below k, and how many rows sit in
+    those risky groups — the release-gate metric a curation pipeline
+    checks before publishing derived event data.
+
+    Two stacked hash-aggs (QI group sizes, then per-type rollup), all
+    integer; the QI keys are high-cardinality and skew-free, so the
+    shape is a plain map-side-combined aggregation at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        # integer band: cents div 1000 == floor(value/10) for the
+        # non-negative fixture domain (decimal->long CAST truncates in
+        # Spark but rounds in DuckDB, so never cast a fractional)
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as long) div 1000").alias(
+            "band"
+        ),
+    )
+    groups = ev.groupBy("event_type", "d", "band").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("qi_groups"),
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("risky_groups"),
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("risky_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+ORACLE["k_anonymity_audit"] = """
+WITH groups AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS band,
+         COUNT(*) AS sz
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS qi_groups,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_rows
+FROM groups GROUP BY event_type ORDER BY event_type
+"""

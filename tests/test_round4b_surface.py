@@ -259,3 +259,71 @@ def test_token_budget_selection_respects_budget(spark):
     rows = token_budget_selection(spark, SF_DIR).collect()
     picked = sum(r.tokens_selected for r in rows)
     assert 0 < picked <= budget
+
+
+def test_k_core_peel_rounds_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "k_core_peel_rounds", SF_DIR)
+
+
+def test_k_core_trajectory_is_monotone(spark):
+    """Peeling can only shrink the graph, and every surviving node in
+    the final round has degree >= k within the surviving edge set."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        k_core_peel_rounds,
+    )
+
+    rows = k_core_peel_rounds(spark, SF_DIR).collect()
+    assert [r.round for r in rows] == [1, 2, 3, 4]
+    nodes = [r.nodes for r in rows]
+    edges = [r.edges for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+
+
+def test_ewma_user_value_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "ewma_user_value", SF_DIR)
+
+
+def test_ewma_is_between_min_and_max_of_window(spark):
+    """A weighted average must lie within the min/max of the events it
+    averages (catches weight/shift sign errors)."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        ewma_user_value,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    out = {r.user_id: r.ewma_cents for r in ewma_user_value(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    bounds = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .groupBy("user_id")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+        .collect()
+    )
+    for r in bounds:
+        assert r.lo <= out[r.user_id] <= r.hi
+
+
+def test_k_anonymity_audit_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "k_anonymity_audit", SF_DIR)
+
+
+def test_k_anonymity_risky_counts_bounded(spark):
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        k_anonymity_audit,
+    )
+
+    rows = k_anonymity_audit(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.risky_groups <= r.qi_groups
+        # every risky group has < 5 rows by definition
+        assert r.risky_rows < 5 * max(r.risky_groups, 1) + 1
