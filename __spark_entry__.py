@@ -127,6 +127,7 @@ _SWEEP_PRIORITY = [
     "k_core_peel_rounds",          # new: iterative k-core peel trajectory
     "ewma_user_value",             # new: integer-exact EWMA (2^-k weights)
     "k_anonymity_audit",           # new: QI group-size privacy gate
+    "streaming_quality_gate",      # new: array-expr quality rules on stream
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -131,6 +131,7 @@ HEADLINE += [
     "k_core_peel_rounds",
     "ewma_user_value",
     "k_anonymity_audit",
+    "streaming_quality_gate",
 ]
 
 

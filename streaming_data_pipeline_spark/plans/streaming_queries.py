@@ -1245,3 +1245,73 @@ SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS TIMESTAMP) AS window_start,
        TRUE AS within_5pct
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-style quality-rule report ON THE STREAMING PATH: the
+    documents table replayed through the micro-batch engine, per-doc
+    rule flags computed as pure ARRAY EXPRESSIONS (no per-doc groupBy
+    — token stats fold inside `aggregate`/`transform` on the token
+    array), so the whole query needs exactly ONE stateful aggregation
+    (per source) and is legal in complete mode. Same thresholds and
+    output schema as the batch `gopher_rules_filter`; the oracle is
+    the identical SQL, which doubles as a batch/stream parity proof.
+
+    The array form is the stream-safe shape of the batch query's
+    two-level hash-agg: per-doc work is O(tokens^2) worst-case for the
+    dominance count but tokens-per-doc is document-bounded (not
+    corpus-bounded), and everything stays in whole-stage codegen.
+    """
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = "filter(split(text, ' '), x -> x <> '')"
+    stats = docs.select(
+        "source",
+        F.expr(f"size({toks})").alias("n_words"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_types"),
+        F.expr(
+            f"aggregate(transform({toks}, x -> length(x)), 0, (a, x) -> a + x)"
+        ).alias("chars"),
+        F.expr(
+            f"array_max(transform(array_distinct({toks}),"
+            f" t -> size(filter({toks}, x -> x = t))))"
+        ).alias("mx"),
+    ).filter(F.col("n_words") > 0)
+    flagged = stats.select(
+        "source",
+        (~F.col("n_words").between(25, 90)).cast("int").alias("f_wc"),
+        (
+            (7 * F.col("n_words") > 2 * F.col("chars"))
+            | (4 * F.col("chars") > 19 * F.col("n_words"))
+        ).cast("int").alias("f_mwl"),
+        (3 * F.col("n_types") < F.col("n_words")).cast("int").alias("f_ttr"),
+        (8 * F.col("mx") > F.col("n_words")).cast("int").alias("f_dom"),
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("fail_word_count"),
+        F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+        F.sum("f_ttr").cast("long").alias("fail_ttr"),
+        F.sum("f_dom").cast("long").alias("fail_dominance"),
+        F.sum(
+            F.when(
+                (F.col("f_wc") + F.col("f_mwl") + F.col("f_ttr") + F.col("f_dom")) == 0,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("pass_all"),
+    )
+    return _drain_complete(agg, spark).orderBy("source")
+
+
+QUERIES["streaming_quality_gate"] = streaming_quality_gate
+
+from streaming_data_pipeline_spark.plans.curation_queries import (
+    ORACLE as _CURATION_ORACLE,
+)
+
+ORACLE["streaming_quality_gate"] = _CURATION_ORACLE["gopher_rules_filter"]

@@ -327,3 +327,64 @@ def test_k_anonymity_risky_counts_bounded(spark):
         assert r.risky_groups <= r.qi_groups
         # every risky group has < 5 rows by definition
         assert r.risky_rows < 5 * max(r.risky_groups, 1) + 1
+
+
+def test_containment_operator_matches_bruteforce_on_random_corpora(spark):
+    """Hypothesis: over random low-alphabet corpora with planted
+    containments, the rare-shingle candidate machinery + instr verify
+    must equal Python brute force exactly — no missed pair regardless
+    of shingle collisions or high cross-doc overlap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from streaming_data_pipeline_spark.operators.dedup import containment_pairs
+
+    doc = st.text(alphabet="ab ", min_size=12, max_size=40)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=2, max_size=6), st.integers(0, 4))
+    def run(texts, plant_idx):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        # plant a guaranteed containment off one of the docs
+        if plant_idx < len(texts):
+            rows.append((len(rows), "xx " + texts[plant_idx] + " yy"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.inner_id, r.outer_id)
+            for r in containment_pairs(df).collect()
+        }
+        want = {
+            (i, j)
+            for i, a in rows
+            for j, b in rows
+            if i != j and len(a) < len(b) and len(a) >= 12 and a in b
+        }
+        assert got == want
+
+    run()
+
+
+def test_streaming_quality_gate_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "streaming_quality_gate", SF_DIR)
+
+
+def test_streaming_quality_gate_equals_batch_gopher(spark):
+    """Batch/stream parity: the array-expression single-agg stream form
+    must produce byte-identical rule counts to the batch two-level
+    hash-agg form."""
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        gopher_rules_filter,
+    )
+    from streaming_data_pipeline_spark.plans.streaming_queries import (
+        streaming_quality_gate,
+    )
+
+    batch = sorted(tuple(r) for r in gopher_rules_filter(spark, SF_DIR).collect())
+    stream = sorted(
+        tuple(r) for r in streaming_quality_gate(spark, SF_DIR).collect()
+    )
+    assert batch == stream
