@@ -128,6 +128,7 @@ _SWEEP_PRIORITY = [
     "ewma_user_value",             # new: integer-exact EWMA (2^-k weights)
     "k_anonymity_audit",           # new: QI group-size privacy gate
     "streaming_quality_gate",      # new: array-expr quality rules on stream
+    "audio_energy_windows",        # new: framed WAV energy + argmax frame
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -132,6 +132,7 @@ HEADLINE += [
     "ewma_user_value",
     "k_anonymity_audit",
     "streaming_quality_gate",
+    "audio_energy_windows",
 ]
 
 

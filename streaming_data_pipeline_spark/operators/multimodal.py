@@ -473,3 +473,48 @@ def dhash_png(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, DHASH_SCHEMA)
+
+
+WAV_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, n long, sum_sq long, peak long"
+)
+
+
+def decode_wav_frames(df: DataFrame, frame: int = 50) -> DataFrame:
+    """Framed audio decode: same stdlib WAV parse as
+    ``decode_wav_features`` but the PCM stream is cut into fixed
+    ``frame``-sample windows and reduced per window (exact integer
+    energy + peak). The mapInPandas fan-out is bounded: one input doc
+    yields ceil(n_samples/frame) rows — the Arrow batch shape for any
+    frame-level audio featurizer (VAD, loudness normalization)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n": [],
+                "sum_sq": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError("expected mono 16-bit PCM")
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype=np.int16
+                    ).astype(np.int64)
+                for k in range(0, len(pcm), frame):
+                    seg = pcm[k : k + frame]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k // frame)
+                    rows["n"].append(len(seg))
+                    rows["sum_sq"].append(int((seg * seg).sum()))
+                    rows["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, WAV_FRAME_SCHEMA)

@@ -2545,3 +2545,68 @@ SELECT source,
          AS majority_dup_docs
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio analysis over decoded WAV payloads: 50-sample
+    energy windows per doc, reduced to the per-doc loudest frame (tie:
+    lowest index) plus totals — the VAD/loudness-normalization
+    primitive on top of the real stdlib decode path
+    (operators/multimodal.decode_wav_frames).
+
+    The frame fan-out happens inside the Arrow batch (bounded per doc);
+    the reduction is one hash-agg keyed on doc_id using a lexicographic
+    struct-max for the deterministic argmax. The oracle regenerates the
+    PCM formula and windows in SQL, so a frame-boundary bug in the
+    decoder flips rows red.
+    """
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        decode_wav_frames,
+        synth_wav_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = decode_wav_frames(synth_wav_payloads(docs))
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("sum_sq").cast("long").alias("total_sq"),
+            F.max(F.struct(F.col("sum_sq"), (-F.col("frame_idx")).alias("ni")))
+            .alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "total_sq",
+            F.col("m.sum_sq").cast("long").alias("peak_frame_sq"),
+            (-F.col("m.ni")).cast("long").alias("peak_frame_idx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["audio_energy_windows"] = audio_energy_windows
+ORACLE["audio_energy_windows"] = """
+WITH pcm AS (
+  SELECT d.doc_id, u.i // 50 AS frame_idx,
+         ((d.doc_id * 7919 + u.i * 104729) % 65536) - 32768 AS s
+  FROM documents d,
+       UNNEST(range(CAST(200 + d.doc_id % 100 AS BIGINT))) AS u(i)),
+frames AS (
+  SELECT doc_id, frame_idx, SUM(s * s) AS sum_sq
+  FROM pcm GROUP BY doc_id, frame_idx),
+ranked AS (
+  SELECT doc_id, frame_idx, sum_sq,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sum_sq DESC, frame_idx ASC) AS rk
+  FROM frames)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(f.sum_sq) AS BIGINT) AS total_sq,
+       CAST(MAX(r.sum_sq) AS BIGINT) AS peak_frame_sq,
+       CAST(MAX(r.frame_idx) AS BIGINT) AS peak_frame_idx
+FROM frames f
+JOIN ranked r ON r.doc_id = f.doc_id AND r.rk = 1
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""

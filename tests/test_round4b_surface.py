@@ -388,3 +388,34 @@ def test_streaming_quality_gate_equals_batch_gopher(spark):
         tuple(r) for r in streaming_quality_gate(spark, SF_DIR).collect()
     )
     assert batch == stream
+
+
+def test_audio_energy_windows_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "audio_energy_windows", SF_DIR)
+
+
+def test_audio_frames_partition_the_samples(spark):
+    """Frame decomposition must conserve the whole-file features: frame
+    counts and energies sum to the unframed decode's totals."""
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        decode_wav_features,
+        decode_wav_frames,
+        synth_wav_payloads,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    pay = synth_wav_payloads(docs).localCheckpoint(eager=True)
+    whole = {
+        r.doc_id: (r.n_samples, r.sum_sq)
+        for r in decode_wav_features(pay).collect()
+    }
+    framed = (
+        decode_wav_frames(pay)
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n"), F.sum("sum_sq").alias("sq"))
+        .collect()
+    )
+    assert len(framed) == len(whole)
+    for r in framed:
+        assert (r.n, r.sq) == whole[r.doc_id]
