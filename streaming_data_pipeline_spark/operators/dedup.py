@@ -849,15 +849,19 @@ def containment_pairs(
         base.select(
             "cid",
             "clen",
+            # hash inside the lambda: the array holds 8-byte longs and
+            # array_distinct dedupes hashes (same identity as grams
+            # under the no-collision assumption every hash stage here
+            # already makes)
             F.explode(
                 F.array_distinct(
                     F.expr(
                         f"transform(sequence(1, length(ctext) - {gram - 1}),"
-                        f" i -> substr(ctext, i, {gram}))"
+                        f" i -> xxhash64(substr(ctext, i, {gram})))"
                     )
                 )
             ).alias("g"),
-        ).select("cid", "clen", F.xxhash64("g").alias("g"))
+        )
     )
     dfreq = shingles.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("cid").orderBy("df", "g")

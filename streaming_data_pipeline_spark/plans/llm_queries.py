@@ -2480,14 +2480,18 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) 
         docs.select(
             "doc_id",
             "source",
+            # xxhash64 applied INSIDE the lambda: the exploded array
+            # holds 8-byte longs, never 32-char strings (the hash is
+            # engine-internal grouping identity — the verified output
+            # has no hash column, so the md5 cross-engine contract
+            # doesn't apply)
             F.explode(
                 F.expr(
                     f"transform(sequence(1, length(text) - {gram - 1}),"
-                    f" i -> substr(text, i, {gram}))"
+                    f" i -> xxhash64(substr(text, i, {gram})))"
                 )
             ).alias("g"),
         )
-        .select("doc_id", "source", F.md5("g").alias("g"))
         .groupBy("doc_id", "source", "g")
         .agg(F.count("*").alias("c"))
     )
@@ -2525,7 +2529,7 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) 
 QUERIES["repeated_passage_coverage"] = repeated_passage_coverage
 ORACLE["repeated_passage_coverage"] = """
 WITH per_dg AS (
-  SELECT doc_id, source, md5(substr(text, CAST(i.i AS INT), 32)) AS g,
+  SELECT doc_id, source, substr(text, CAST(i.i AS INT), 32) AS g,
          COUNT(*) AS c
   FROM documents, UNNEST(range(1, length(text) - 30)) AS i(i)
   WHERE length(text) >= 32
