@@ -129,6 +129,8 @@ _SWEEP_PRIORITY = [
     "k_anonymity_audit",           # new: QI group-size privacy gate
     "streaming_quality_gate",      # new: array-expr quality rules on stream
     "audio_energy_windows",        # new: framed WAV energy + argmax frame
+    "cumulative_unique_users_by_day",  # new: first-seen distinct growth curve
+    "first_touch_attribution",     # new: sessionized purchase attribution
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

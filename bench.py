@@ -133,6 +133,8 @@ HEADLINE += [
     "k_anonymity_audit",
     "streaming_quality_gate",
     "audio_energy_windows",
+    "cumulative_unique_users_by_day",
+    "first_touch_attribution",
 ]
 
 

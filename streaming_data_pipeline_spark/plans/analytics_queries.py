@@ -1577,3 +1577,134 @@ SELECT user_id,
             // SUM(CAST(1 AS BIGINT) << (16 - rn)) AS BIGINT) AS ewma_cents
 FROM recent GROUP BY user_id ORDER BY user_id
 """
+
+
+def cumulative_unique_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth curve: per day, new users (first
+    seen that day) and the running total of users ever seen — the
+    audience-growth chart every events product tracks.
+
+    Scalable distinct-over-time shape: count-distinct-to-date is NOT
+    computed as a windowed COUNT(DISTINCT) (quadratic re-scan); each
+    user collapses to one (user, first_day) row via min-agg, a hash-agg
+    counts first-appearances per day, and a running sum over the
+    BOUNDED calendar domain turns news into cumulative totals. Two
+    map-side-combined aggs + one tiny-frame window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    per_day = first_day.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+QUERIES["cumulative_unique_users_by_day"] = cumulative_unique_users_by_day
+ORACLE["cumulative_unique_users_by_day"] = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+per_day AS (SELECT d, COUNT(*) AS new_users FROM first_day GROUP BY d)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day ORDER BY day
+"""
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the
+    event type that OPENED its session (>30-min gap sessionization,
+    same boundaries as `sessionize_events_batch`), answering "which
+    entry activity leads to purchases". Output per entry type:
+    sessions opened, sessions converting, purchases, attributed cents.
+
+    Shape: the two session-window passes reuse one (user_id, ts,
+    event_id) sort; first_value rides the same window; the rollup is a
+    single hash-agg. Nothing global — every stage keys on user_id then
+    entry type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tagged = numbered.withColumn(
+        "entry_type", F.first("event_type").over(ws)
+    ).withColumn(
+        "cents",
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    per_session = tagged.groupBy("user_id", "session_id", "entry_type").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        ),
+        F.sum("cents").alias("cents"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("long").alias("sessions"),
+            F.sum(F.when(F.col("purchases") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("converting_sessions"),
+            F.sum("purchases").cast("long").alias("purchases"),
+            F.sum("cents").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+QUERIES["first_touch_attribution"] = first_touch_attribution
+ORACLE["first_touch_attribution"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered),
+tagged AS (
+  SELECT *,
+         first_value(event_type) OVER (PARTITION BY user_id, session_id
+             ORDER BY ts, event_id) AS entry_type,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END AS cents
+  FROM numbered),
+per_session AS (
+  SELECT user_id, session_id, entry_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS purchases,
+         SUM(cents) AS cents
+  FROM tagged GROUP BY 1, 2, 3)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS converting_sessions,
+       CAST(SUM(purchases) AS BIGINT) AS purchases,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM per_session GROUP BY entry_type ORDER BY entry_type
+"""

@@ -419,3 +419,47 @@ def test_audio_frames_partition_the_samples(spark):
     assert len(framed) == len(whole)
     for r in framed:
         assert (r.n, r.sq) == whole[r.doc_id]
+
+
+def test_cumulative_unique_users_matches_oracle(spark, duck):
+    assert_query_matches_oracle(
+        spark, duck, "cumulative_unique_users_by_day", SF_DIR
+    )
+
+
+def test_cumulative_users_final_equals_total_distinct(spark):
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        cumulative_unique_users_by_day,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = cumulative_unique_users_by_day(spark, SF_DIR).collect()
+    total = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1].cumulative_users == total
+    assert sum(r.new_users for r in rows) == total
+
+
+def test_first_touch_attribution_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "first_touch_attribution", SF_DIR)
+
+
+def test_attribution_conserves_purchases(spark):
+    """Every purchase is attributed exactly once: per-entry-type
+    purchase counts and cents must sum to the raw totals."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        first_touch_attribution,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = first_touch_attribution(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n = ev.count()
+    cents = ev.agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("c")
+    ).collect()[0].c
+    assert sum(r.purchases for r in rows) == n
+    assert sum(r.attributed_cents for r in rows) == cents
