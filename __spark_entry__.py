@@ -131,6 +131,7 @@ _SWEEP_PRIORITY = [
     "audio_energy_windows",        # new: framed WAV energy + argmax frame
     "cumulative_unique_users_by_day",  # new: first-seen distinct growth curve
     "first_touch_attribution",     # new: sessionized purchase attribution
+    "sparse_dot_topk_pairs",       # new: inverted-index weighted similarity
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

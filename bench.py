@@ -135,6 +135,7 @@ HEADLINE += [
     "audio_energy_windows",
     "cumulative_unique_users_by_day",
     "first_touch_attribution",
+    "sparse_dot_topk_pairs",
 ]
 
 

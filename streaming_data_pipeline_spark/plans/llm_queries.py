@@ -2614,3 +2614,87 @@ FROM frames f
 JOIN ranked r ON r.doc_id = f.doc_id AND r.rk = 1
 GROUP BY f.doc_id ORDER BY f.doc_id
 """
+
+
+def sparse_dot_topk_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Sparse lexical similarity: top-k document pairs by inverted-index
+    dot product over integer tf-idf-surrogate weights (w = tf * (N div
+    df), df-capped) — the classic all-pairs-similarity-search shape
+    (Bayardo et al. 2007, "Scaling Up All Pairs Similarity Search" —
+    public) that complements MinHash (set overlap) and embedding ANN
+    (dense cosine) with exact weighted lexical matching.
+
+    Scale shape: pairs are generated ONLY through shared terms (an
+    inverted-index self-join keyed on term), and terms with df above a
+    stopword cap are dropped first — the standard prefix/df-pruning
+    that bounds every posting list, so candidate volume is
+    sum_t df_t^2 over RARE terms only, never n^2. One hash-agg builds
+    the index, one term-keyed join + pair hash-agg scores, top-k is
+    TakeOrderedAndProject. All integer arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    term_doc = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    dfreq = term_doc.groupBy("t").agg(F.count("*").alias("df"))
+    weighted = (
+        term_doc.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        # df cap: drop corpus-wide terms (df > N/4) BEFORE the
+        # self-join — the pruning that keeps posting lists bounded
+        .filter(4 * F.col("df") <= F.col("n"))
+        .select("doc_id", "t", (F.col("tf") * F.expr("n div df")).alias("w"))
+    )
+    pairs = (
+        weighted.alias("a")
+        .join(weighted.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
+            F.count("*").cast("long").alias("shared_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = pairs.orderBy(F.desc("dot"), "id_a", "id_b").limit(k)
+    w = Window.orderBy(F.desc("dot"), "id_a", "id_b")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "id_a", "id_b", "dot", "shared_terms")
+        .orderBy("rank")
+    )
+
+
+QUERIES["sparse_dot_topk_pairs"] = sparse_dot_topk_pairs
+ORACLE["sparse_dot_topk_pairs"] = f"""
+WITH term_doc AS (
+  SELECT doc_id, x.t, COUNT(*) AS tf
+  FROM documents,
+       LATERAL unnest(list_filter(string_split(lower(text), ' '),
+                                  s -> s <> '')) x(t)
+  GROUP BY doc_id, x.t),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS (SELECT t, COUNT(*) AS df FROM term_doc GROUP BY t),
+weighted AS (
+  SELECT doc_id, td.t, tf * (n // df) AS w
+  FROM term_doc td JOIN dfreq USING (t), n_docs
+  WHERE 4 * df <= n),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS shared_terms
+  FROM weighted a JOIN weighted b
+    ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+top AS (SELECT * FROM pairs ORDER BY dot DESC, id_a, id_b LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY dot DESC, id_a, id_b) AS BIGINT)
+         AS rank,
+       id_a, id_b, dot, shared_terms
+FROM top ORDER BY rank
+"""

@@ -463,3 +463,55 @@ def test_attribution_conserves_purchases(spark):
     ).collect()[0].c
     assert sum(r.purchases for r in rows) == n
     assert sum(r.attributed_cents for r in rows) == cents
+
+
+def test_sparse_dot_topk_pairs_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sparse_dot_topk_pairs", SF_DIR)
+
+
+def test_sparse_dot_pairs_only_share_rare_terms(spark):
+    """The df cap must hold: every scored pair's shared terms are rare
+    (df <= N/4), verified by recomputing the top pair's dot from raw
+    term stats."""
+    from streaming_data_pipeline_spark.functions.text import tokens
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        sparse_dot_topk_pairs,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    top = sparse_dot_topk_pairs(spark, SF_DIR).collect()[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    td = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = td.groupBy("t").agg(F.count("*").alias("df"))
+    a = td.filter(F.col("doc_id") == top.id_a).join(dfreq, "t")
+    b = td.filter(F.col("doc_id") == top.id_b).join(dfreq, "t")
+    joined = (
+        a.alias("x")
+        .join(b.alias("y"), "t")
+        .filter(4 * F.col("x.df") <= n)
+        .select(
+            (F.col("x.tf") * (n / F.col("x.df")).cast("long")
+             * F.col("y.tf") * (n / F.col("y.df")).cast("long")).alias("p")
+        )
+    )
+    # recompute with integer idf surrogate n div df
+    dot = (
+        a.alias("x")
+        .join(b.alias("y"), "t")
+        .filter(4 * F.col("x.df") <= n)
+        .select(
+            (
+                F.col("x.tf") * F.expr(f"{n} div x.df")
+                * F.col("y.tf") * F.expr(f"{n} div y.df")
+            ).alias("p")
+        )
+        .agg(F.sum("p").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert dot == top.dot
