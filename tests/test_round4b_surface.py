@@ -515,3 +515,46 @@ def test_sparse_dot_pairs_only_share_rare_terms(spark):
         .s
     )
     assert dot == top.dot
+
+
+def test_round4b_plans_have_no_cartesian_products(spark):
+    """Plan-shape guard for every query added in this wave: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere (the only
+    crossJoins are broadcast single-row frames, which Spark folds into
+    BroadcastExchange + known-key joins), and the top-k queries use
+    TakeOrderedAndProject rather than a global Sort."""
+    import __spark_entry__ as entrymod
+
+    names = [
+        "dedup_containment_pairs",
+        "gopher_rules_filter",
+        "weighted_sample_docs",
+        "max_concurrent_shipments",
+        "bigram_lm_surprisal",
+        "repeated_passage_coverage",
+        "token_budget_selection",
+        "k_core_peel_rounds",
+        "ewma_user_value",
+        "k_anonymity_audit",
+        "cumulative_unique_users_by_day",
+        "first_touch_attribution",
+        "sparse_dot_topk_pairs",
+        "audio_energy_windows",
+    ]
+    qs = entrymod.queries()
+    for name in names:
+        plan = (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+    for name in ["weighted_sample_docs", "sparse_dot_topk_pairs"]:
+        plan = (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name
