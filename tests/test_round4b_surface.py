@@ -558,3 +558,41 @@ def test_round4b_plans_have_no_cartesian_products(spark):
             .toString()
         )
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_bpe_merges_match_pure_python_reimplementation(spark):
+    """The 5 learned merges must be reproducible from the documented
+    contract alone: overlapping zip pair counts weighted by word
+    frequency, argmax (count desc, pair asc), non-overlapping
+    leftmost replace — implemented here with collections.Counter and
+    str.replace."""
+    from collections import Counter
+
+    import duckdb
+
+    from streaming_data_pipeline_spark.plans.llm_queries import bpe_train_merges
+
+    got = [(r.step, r.pair, r.c) for r in bpe_train_merges(spark, SF_DIR).collect()]
+    con = duckdb.connect()
+    wf = con.execute(
+        f"""SELECT w, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM '{SF_DIR}/documents.parquet') GROUP BY w"""
+    ).fetchall()
+    con.close()
+    state = [(" " + " ".join(w) + " ", n) for w, n in wf]
+    want = []
+    for step in range(1, 6):
+        counts: Counter = Counter()
+        for s, n in state:
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                counts[f"{a} {b}"] += n
+        pair, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, pair, c))
+        a, b = pair.split(" ")
+        state = [
+            (s.replace(f" {a} {b} ", f" {a}{b} "), n) for s, n in state
+        ]
+    assert got == want
