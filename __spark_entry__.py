@@ -132,6 +132,8 @@ _SWEEP_PRIORITY = [
     "cumulative_unique_users_by_day",  # new: first-seen distinct growth curve
     "first_touch_attribution",     # new: sessionized purchase attribution
     "sparse_dot_topk_pairs",       # new: inverted-index weighted similarity
+    "pmi_collocations",            # new: integer-ppm PMI phrase mining
+    "neyman_allocation_sample",    # new: variance-proportional stratified draw
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

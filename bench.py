@@ -136,6 +136,8 @@ HEADLINE += [
     "cumulative_unique_users_by_day",
     "first_touch_attribution",
     "sparse_dot_topk_pairs",
+    "pmi_collocations",
+    "neyman_allocation_sample",
 ]
 
 

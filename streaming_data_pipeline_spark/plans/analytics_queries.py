@@ -1708,3 +1708,77 @@ SELECT entry_type,
        CAST(SUM(cents) AS BIGINT) AS attributed_cents
 FROM per_session GROUP BY entry_type ORDER BY entry_type
 """
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str, k: int = 20, min_c: int = 5) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: bigrams
+    whose joint frequency beats the independence prediction, the
+    classic phrase-mining statistic (Church & Hanks 1990 — public).
+    PMI's monotone core N*c12/(c1*c2) is computed as an exact
+    integer ppm score (`c12*N*1e6 div (c1*c2)`) so the ranking is
+    bit-identical cross-engine — no log, no doubles.
+
+    Shape: one bigram explode + three hash-aggs (bigram, left unigram,
+    right unigram — all from the same exploded frame), two narrow
+    joins keyed on the unigram, TakeOrderedAndProject top-k. A min
+    joint count floor keeps the rare-pair PMI blowup out.
+    """
+    from streaming_data_pipeline_spark.functions.text import all_word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select(
+        F.explode(all_word_ngrams(F.lower(F.col("text")), 2)).alias("bg")
+    ).select(
+        F.expr("split_part(bg, ' ', 1)").alias("w1"),
+        F.expr("split_part(bg, ' ', 2)").alias("w2"),
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = big.groupBy("w2").agg(F.count("*").alias("c2"))
+    n = big.agg(F.count("*").alias("n"))
+    scored = (
+        c12.filter(F.col("c12") >= min_c)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.expr("c12 * n * 1000000 div (c1 * c2)").alias("pmi_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("pmi_ppm"), "w1", "w2").limit(k)
+    w = Window.orderBy(F.desc("pmi_ppm"), "w1", "w2")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "w1", "w2", "c12", F.col("pmi_ppm").cast("long"))
+        .orderBy("rank")
+    )
+
+
+QUERIES["pmi_collocations"] = pmi_collocations
+ORACLE["pmi_collocations"] = f"""
+WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+big AS (
+  SELECT toks[CAST(i.i AS INT)] AS w1, toks[CAST(i.i AS INT) + 1] AS w2
+  FROM t, UNNEST(range(1, len(toks))) AS i(i)
+  WHERE len(toks) >= 2),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+c2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM big),
+scored AS (
+  SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         c12 * n * 1000000 // (c1 * c2) AS pmi_ppm
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+  WHERE c12 >= 5),
+top AS (SELECT * FROM scored ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) AS BIGINT)
+         AS rank,
+       w1, w2, c12, CAST(pmi_ppm AS BIGINT) AS pmi_ppm
+FROM top ORDER BY rank
+"""

@@ -1008,3 +1008,127 @@ SELECT event_type,
        CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_rows
 FROM groups GROUP BY event_type ORDER BY event_type
 """
+
+
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Variance-proportional stratified sampling (the Neyman-style
+    optimal-allocation idea, Neyman 1934 — public; allocation here is
+    proportional to each stratum's exact integer variance numerator
+    n*Σx²-(Σx)² over event value cents, avoiding the irrational sqrt
+    so both engines stay in BIGINT): k=100 samples are apportioned
+    across event-type strata by the largest-remainder (Hamilton)
+    method — base = k*V_h div V_tot, leftovers to the largest
+    remainders — then each stratum draws its quota deterministically
+    by md5 rank. Strata with more value dispersion get more samples,
+    which is what a label-efficient annotation budget wants.
+
+    Scale shape: variance numerators are one map-side-combined
+    hash-agg; the apportionment window runs over the STRATUM frame
+    (bounded by the event-type domain, 5 rows); the draw is a bounded
+    per-stratum top-k window. Output: per-stratum allocation plus an
+    id-sum checksum of the actual draw.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    strata = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_h"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "event_type",
+        "n_h",
+        (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("v"),
+    )
+    tot = strata.agg(F.sum("v").alias("vt"))
+    quota = strata.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_h",
+        "v",
+        F.expr(f"({k}::long * v) div vt").alias("base"),
+        F.expr(f"({k}::long * v) % vt").alias("rem"),
+    )
+    wl = Window.orderBy(F.desc("rem"), F.asc("event_type"))
+    leftover = quota.agg((F.lit(k) - F.sum("base")).alias("l"))
+    alloc = (
+        quota.withColumn("rr", F.row_number().over(wl))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "event_type",
+            "n_h",
+            (F.col("base") + F.when(F.col("rr") <= F.col("l"), 1).otherwise(0))
+            .alias("alloc"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("ns:"), F.col("event_id").cast("string"))),
+        "event_id",
+    )
+    drawn = (
+        ev.withColumn("rk", F.row_number().over(wd))
+        .join(alloc, "event_type")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("drawn"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+    )
+    return (
+        alloc.join(drawn, "event_type")
+        .select(
+            "event_type",
+            F.col("n_h").cast("long").alias("n_rows"),
+            F.col("alloc").cast("long").alias("alloc"),
+            "drawn",
+            "id_checksum",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["neyman_allocation_sample"] = neyman_allocation_sample
+ORACLE["neyman_allocation_sample"] = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events),
+strata AS (
+  SELECT event_type, COUNT(*) AS n_h,
+         COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS v
+  FROM ev GROUP BY event_type),
+tot AS (SELECT SUM(v) AS vt FROM strata),
+quota AS (
+  SELECT event_type, n_h, v,
+         (100 * v) // vt AS base, (100 * v) % vt AS rem
+  FROM strata, tot),
+leftover AS (SELECT 100 - SUM(base) AS l FROM quota),
+alloc AS (
+  SELECT event_type, n_h,
+         base + CASE WHEN row_number() OVER
+                 (ORDER BY rem DESC, event_type ASC) <= l
+                THEN 1 ELSE 0 END AS alloc
+  FROM quota, leftover),
+drawn AS (
+  SELECT e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS drawn,
+         CAST(SUM(e.event_id) AS BIGINT) AS id_checksum
+  FROM (SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY md5('ns:' || CAST(event_id AS VARCHAR)),
+                          event_id) AS rk
+        FROM ev) e
+  JOIN alloc a ON a.event_type = e.event_type
+  WHERE e.rk <= a.alloc
+  GROUP BY e.event_type)
+SELECT a.event_type,
+       CAST(a.n_h AS BIGINT) AS n_rows,
+       CAST(a.alloc AS BIGINT) AS alloc,
+       d.drawn, d.id_checksum
+FROM alloc a JOIN drawn d USING (event_type)
+ORDER BY a.event_type
+"""

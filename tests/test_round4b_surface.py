@@ -596,3 +596,36 @@ def test_bpe_merges_match_pure_python_reimplementation(spark):
             (s.replace(f" {a} {b} ", f" {a}{b} "), n) for s, n in state
         ]
     assert got == want
+
+
+def test_pmi_collocations_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "pmi_collocations", SF_DIR)
+
+
+def test_pmi_beats_independence_for_top_pairs(spark):
+    """Every reported collocation must actually beat the independence
+    prediction (pmi_ppm > 1e6 means c12 * N > c1 * c2)."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        pmi_collocations,
+    )
+
+    rows = pmi_collocations(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.pmi_ppm >= rows[-1].pmi_ppm for r in rows)  # sorted desc
+    assert rows[0].pmi_ppm > 1_000_000  # top pair beats independence
+
+
+def test_neyman_allocation_sample_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "neyman_allocation_sample", SF_DIR)
+
+
+def test_neyman_allocation_sums_to_k_and_draw_is_exact(spark):
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        neyman_allocation_sample,
+    )
+
+    rows = neyman_allocation_sample(spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == 100
+    for r in rows:
+        assert r.drawn == r.alloc
+        assert r.alloc <= r.n_rows
