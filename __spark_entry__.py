@@ -134,6 +134,7 @@ _SWEEP_PRIORITY = [
     "sparse_dot_topk_pairs",       # new: inverted-index weighted similarity
     "pmi_collocations",            # new: integer-ppm PMI phrase mining
     "neyman_allocation_sample",    # new: variance-proportional stratified draw
+    "langid_confusion_metrics",    # new: classifier eval (ppm precision/recall)
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

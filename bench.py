@@ -138,6 +138,7 @@ HEADLINE += [
     "sparse_dot_topk_pairs",
     "pmi_collocations",
     "neyman_allocation_sample",
+    "langid_confusion_metrics",
 ]
 
 

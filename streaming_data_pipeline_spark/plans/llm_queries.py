@@ -2698,3 +2698,70 @@ SELECT CAST(row_number() OVER (ORDER BY dot DESC, id_a, id_b) AS BIGINT)
        id_a, id_b, dot, shared_terms
 FROM top ORDER BY rank
 """
+
+
+def langid_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup for the language-id heuristic:
+    per labeled class, the support, correct count, and integer-ppm
+    precision/recall computed from the (labeled, predicted) confusion
+    counts — the quality-report pattern for ANY cheap classifier run
+    over the corpus (lang-id here; toxicity/quality classifiers ride
+    the same shape).
+
+    Two hash-aggs: confusion cells, then per-class margins joined back
+    (both frames bounded by the label-domain squared). All ratios are
+    integer ppm divisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        lang_id(F.col("text")).alias("predicted"),
+    )
+    cells = pred.groupBy("actual", "predicted").agg(F.count("*").alias("c"))
+    support = cells.groupBy("actual").agg(F.sum("c").alias("support"))
+    predicted_n = cells.groupBy("predicted").agg(F.sum("c").alias("pred_n"))
+    diag = cells.filter(F.col("actual") == F.col("predicted")).select(
+        "actual", F.col("c").alias("correct")
+    )
+    return (
+        support.join(diag, "actual", "left")
+        .join(
+            predicted_n.withColumnRenamed("predicted", "actual"), "actual", "left"
+        )
+        .select(
+            F.col("actual").alias("lang"),
+            F.col("support").cast("long").alias("support"),
+            F.coalesce("correct", F.lit(0)).cast("long").alias("correct"),
+            F.expr(
+                "coalesce(correct, 0) * 1000000 div support"
+            ).cast("long").alias("recall_ppm"),
+            F.expr(
+                "case when coalesce(pred_n, 0) = 0 then null"
+                " else coalesce(correct, 0) * 1000000 div pred_n end"
+            ).cast("long").alias("precision_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["langid_confusion_metrics"] = langid_confusion_metrics
+ORACLE["langid_confusion_metrics"] = f"""
+WITH base AS ({_sql_lang_id()}),
+cells AS (SELECT labeled_lang AS actual, predicted_lang AS predicted,
+                 COUNT(*) AS c
+          FROM base GROUP BY 1, 2),
+support AS (SELECT actual, SUM(c) AS support FROM cells GROUP BY 1),
+pred_n AS (SELECT predicted, SUM(c) AS pred_n FROM cells GROUP BY 1),
+diag AS (SELECT actual, c AS correct FROM cells WHERE actual = predicted)
+SELECT s.actual AS lang,
+       CAST(s.support AS BIGINT) AS support,
+       CAST(COALESCE(d.correct, 0) AS BIGINT) AS correct,
+       CAST(COALESCE(d.correct, 0) * 1000000 // s.support AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN COALESCE(p.pred_n, 0) = 0 THEN NULL
+            ELSE COALESCE(d.correct, 0) * 1000000 // p.pred_n END AS BIGINT)
+         AS precision_ppm
+FROM support s LEFT JOIN diag d ON d.actual = s.actual
+LEFT JOIN pred_n p ON p.predicted = s.actual
+ORDER BY lang
+"""

@@ -629,3 +629,22 @@ def test_neyman_allocation_sums_to_k_and_draw_is_exact(spark):
     for r in rows:
         assert r.drawn == r.alloc
         assert r.alloc <= r.n_rows
+
+
+def test_langid_confusion_metrics_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "langid_confusion_metrics", SF_DIR)
+
+
+def test_langid_confusion_margins_consistent(spark):
+    """Support must sum to the corpus size and correct <= support."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        langid_confusion_metrics,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = langid_confusion_metrics(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.support for r in rows) == n
+    for r in rows:
+        assert 0 <= r.correct <= r.support
+        assert 0 <= r.recall_ppm <= 1_000_000
