@@ -135,6 +135,7 @@ _SWEEP_PRIORITY = [
     "pmi_collocations",            # new: integer-ppm PMI phrase mining
     "neyman_allocation_sample",    # new: variance-proportional stratified draw
     "langid_confusion_metrics",    # new: classifier eval (ppm precision/recall)
+    "dataset_datasheet",           # new: tidy (stat,value) release card
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -139,6 +139,7 @@ HEADLINE += [
     "pmi_collocations",
     "neyman_allocation_sample",
     "langid_confusion_metrics",
+    "dataset_datasheet",
 ]
 
 

@@ -2765,3 +2765,95 @@ FROM support s LEFT JOIN diag d ON d.actual = s.actual
 LEFT JOIN pred_n p ON p.predicted = s.actual
 ORDER BY lang
 """
+
+
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop dataset datasheet (the "datasheets for datasets" card,
+    Gebru et al. 2018 — public): corpus size, token and vocabulary
+    counts, exact-duplicate rate, language and source mix, and length
+    quantiles, emitted as tidy (stat, value) rows a release pipeline
+    can publish alongside the data.
+
+    Every line is a small independent aggregate unioned into one
+    frame; the only non-trivial stats reuse the engine's own
+    primitives (md5 exact-dup fingerprints, the distinct-value
+    rank trick for exact medians — no global row sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+
+    def row(stat, col):
+        return F.struct(F.lit(stat).alias("stat"), col.cast("long").alias("value"))
+
+    base = docs.agg(
+        F.array(
+            row("n_docs", F.count("*")),
+            row("n_sources", F.countDistinct("source")),
+            row("n_langs", F.countDistinct("lang")),
+            row("total_chars", F.sum(F.length("text"))),
+            row("min_chars", F.min(F.length("text"))),
+            row("max_chars", F.max(F.length("text"))),
+        ).alias("rows")
+    )
+    toks = tok.agg(
+        F.array(
+            row("n_tokens", F.count("*")),
+            row("vocab_size", F.countDistinct("t")),
+        ).alias("rows")
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.array(
+                row("exact_dup_docs", F.sum(F.col("c") - 1)),
+                row("distinct_texts", F.count("*")),
+            ).alias("rows")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        docs.groupBy(F.length("text").alias("len"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(w))
+        .crossJoin(
+            F.broadcast(docs.agg(F.expr("(count(*) + 1) div 2").alias("half")))
+        )
+        .filter(F.col("cum") >= F.col("half"))
+        .agg(F.array(row("median_chars", F.min("len"))).alias("rows"))
+    )
+    out = base.unionByName(toks).unionByName(dups).unionByName(med)
+    return (
+        out.select(F.explode("rows").alias("r"))
+        .select("r.stat", "r.value")
+        .orderBy("stat")
+    )
+
+
+QUERIES["dataset_datasheet"] = dataset_datasheet
+ORACLE["dataset_datasheet"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+base AS (
+  SELECT 'n_docs' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+  UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+  UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+  UNION ALL SELECT 'total_chars', CAST(SUM(length(text)) AS BIGINT) FROM documents
+  UNION ALL SELECT 'min_chars', CAST(MIN(length(text)) AS BIGINT) FROM documents
+  UNION ALL SELECT 'max_chars', CAST(MAX(length(text)) AS BIGINT) FROM documents
+  UNION ALL SELECT 'n_tokens', CAST(COUNT(*) AS BIGINT) FROM tok
+  UNION ALL SELECT 'vocab_size', CAST(COUNT(DISTINCT t) AS BIGINT) FROM tok
+  UNION ALL SELECT 'exact_dup_docs', CAST(SUM(c - 1) AS BIGINT)
+    FROM (SELECT md5(text) AS fp, COUNT(*) AS c FROM documents GROUP BY 1)
+  UNION ALL SELECT 'distinct_texts', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT md5(text) AS fp FROM documents GROUP BY 1)
+  UNION ALL SELECT 'median_chars', CAST(MIN(len) AS BIGINT)
+    FROM (SELECT len, SUM(c) OVER (ORDER BY len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM (SELECT length(text) AS len, COUNT(*) AS c
+                FROM documents GROUP BY 1)),
+         (SELECT (COUNT(*) + 1) // 2 AS half FROM documents)
+    WHERE cum >= half)
+SELECT stat, value FROM base ORDER BY stat
+"""

@@ -648,3 +648,17 @@ def test_langid_confusion_margins_consistent(spark):
     for r in rows:
         assert 0 <= r.correct <= r.support
         assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_dataset_datasheet_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dataset_datasheet", SF_DIR)
+
+
+def test_datasheet_stats_are_mutually_consistent(spark):
+    from streaming_data_pipeline_spark.plans.llm_queries import dataset_datasheet
+
+    stats = {r.stat: r.value for r in dataset_datasheet(spark, SF_DIR).collect()}
+    assert stats["min_chars"] <= stats["median_chars"] <= stats["max_chars"]
+    assert stats["distinct_texts"] + stats["exact_dup_docs"] == stats["n_docs"]
+    assert stats["vocab_size"] <= stats["n_tokens"]
+    assert stats["n_docs"] > 0
