@@ -136,6 +136,7 @@ _SWEEP_PRIORITY = [
     "neyman_allocation_sample",    # new: variance-proportional stratified draw
     "langid_confusion_metrics",    # new: classifier eval (ppm precision/recall)
     "dataset_datasheet",           # new: tidy (stat,value) release card
+    "within_doc_dedup",            # new: intra-doc repetition removal
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -140,6 +140,7 @@ HEADLINE += [
     "neyman_allocation_sample",
     "langid_confusion_metrics",
     "dataset_datasheet",
+    "within_doc_dedup",
 ]
 
 

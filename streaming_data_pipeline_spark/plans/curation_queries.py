@@ -1132,3 +1132,79 @@ SELECT a.event_type,
 FROM alloc a JOIN drawn d USING (event_type)
 ORDER BY a.event_type
 """
+
+
+def within_doc_dedup(spark: SparkSession, sf_dir: str, chunk: int = 2) -> DataFrame:
+    """Intra-document repetition removal: cut each doc into 2-token
+    chunks and keep only the FIRST occurrence of each distinct chunk
+    within the doc, reassembling in position order — the within-page
+    half of repetition cleaning (the corpus-frequency half is
+    `boilerplate_chunk_removal`; together they are the C4-style pair).
+
+    Shape: posexplode -> per-(doc, chunk) min-position hash-agg ->
+    semi-join back on (doc, chunk, pos) -> position-ordered reassembly
+    inside a per-doc window-free groupBy (sort_array over the struct
+    array). Everything keys on doc_id or (doc_id, chunk); no global
+    ordering, no driver text. Output carries the cleaned text's md5 so
+    the oracle checks exact reassembly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    firsts = chunks.groupBy("doc_id", "chunk").agg(F.min("pos").alias("pos"))
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("kept_chunks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                        lambda s: s.chunk,
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.ceil(F.size(toks) / F.lit(chunk)).cast("long").alias("n_chunks"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "n_chunks", "kept_chunks", "clean_md5")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["within_doc_dedup"] = within_doc_dedup
+ORACLE["within_doc_dedup"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, CAST(i.i AS INT) * 2 + 1,
+                                    CAST(i.i AS INT) * 2 + 2), ' ') AS chunk
+  FROM t, UNNEST(range(CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS i(i)),
+firsts AS (
+  SELECT doc_id, chunk, MIN(pos) AS pos FROM chunks GROUP BY doc_id, chunk),
+clean AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+         md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+  FROM firsts GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(ceil(len(t.toks) / 2.0) AS BIGINT) AS n_chunks,
+       c.kept_chunks, c.clean_md5
+FROM clean c JOIN t ON t.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""

@@ -662,3 +662,31 @@ def test_datasheet_stats_are_mutually_consistent(spark):
     assert stats["distinct_texts"] + stats["exact_dup_docs"] == stats["n_docs"]
     assert stats["vocab_size"] <= stats["n_tokens"]
     assert stats["n_docs"] > 0
+
+
+def test_within_doc_dedup_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "within_doc_dedup", SF_DIR)
+
+
+def test_within_doc_dedup_removes_planted_repeats(spark):
+    """A doc that is the same chunk repeated must collapse to one
+    chunk; a repeat-free doc must keep everything."""
+    from streaming_data_pipeline_spark.plans import curation_queries as cq
+
+    rows = [
+        (0, "aa bb aa bb aa bb"),        # chunk 'aa bb' x3 -> 1 kept
+        (1, "one two three four"),        # 2 distinct chunks -> 2 kept
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: (r.n_chunks, r.kept_chunks)
+            for r in cq.within_doc_dedup(spark, d).collect()
+        }
+    assert out[0] == (3, 1)
+    assert out[1] == (2, 2)
