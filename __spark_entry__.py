@@ -137,6 +137,8 @@ _SWEEP_PRIORITY = [
     "langid_confusion_metrics",    # new: classifier eval (ppm precision/recall)
     "dataset_datasheet",           # new: tidy (stat,value) release card
     "within_doc_dedup",            # new: intra-doc repetition removal
+    "winsorized_price_stats",      # new: exact-percentile robust mean
+    "basket_lift_pairs",           # new: integer-ppm co-occurrence lift
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -141,6 +141,8 @@ HEADLINE += [
     "langid_confusion_metrics",
     "dataset_datasheet",
     "within_doc_dedup",
+    "winsorized_price_stats",
+    "basket_lift_pairs",
 ]
 
 

@@ -1782,3 +1782,185 @@ SELECT CAST(row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) AS BIGINT)
        w1, w2, c12, CAST(pmi_ppm AS BIGINT) AS pmi_ppm
 FROM top ORDER BY rank
 """
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-price statistics: clip o_totalprice at the
+    exact p05/p95 empirical percentiles, then report per-priority
+    counts, clip tallies, and the clipped integer-cents mean — the
+    robust-mean pattern that keeps a fat tail from dominating a
+    metric.
+
+    Exact percentiles WITHOUT a global row sort: the same
+    distinct-value cumulative-rank trick as the equi-depth histogram —
+    one hash-agg to (cents, count), a running sum over the distinct
+    VALUE frame, and the percentile is the least value whose
+    cumulative rank reaches ceil(q*n). Clipping is then a broadcast
+    join of two scalars; everything else is one hash-agg.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per_v = orders.groupBy("cents").agg(F.count("*").alias("c"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.withColumn("cum", F.sum("c").over(w))
+    n = orders.agg(F.count("*").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "cents",
+            "cum",
+            F.expr("cast(ceil(n * 0.05) as long)").alias("lo_rank"),
+            F.expr("cast(ceil(n * 0.95) as long)").alias("hi_rank"),
+        )
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("cents"))).alias(
+                "p05"
+            ),
+            F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("cents"))).alias(
+                "p95"
+            ),
+        )
+    )
+    clipped = orders.crossJoin(F.broadcast(cuts)).select(
+        "o_orderpriority",
+        F.greatest(F.least(F.col("cents"), F.col("p95")), F.col("p05")).alias(
+            "w_cents"
+        ),
+        (F.col("cents") < F.col("p05")).cast("int").alias("lo"),
+        (F.col("cents") > F.col("p95")).cast("int").alias("hi"),
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("lo").cast("long").alias("clipped_low"),
+            F.sum("hi").cast("long").alias("clipped_high"),
+            F.expr("sum(w_cents) div count(*)").cast("long").alias(
+                "winsorized_mean_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["winsorized_price_stats"] = winsorized_price_stats
+ORACLE["winsorized_price_stats"] = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+per_v AS (SELECT cents, COUNT(*) AS c FROM o GROUP BY cents),
+cum AS (
+  SELECT cents, SUM(c) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_v),
+n AS (SELECT COUNT(*) AS n FROM o),
+cuts AS (
+  SELECT MIN(CASE WHEN cum >= CAST(ceil(n * 0.05) AS BIGINT)
+             THEN cents END) AS p05,
+         MIN(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT)
+             THEN cents END) AS p95
+  FROM cum, n),
+clipped AS (
+  SELECT o_orderpriority,
+         greatest(least(cents, p95), p05) AS w_cents,
+         CASE WHEN cents < p05 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN cents > p95 THEN 1 ELSE 0 END AS hi
+  FROM o, cuts)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(lo) AS BIGINT) AS clipped_low,
+       CAST(SUM(hi) AS BIGINT) AS clipped_high,
+       CAST(SUM(w_cents) // COUNT(*) AS BIGINT) AS winsorized_mean_cents
+FROM clipped GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def basket_lift_pairs(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Market-basket lift between event types: treating each user's
+    distinct event types as a basket, rank type pairs by lift =
+    P(A,B)/(P(A)P(B)) — the co-occurrence statistic behind
+    "users who X also Y". Exact integer ppm core `c_ab*n*1e6 div
+    (c_a*c_b)` (same determinism trick as `pmi_collocations`, but
+    set-valued per-user baskets instead of adjacent tokens).
+
+    Shape: one distinct (user, type) collapse, a per-user self-join
+    whose fan-out is bounded by the TYPE DOMAIN squared (never by
+    events), two margin hash-aggs, TakeOrderedAndProject top-k.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.select("user_id").distinct().agg(F.count("*").alias("n"))
+    margins = ut.groupBy("event_type").agg(F.count("*").alias("c"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    scored = (
+        pairs.join(
+            margins.select(
+                F.col("event_type").alias("type_a"), F.col("c").alias("c_a")
+            ),
+            "type_a",
+        )
+        .join(
+            margins.select(
+                F.col("event_type").alias("type_b"), F.col("c").alias("c_b")
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.expr("c_ab * n * 1000000 div (c_a * c_b)").cast("long").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("lift_ppm"), "type_a", "type_b").limit(k)
+    w = Window.orderBy(F.desc("lift_ppm"), "type_a", "type_b")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "type_a", "type_b", "c_ab", "lift_ppm")
+        .orderBy("rank")
+    )
+
+
+QUERIES["basket_lift_pairs"] = basket_lift_pairs
+ORACLE["basket_lift_pairs"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n FROM ut),
+margins AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+scored AS (
+  SELECT type_a, type_b, CAST(c_ab AS BIGINT) AS c_ab,
+         c_ab * n * 1000000 // (ma.c * mb.c) AS lift_ppm
+  FROM pairs
+  JOIN margins ma ON ma.event_type = type_a
+  JOIN margins mb ON mb.event_type = type_b, n),
+top AS (SELECT * FROM scored ORDER BY lift_ppm DESC, type_a, type_b LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, type_a, type_b)
+            AS BIGINT) AS rank,
+       type_a, type_b, c_ab, CAST(lift_ppm AS BIGINT) AS lift_ppm
+FROM top ORDER BY rank
+"""

@@ -690,3 +690,54 @@ def test_within_doc_dedup_removes_planted_repeats(spark):
         }
     assert out[0] == (3, 1)
     assert out[1] == (2, 2)
+
+
+def test_winsorized_price_stats_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "winsorized_price_stats", SF_DIR)
+
+
+def test_winsorized_mean_is_between_p05_p95(spark):
+    """After clipping, every group mean must lie inside the clip
+    interval, and clip tallies must be ~5% tails overall."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        winsorized_price_stats,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = winsorized_price_stats(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "orders").count()
+    lo = sum(r.clipped_low for r in rows)
+    hi = sum(r.clipped_high for r in rows)
+    # strictly-below-p05 tail is < 5% by definition of the empirical
+    # percentile; same for the above-p95 tail
+    assert lo < 0.05 * n + 1
+    assert hi <= 0.05 * n + 1
+
+
+def test_basket_lift_pairs_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "basket_lift_pairs", SF_DIR)
+
+
+def test_basket_lift_top_pair_recomputes(spark):
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        basket_lift_pairs,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    top = basket_lift_pairs(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.select("user_id").distinct().count()
+    c_a = ut.filter(F.col("event_type") == top.type_a).count()
+    c_b = ut.filter(F.col("event_type") == top.type_b).count()
+    c_ab = (
+        ut.filter(F.col("event_type") == top.type_a)
+        .select("user_id")
+        .join(
+            ut.filter(F.col("event_type") == top.type_b).select("user_id"),
+            "user_id",
+        )
+        .count()
+    )
+    assert c_ab == top.c_ab
+    assert c_ab * n * 1_000_000 // (c_a * c_b) == top.lift_ppm
