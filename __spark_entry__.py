@@ -139,6 +139,7 @@ _SWEEP_PRIORITY = [
     "within_doc_dedup",            # new: intra-doc repetition removal
     "winsorized_price_stats",      # new: exact-percentile robust mean
     "basket_lift_pairs",           # new: integer-ppm co-occurrence lift
+    "bpe_apply_compression",       # new: train->apply tokenizer round trip
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -143,6 +143,7 @@ HEADLINE += [
     "within_doc_dedup",
     "winsorized_price_stats",
     "basket_lift_pairs",
+    "bpe_apply_compression",
 ]
 
 

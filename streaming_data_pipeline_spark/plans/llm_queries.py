@@ -2857,3 +2857,139 @@ base AS (
     WHERE cum >= half)
 SELECT stat, value FROM base ORDER BY stat
 """
+
+
+def bpe_apply_compression(spark: SparkSession, sf_dir: str, steps: int = 5) -> DataFrame:
+    """Apply the 5 BPE merges learned by `bpe_train_merges` back to the
+    corpus and report per-source token-stream compression: initial
+    symbol count (= characters), symbol count after the merges, and
+    the ppm saved — the train->apply round trip every tokenizer
+    pipeline runs.
+
+    Same declarative loop as training (argmax pair as a broadcast
+    1-row frame, replace() merging), but the state carries `source` so
+    the final fold is a per-source hash-agg. Merge learning aggregates
+    over ALL sources (identical totals to the training query — parity
+    is asserted in tests). State is vocabulary-sized per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    state = wf.select(
+        "source",
+        "n",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    for _ in range(steps):
+        syms = F.expr("filter(split(trim(s), ' '), x -> x <> '')")
+        pairs = (
+            state.select("n", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> syms[i - 1] || ' ' || syms[i])"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1)
+        ab = top.select(
+            F.expr("split_part(pair, ' ', 1)").alias("a"),
+            F.expr("split_part(pair, ' ', 2)").alias("b"),
+        )
+        state = (
+            state.crossJoin(F.broadcast(ab))
+            .select(
+                "source",
+                "n",
+                F.expr(
+                    "replace(s, ' ' || a || ' ' || b || ' ',"
+                    " ' ' || a || b || ' ')"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        state.select(
+            "source",
+            "n",
+            F.expr("size(filter(split(trim(s), ' '), x -> x <> ''))").alias(
+                "len_after"
+            ),
+            F.expr("length(replace(s, ' ', ''))").alias("chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("chars")).cast("long").alias("symbols_initial"),
+            F.sum(F.col("n") * F.col("len_after")).cast("long").alias(
+                "symbols_final"
+            ),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr(
+                "(symbols_initial - symbols_final) * 1000000 div symbols_initial"
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_bpe_apply_oracle(steps: int = 5) -> str:
+    ctes = [
+        f"wf AS MATERIALIZED (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM "
+        f"(SELECT source, unnest({_TOKS}) AS w FROM documents) GROUP BY source, w)",
+        "s0 AS MATERIALIZED (SELECT source, n, ' ' || array_to_string(string_split(w, ''), ' ')"
+        " || ' ' AS s FROM wf)",
+    ]
+    for i in range(1, steps + 1):
+        p = f"s{i - 1}"
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT syms[CAST(j.j AS INT)] || ' ' || "
+            f"syms[CAST(j.j AS INT) + 1] AS pair, SUM(n) AS c "
+            f"FROM (SELECT n, list_filter(string_split(trim(s), ' '), "
+            f"x -> x <> '') AS syms FROM {p}) t, "
+            f"UNNEST(range(1, len(syms))) AS j(j) GROUP BY 1)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT pair FROM p{i} ORDER BY c DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT source, n, replace(s, "
+            f"' ' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || ' ', "
+            f"' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s "
+            f"FROM {p}, t{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+, final AS (
+  SELECT source, n,
+         len(list_filter(string_split(trim(s), ' '), x -> x <> '')) AS len_after,
+         length(replace(s, ' ', '')) AS chars
+  FROM s{steps}),
+agg AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_words,
+         CAST(SUM(n * chars) AS BIGINT) AS symbols_initial,
+         CAST(SUM(n * len_after) AS BIGINT) AS symbols_final
+  FROM final GROUP BY source)
+SELECT source, n_words, symbols_initial, symbols_final,
+       CAST((symbols_initial - symbols_final) * 1000000 // symbols_initial
+            AS BIGINT) AS saved_ppm
+FROM agg ORDER BY source"""
+    )
+
+
+QUERIES["bpe_apply_compression"] = bpe_apply_compression
+ORACLE["bpe_apply_compression"] = _sql_bpe_apply_oracle(5)

@@ -741,3 +741,29 @@ def test_basket_lift_top_pair_recomputes(spark):
     )
     assert c_ab == top.c_ab
     assert c_ab * n * 1_000_000 // (c_a * c_b) == top.lift_ppm
+
+
+def test_bpe_apply_compression_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "bpe_apply_compression", SF_DIR)
+
+
+def test_bpe_apply_learns_same_merges_and_saves_symbols(spark):
+    """The apply query's global merge learning must reproduce the
+    training query's merges (it aggregates the same totals), and every
+    source must end with no more symbols than it started with."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        bpe_apply_compression,
+        bpe_train_merges,
+    )
+
+    rows = bpe_apply_compression(spark, SF_DIR).collect()
+    assert rows
+    total_saved = 0
+    for r in rows:
+        assert r.symbols_final <= r.symbols_initial
+        assert 0 <= r.saved_ppm <= 1_000_000
+        total_saved += r.symbols_initial - r.symbols_final
+    # each applied merge round fuses (count) pairs, each saving one
+    # symbol occurrence: total symbols saved == sum of merge counts
+    merges = bpe_train_merges(spark, SF_DIR).collect()
+    assert total_saved == sum(m.c for m in merges)
