@@ -140,6 +140,7 @@ _SWEEP_PRIORITY = [
     "winsorized_price_stats",      # new: exact-percentile robust mean
     "basket_lift_pairs",           # new: integer-ppm co-occurrence lift
     "bpe_apply_compression",       # new: train->apply tokenizer round trip
+    "interarrival_gap_stats",      # new: exact gap percentiles per type
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

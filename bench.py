@@ -144,6 +144,7 @@ HEADLINE += [
     "winsorized_price_stats",
     "basket_lift_pairs",
     "bpe_apply_compression",
+    "interarrival_gap_stats",
 ]
 
 

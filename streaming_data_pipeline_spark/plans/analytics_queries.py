@@ -1964,3 +1964,87 @@ SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, type_a, type_b)
        type_a, type_b, c_ab, CAST(lift_ppm AS BIGINT) AS lift_ppm
 FROM top ORDER BY rank
 """
+
+
+def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics: exact median and p95 of
+    the per-user gap (seconds between a user's consecutive events of
+    that type) — the cadence profile that sizes session timeouts and
+    rate alarms.
+
+    Gaps come from one lag() over the per-(user, type) ordering; the
+    exact percentiles reuse the distinct-value cumulative-rank trick
+    per TYPE (window partitioned by type over the distinct-gap frame,
+    bounded by the gap-value domain) — no global row sort, no
+    percentile_approx.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("epoch", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("epoch") - F.lag("epoch").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    per_v = gaps.groupBy("event_type", "gap").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_v.withColumn("cum", F.sum("c").over(wv))
+    n = gaps.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        cum.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("long").alias("n_gaps"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("cast(ceil(n * 0.5) as long)"),
+                    F.col("gap"),
+                )
+            ).cast("long").alias("median_gap_us"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("cast(ceil(n * 0.95) as long)"),
+                    F.col("gap"),
+                )
+            ).cast("long").alias("p95_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["interarrival_gap_stats"] = interarrival_gap_stats
+ORACLE["interarrival_gap_stats"] = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ep
+  FROM events),
+gaps AS (
+  SELECT event_type,
+         ep - lag(ep) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ep, event_id) AS gap
+  FROM ev),
+g AS (SELECT event_type, CAST(gap AS BIGINT) AS gap FROM gaps
+      WHERE gap IS NOT NULL),
+per_v AS (SELECT event_type, gap, COUNT(*) AS c FROM g GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, gap,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY gap
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_v),
+n AS (SELECT event_type, COUNT(*) AS n FROM g GROUP BY 1)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+                THEN gap END) AS BIGINT) AS median_gap_us,
+       CAST(MIN(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT)
+                THEN gap END) AS BIGINT) AS p95_gap_us
+FROM cum JOIN n USING (event_type)
+GROUP BY event_type ORDER BY event_type
+"""

@@ -767,3 +767,19 @@ def test_bpe_apply_learns_same_merges_and_saves_symbols(spark):
     # symbol occurrence: total symbols saved == sum of merge counts
     merges = bpe_train_merges(spark, SF_DIR).collect()
     assert total_saved == sum(m.c for m in merges)
+
+
+def test_interarrival_gap_stats_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "interarrival_gap_stats", SF_DIR)
+
+
+def test_interarrival_median_below_p95(spark):
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        interarrival_gap_stats,
+    )
+
+    rows = interarrival_gap_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.median_gap_us <= r.p95_gap_us
+        assert r.n_gaps > 0
