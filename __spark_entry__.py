@@ -141,6 +141,7 @@ _SWEEP_PRIORITY = [
     "basket_lift_pairs",           # new: integer-ppm co-occurrence lift
     "bpe_apply_compression",       # new: train->apply tokenizer round trip
     "interarrival_gap_stats",      # new: exact gap percentiles per type
+    "dup_cluster_size_histogram",  # new: dedup strategy report
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

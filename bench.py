@@ -145,6 +145,7 @@ HEADLINE += [
     "basket_lift_pairs",
     "bpe_apply_compression",
     "interarrival_gap_stats",
+    "dup_cluster_size_histogram",
 ]
 
 

@@ -2993,3 +2993,54 @@ FROM agg ORDER BY source"""
 
 QUERIES["bpe_apply_compression"] = bpe_apply_compression
 ORACLE["bpe_apply_compression"] = _sql_bpe_apply_oracle(5)
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact-duplicate cluster sizes over token-set
+    fingerprints: how many fingerprint groups have exactly k members,
+    with the rows and removable-duplicate tally each size class
+    contributes — the report that says whether duplication is a few
+    huge clusters (boilerplate blast) or a long tail of pairs
+    (mirrors/quotes), which decides the dedup strategy.
+
+    Two stacked hash-aggs (fingerprint -> size, size -> group count);
+    the histogram domain is bounded by the largest cluster, so the
+    output is tiny at any corpus scale.
+    """
+    from streaming_data_pipeline_spark.functions.text import (
+        token_set_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        docs.select(token_set_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("sz"))
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_groups").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_groups")).cast("long").alias("n_docs"),
+            ((F.col("sz") - 1) * F.col("n_groups")).cast("long").alias(
+                "removable_dups"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
+ORACLE["dup_cluster_size_histogram"] = f"""
+WITH fp AS (
+  SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+  FROM documents),
+sizes AS (SELECT fp, COUNT(*) AS sz FROM fp GROUP BY fp)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((sz - 1) * COUNT(*) AS BIGINT) AS removable_dups
+FROM sizes GROUP BY sz ORDER BY cluster_size
+"""

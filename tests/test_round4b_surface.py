@@ -783,3 +783,22 @@ def test_interarrival_median_below_p95(spark):
     for r in rows:
         assert 0 <= r.median_gap_us <= r.p95_gap_us
         assert r.n_gaps > 0
+
+
+def test_dup_cluster_size_histogram_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dup_cluster_size_histogram", SF_DIR)
+
+
+def test_dup_histogram_margins_equal_corpus(spark):
+    """Cluster sizes times counts must partition the corpus, and
+    removable_dups must equal the token-set dedup query's removable
+    total."""
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        dup_cluster_size_histogram,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = dup_cluster_size_histogram(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert all(r.removable_dups == (r.cluster_size - 1) * r.n_clusters for r in rows)
