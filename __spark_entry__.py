@@ -142,6 +142,8 @@ _SWEEP_PRIORITY = [
     "bpe_apply_compression",       # new: train->apply tokenizer round trip
     "interarrival_gap_stats",      # new: exact gap percentiles per type
     "dup_cluster_size_histogram",  # new: dedup strategy report
+    "seasonal_residual_anomaly",   # new: hour-of-day seasonal-naive screen
+    "top_event_paths",             # new: length-3 journey mining
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

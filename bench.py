@@ -146,6 +146,8 @@ HEADLINE += [
     "bpe_apply_compression",
     "interarrival_gap_stats",
     "dup_cluster_size_histogram",
+    "seasonal_residual_anomaly",
+    "top_event_paths",
 ]
 
 

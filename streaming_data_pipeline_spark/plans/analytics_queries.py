@@ -2048,3 +2048,120 @@ SELECT event_type,
 FROM cum JOIN n USING (event_type)
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Seasonal-naive anomaly screen: each (date, hour) cell's event
+    count vs the SAME HOUR one day earlier, ranked by absolute
+    deviation ppm — the hour-of-day-aware twin of
+    `daily_volume_anomaly` (daily totals miss intra-day shape shifts;
+    the seasonal-naive baseline is the standard first differencer for
+    strongly periodic series).
+
+    One hash-agg to the (date, hour) grid (bounded by the calendar
+    domain), a 1-day self-join on the grid, integer ppm deviation
+    `|cur - prev| * 1e6 div prev`, TakeOrderedAndProject top-k.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        F.hour(F.col("ts").cast("timestamp")).alias("h"),
+    )
+    grid = ev.groupBy("d", "h").agg(F.count("*").alias("c"))
+    prev = grid.select(
+        F.date_add("d", 1).alias("d"), "h", F.col("c").alias("c_prev")
+    )
+    scored = grid.join(prev, ["d", "h"]).select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        F.col("h").cast("long").alias("hour"),
+        F.col("c").cast("long").alias("n_events"),
+        F.col("c_prev").cast("long").alias("n_prev"),
+        F.expr("abs(c - c_prev) * 1000000 div c_prev").cast("long").alias(
+            "deviation_ppm"
+        ),
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("deviation_ppm"), "day", "hour").limit(k)
+    w = Window.orderBy(F.desc("deviation_ppm"), "day", "hour")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "day", "hour", "n_events", "n_prev", "deviation_ppm")
+        .orderBy("rank")
+    )
+
+
+QUERIES["seasonal_residual_anomaly"] = seasonal_residual_anomaly
+ORACLE["seasonal_residual_anomaly"] = """
+WITH grid AS (
+  SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT CAST(g.d AS TIMESTAMP) AS day, CAST(g.h AS BIGINT) AS hour,
+         CAST(g.c AS BIGINT) AS n_events,
+         CAST(p.c AS BIGINT) AS n_prev,
+         abs(g.c - p.c) * 1000000 // p.c AS deviation_ppm
+  FROM grid g JOIN grid p ON p.d = g.d - INTERVAL 1 DAY AND p.h = g.h),
+top AS (SELECT * FROM scored
+        ORDER BY deviation_ppm DESC, day, hour LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY deviation_ppm DESC, day, hour)
+            AS BIGINT) AS rank,
+       day, hour, n_events, n_prev,
+       CAST(deviation_ppm AS BIGINT) AS deviation_ppm
+FROM top ORDER BY rank
+"""
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
+    """Path mining: the most frequent length-3 event-type sequences
+    users actually walk (two lead() hops over each user's timeline) —
+    the Sankey-diagram feed that extends pairwise
+    `user_event_transitions` to real multi-step journeys.
+
+    One per-user window sort shared by both lead() columns, one
+    hash-agg on the path string, TakeOrderedAndProject top-k.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    top = paths.orderBy(F.desc("n"), "path").limit(k)
+    ww = Window.orderBy(F.desc("n"), "path")
+    return (
+        top.withColumn("rank", F.row_number().over(ww))
+        .select("rank", "path", F.col("n").cast("long").alias("n"))
+        .orderBy("rank")
+    )
+
+
+QUERIES["top_event_paths"] = top_event_paths
+ORACLE["top_event_paths"] = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events),
+paths AS (
+  SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, COUNT(*) AS n
+  FROM seq WHERE e3 IS NOT NULL GROUP BY 1),
+top AS (SELECT * FROM paths ORDER BY n DESC, path LIMIT 15)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+       path, CAST(n AS BIGINT) AS n
+FROM top ORDER BY rank
+"""

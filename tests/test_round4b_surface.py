@@ -802,3 +802,40 @@ def test_dup_histogram_margins_equal_corpus(spark):
     n = load_table(spark, SF_DIR, "documents").count()
     assert sum(r.n_docs for r in rows) == n
     assert all(r.removable_dups == (r.cluster_size - 1) * r.n_clusters for r in rows)
+
+
+def test_seasonal_residual_anomaly_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "seasonal_residual_anomaly", SF_DIR)
+
+
+def test_top_event_paths_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "top_event_paths", SF_DIR)
+
+
+def test_top_paths_extend_transition_counts(spark):
+    """Every length-3 path's count is bounded by the count of its
+    length-2 prefix transition (a path is a refinement of its prefix)."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        top_event_paths,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = top_event_paths(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair_counts = {
+        (r.e1, r.e2): r.n
+        for r in ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        e1, e2, _ = r.path.split(" > ")
+        assert r.n <= pair_counts[(e1, e2)]
