@@ -144,6 +144,7 @@ _SWEEP_PRIORITY = [
     "dup_cluster_size_histogram",  # new: dedup strategy report
     "seasonal_residual_anomaly",   # new: hour-of-day seasonal-naive screen
     "top_event_paths",             # new: length-3 journey mining
+    "grouped_leakage_free_split",  # new: group-keyed split + leakage cert
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -148,6 +148,7 @@ HEADLINE += [
     "dup_cluster_size_histogram",
     "seasonal_residual_anomaly",
     "top_event_paths",
+    "grouped_leakage_free_split",
 ]
 
 

@@ -1002,3 +1002,81 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
        CAST(SUM(w) AS BIGINT) AS tokens_selected
 FROM sel GROUP BY source ORDER BY source
 """
+
+
+def grouped_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/10/10 split: the hash bucket is computed on the
+    SOURCE (the leakage unit), not the document, so near-identical
+    documents from one origin can never land on both sides of a
+    train/eval boundary — the fix for the evaluation-leakage failure
+    mode that doc-level splitting (`train_val_test_split`) permits.
+
+    Same stateless md5-bucket projection, keyed one level up; the
+    audit emits per-split document/source/token tallies plus a
+    leakage certificate: sources_in_multiple_splits MUST be 0 by
+    construction, and the query proves it from the data rather than
+    asserting it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("gsplit:"), F.col("source"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tagged = docs.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    leak = (
+        tagged.select("source", "split")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("sources_in_multiple_splits")
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leak))
+        .select(
+            "split", "n_docs", "n_sources", "n_chars",
+            "sources_in_multiple_splits",
+        )
+        .orderBy("split")
+    )
+
+
+QUERIES["grouped_leakage_free_split"] = grouped_leakage_free_split
+ORACLE["grouped_leakage_free_split"] = """
+WITH tagged AS (
+  SELECT *,
+         CASE WHEN CAST('0x' || substring(md5('gsplit:' || source), 1, 4)
+                   AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substring(md5('gsplit:' || source), 1, 4)
+                   AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+per_split AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM tagged GROUP BY split),
+leak AS (
+  SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sources_in_multiple_splits
+  FROM (SELECT source, COUNT(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY source))
+SELECT split, n_docs, n_sources, n_chars, sources_in_multiple_splits
+FROM per_split, leak ORDER BY split
+"""

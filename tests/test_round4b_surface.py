@@ -839,3 +839,19 @@ def test_top_paths_extend_transition_counts(spark):
     for r in rows:
         e1, e2, _ = r.path.split(" > ")
         assert r.n <= pair_counts[(e1, e2)]
+
+
+def test_grouped_leakage_free_split_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "grouped_leakage_free_split", SF_DIR)
+
+
+def test_grouped_split_has_zero_leakage_and_partitions_corpus(spark):
+    from streaming_data_pipeline_spark.plans.training_queries import (
+        grouped_leakage_free_split,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = grouped_leakage_free_split(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert all(r.sources_in_multiple_splits == 0 for r in rows)
