@@ -145,6 +145,7 @@ _SWEEP_PRIORITY = [
     "seasonal_residual_anomaly",   # new: hour-of-day seasonal-naive screen
     "top_event_paths",             # new: length-3 journey mining
     "grouped_leakage_free_split",  # new: group-keyed split + leakage cert
+    "pca_power_iteration",         # new: spectral top-direction (declarative)
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

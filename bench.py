@@ -149,6 +149,7 @@ HEADLINE += [
     "seasonal_residual_anomaly",
     "top_event_paths",
     "grouped_leakage_free_split",
+    "pca_power_iteration",
 ]
 
 

@@ -3044,3 +3044,120 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST((sz - 1) * COUNT(*) AS BIGINT) AS removable_dups
 FROM sizes GROUP BY sz ORDER BY cluster_size
 """
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by power iteration — the spectral sibling of
+    `kmeans_lloyd_iterations` in the iterative-algorithm family, and
+    the 1-component core of PCA whitening / spectral embedding
+    compression.
+
+    Each iteration is two matvecs that never materialize the 64x64
+    Gram: (1) per row, s_r = <x_r, v> as an IN-ORDER zip_with fold
+    (matches the oracle's explicit left-to-right sum chain); (2)
+    y_j = sum_r x_rj * s_r as one posexplode hash-agg. Cross-engine
+    determinism: per-position sums are rounded to 3 decimals (absolute
+    error from double re-ordering is ~1e-9 of the magnitude, far
+    below the quantum) BEFORE the norm, the norm folds the ROUNDED
+    components in position order, and the normalized vector is rounded
+    to 6 decimals — the same round-between-iterations contract kmeans
+    uses. v carries between iterations as a broadcast 1-row frame
+    (fully declarative, no driver state); init is the uniform unit
+    vector. Output: (pos, component) with the sign fixed so the first
+    component is non-negative.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    v = spark.range(1).select(
+        F.expr(f"array_repeat(cast(0.125 as double), {DIM})").alias("v")
+    )
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(v)).select(
+            "x",
+            F.aggregate(
+                F.zip_with("x", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ).alias("s"),
+        )
+        y = (
+            scored.select(F.posexplode("x").alias("pos", "xj"), "s")
+            .groupBy("pos")
+            .agg(
+                (F.round(F.sum(F.col("xj") * F.col("s")), 3) + F.lit(0.0)).alias(
+                    "yj"
+                )
+            )
+        )
+        v = y.groupBy().agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "yj"))),
+                lambda st: st.yj,
+            ).alias("y")
+        ).select(
+            F.expr(
+                "transform(y, e -> round(e / sqrt(aggregate("
+                "transform(y, q -> q * q), cast(0.0 as double),"
+                " (acc, q) -> acc + q)), 6) + cast(0.0 as double))"
+            ).alias("v")
+        )
+    return (
+        v.select(
+            F.posexplode(
+                F.expr("if(v[0] < 0, transform(v, e -> -e + 0.0d), v)")
+            ).alias("pos", "component")
+        )
+        .select(F.col("pos").cast("long").alias("pos"), "component")
+        .orderBy("pos")
+    )
+
+
+def _sql_pca_oracle(iters: int = 2) -> str:
+    vcols = lambda k: ", ".join(
+        f"MAX(CASE WHEN pos = {j} THEN val END) AS c{j}" for j in range(DIM)
+    )
+    ctes = [
+        "x AS MATERIALIZED (SELECT vec_id, embedding AS e FROM embeddings)",
+        "v0 AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT {j} AS pos, 0.125 AS val" for j in range(DIM)
+        )
+        + ")",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"v{it - 1}"
+        ctes.append(f"{prev}_row AS MATERIALIZED (SELECT {vcols(it)} FROM {prev})")
+        dot = " + ".join(
+            f"CAST(e[{j + 1}] AS DOUBLE) * c{j}" for j in range(DIM)
+        )
+        ctes.append(
+            f"s{it} AS MATERIALIZED (SELECT vec_id, e, {dot} AS s FROM x, {prev}_row)"
+        )
+        ctes.append(
+            f"y{it} AS MATERIALIZED ("
+            f"SELECT u.j AS pos, round(SUM(CAST(e[CAST(u.j AS INT) + 1] AS DOUBLE) * s), 3) + 0.0 AS yj "
+            f"FROM s{it}, UNNEST(range(CAST({DIM} AS BIGINT))) AS u(j) GROUP BY u.j)"
+        )
+        normchain = " + ".join(
+            f"(SELECT yj FROM y{it} WHERE pos = {j}) * (SELECT yj FROM y{it} WHERE pos = {j})"
+            for j in range(DIM)
+        )
+        ctes.append(
+            f"v{it} AS MATERIALIZED (SELECT pos, round(yj / sqrt({normchain}), 6) + 0.0 AS val FROM y{it})"
+        )
+    last = f"v{iters}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+, sign AS (SELECT CASE WHEN (SELECT val FROM {last} WHERE pos = 0) < 0
+                  THEN -1.0 ELSE 1.0 END AS sg)
+SELECT CAST(pos AS BIGINT) AS pos, val * sg + 0.0 AS component
+FROM {last}, sign ORDER BY pos"""
+    )
+
+
+QUERIES["pca_power_iteration"] = pca_power_iteration
+ORACLE["pca_power_iteration"] = _sql_pca_oracle(2)

@@ -855,3 +855,36 @@ def test_grouped_split_has_zero_leakage_and_partitions_corpus(spark):
     n = load_table(spark, SF_DIR, "documents").count()
     assert sum(r.n_docs for r in rows) == n
     assert all(r.sources_in_multiple_splits == 0 for r in rows)
+
+
+def test_pca_power_iteration_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "pca_power_iteration", SF_DIR)
+
+
+def test_pca_direction_beats_init_rayleigh(spark):
+    """Power iteration must INCREASE the Rayleigh quotient v'Gv (G the
+    Gram matrix): the learned direction captures more spectral energy
+    than the uniform init, and it is unit-norm with a non-negative
+    leading component."""
+    import numpy as np
+
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        pca_power_iteration,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = pca_power_iteration(spark, SF_DIR).collect()
+    v = np.array([r.component for r in sorted(rows, key=lambda r: r.pos)])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert v[0] >= 0
+    X = np.array(
+        [
+            r.x
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .select(F.col("embedding").cast("array<double>").alias("x"))
+            .collect()
+        ]
+    )
+    init = np.full(64, 0.125)
+    rq = lambda u: float(u @ (X.T @ (X @ u)) / (u @ u))
+    assert rq(v) >= rq(init)
