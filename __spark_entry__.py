@@ -146,6 +146,8 @@ _SWEEP_PRIORITY = [
     "top_event_paths",             # new: length-3 journey mining
     "grouped_leakage_free_split",  # new: group-keyed split + leakage cert
     "pca_power_iteration",         # new: spectral top-direction (declarative)
+    "median_imputation_audit",     # new: group-median fill + audit
+    "cross_source_dup_matrix",     # new: provenance duplication pairs
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -150,6 +150,8 @@ HEADLINE += [
     "top_event_paths",
     "grouped_leakage_free_split",
     "pca_power_iteration",
+    "median_imputation_audit",
+    "cross_source_dup_matrix",
 ]
 
 

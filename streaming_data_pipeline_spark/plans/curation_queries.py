@@ -1208,3 +1208,103 @@ SELECT c.doc_id,
 FROM clean c JOIN t ON t.doc_id = c.doc_id
 ORDER BY c.doc_id
 """
+
+
+def median_imputation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation with a before/after audit: event values
+    are deterministically nulled (event_id % 10 == 0 — the fixture has
+    no real nulls, same manufacture convention as the PII queries),
+    then filled with their event type's exact median of the SURVIVING
+    values; the report shows per-type imputed counts and the mean
+    shift in integer cents.
+
+    The exact median reuses the distinct-value cumulative-rank trick
+    per type (window over the bounded distinct-cents frame); the fill
+    is one broadcast join of the 5-row median table. All integers.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.pmod("event_id", F.lit(10)) == 0, F.lit(None)
+        ).otherwise(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents"),
+    )
+    present = ev.filter(F.col("cents").isNotNull())
+    per_v = present.groupBy("event_type", "cents").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_v.withColumn("cum", F.sum("c").over(wv))
+    n = present.groupBy("event_type").agg(F.count("*").alias("n"))
+    med = (
+        cum.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("cast(ceil(n * 0.5) as long)"),
+                    F.col("cents"),
+                )
+            ).alias("median_cents")
+        )
+    )
+    filled = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.col("cents").isNull().cast("int").alias("imputed"),
+        F.coalesce("cents", "median_cents").alias("filled"),
+        "cents",
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("imputed").cast("long").alias("n_imputed"),
+            F.expr("sum(cents) div count(cents)").cast("long").alias(
+                "mean_before_cents"
+            ),
+            F.expr("sum(filled) div count(*)").cast("long").alias(
+                "mean_after_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["median_imputation_audit"] = median_imputation_audit
+ORACLE["median_imputation_audit"] = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS cents
+  FROM events),
+present AS (SELECT * FROM ev WHERE cents IS NOT NULL),
+per_v AS (SELECT event_type, cents, COUNT(*) AS c
+          FROM present GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_v),
+n AS (SELECT event_type, COUNT(*) AS n FROM present GROUP BY 1),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+             THEN cents END) AS median_cents
+  FROM cum JOIN n USING (event_type) GROUP BY event_type),
+filled AS (
+  SELECT ev.event_type,
+         CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS imputed,
+         COALESCE(cents, median_cents) AS f, cents
+  FROM ev JOIN med ON med.event_type = ev.event_type)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(imputed) AS BIGINT) AS n_imputed,
+       CAST(SUM(cents) // COUNT(cents) AS BIGINT) AS mean_before_cents,
+       CAST(SUM(f) // COUNT(*) AS BIGINT) AS mean_after_cents
+FROM filled GROUP BY event_type ORDER BY event_type
+"""

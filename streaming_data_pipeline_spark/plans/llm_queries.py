@@ -3161,3 +3161,69 @@ FROM {last}, sign ORDER BY pos"""
 
 QUERIES["pca_power_iteration"] = pca_power_iteration
 ORACLE["pca_power_iteration"] = _sql_pca_oracle(2)
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
+    """Provenance view of duplication: which SOURCE PAIRS share
+    identical content (token-set fingerprints appearing in both),
+    ranked by shared-fingerprint count — mirrors/syndication show up as
+    hot pairs, steering which origins to crawl or drop.
+
+    Distinct (fingerprint, source) collapse first, then a
+    fingerprint-keyed self-join whose fan-out is bounded by each
+    fingerprint's SOURCE count (<= source domain, never doc count),
+    one pair hash-agg, top-k.
+    """
+    from streaming_data_pipeline_spark.functions.text import (
+        token_set_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fs = (
+        docs.select(
+            token_set_fingerprint(F.col("text")).alias("fp"), "source"
+        )
+        .distinct()
+    )
+    pairs = (
+        fs.alias("a")
+        .join(fs.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    from pyspark.sql import Window
+
+    top = pairs.orderBy(F.desc("shared_fps"), "source_a", "source_b").limit(k)
+    w = Window.orderBy(F.desc("shared_fps"), "source_a", "source_b")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank", "source_a", "source_b",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES["cross_source_dup_matrix"] = cross_source_dup_matrix
+ORACLE["cross_source_dup_matrix"] = f"""
+WITH fs AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp,
+         source
+  FROM documents),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_fps
+  FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2),
+top AS (SELECT * FROM pairs
+        ORDER BY shared_fps DESC, source_a, source_b LIMIT 15)
+SELECT CAST(row_number() OVER (ORDER BY shared_fps DESC, source_a, source_b)
+            AS BIGINT) AS rank,
+       source_a, source_b, CAST(shared_fps AS BIGINT) AS shared_fps
+FROM top ORDER BY rank
+"""

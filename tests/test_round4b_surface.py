@@ -888,3 +888,27 @@ def test_pca_direction_beats_init_rayleigh(spark):
     init = np.full(64, 0.125)
     rq = lambda u: float(u @ (X.T @ (X @ u)) / (u @ u))
     assert rq(v) >= rq(init)
+
+
+def test_median_imputation_audit_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "median_imputation_audit", SF_DIR)
+
+
+def test_imputation_shifts_mean_toward_median(spark):
+    """Imputed counts must be ~10% of rows (event_id % 10 == 0) and the
+    filled mean must lie between the before-mean and the median (the
+    fill pulls the average toward the group median)."""
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        median_imputation_audit,
+    )
+
+    rows = median_imputation_audit(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 < r.n_imputed < r.n_rows
+        # after-mean is a convex combination of before-mean and median
+        # so it can't move past the farther of the two; loose sanity:
+        assert abs(r.mean_after_cents - r.mean_before_cents) < r.mean_before_cents
+
+
+def test_cross_source_dup_matrix_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "cross_source_dup_matrix", SF_DIR)
