@@ -148,6 +148,8 @@ _SWEEP_PRIORITY = [
     "pca_power_iteration",         # new: spectral top-direction (declarative)
     "median_imputation_audit",     # new: group-median fill + audit
     "cross_source_dup_matrix",     # new: provenance duplication pairs
+    "mann_kendall_trend",          # new: exact nonparametric trend test
+    "revenue_gini",                # new: exact-rational concentration index
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -152,6 +152,8 @@ HEADLINE += [
     "pca_power_iteration",
     "median_imputation_audit",
     "cross_source_dup_matrix",
+    "mann_kendall_trend",
+    "revenue_gini",
 ]
 
 

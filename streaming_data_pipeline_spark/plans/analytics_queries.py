@@ -2165,3 +2165,128 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
        path, CAST(n AS BIGINT) AS n
 FROM top ORDER BY rank
 """
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test statistic over the monthly revenue
+    series (public nonparametric trend test: Mann 1945 / Kendall) —
+    S = sum over month pairs i<j of sign(x_j - x_i), with the
+    concordant/discordant/tied tallies. Pure integer arithmetic on
+    cents, so the verdict is exact.
+
+    Shape: one hash-agg folds the fact table to the BOUNDED monthly
+    frame; the pair comparison is a self-join of that tiny frame with
+    O(months^2) rows — the right trade at any fact-table scale because
+    the series length is calendar-bounded, never row-bounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        .cast("timestamp_ntz")
+        .alias("m")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents")
+    )
+    pairs = (
+        monthly.alias("a")
+        .join(monthly.alias("b"), F.col("a.m") < F.col("b.m"))
+        .select(
+            F.signum(
+                (F.col("b.cents") - F.col("a.cents")).cast("double")
+            ).cast("long").alias("sgn")
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("s_statistic"),
+        F.sum(F.when(F.col("sgn") > 0, 1).otherwise(0)).cast("long").alias(
+            "concordant"
+        ),
+        F.sum(F.when(F.col("sgn") < 0, 1).otherwise(0)).cast("long").alias(
+            "discordant"
+        ),
+        F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0)).cast("long").alias(
+            "tied"
+        ),
+    )
+
+
+QUERIES["mann_kendall_trend"] = mann_kendall_trend
+ORACLE["mann_kendall_trend"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+  FROM monthly a JOIN monthly b ON a.m < b.m)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(sgn) AS BIGINT) AS s_statistic,
+       CAST(SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied
+FROM pairs
+"""
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue concentration as an
+    integer rational: with customers sorted by (revenue, custkey) and
+    1-based rank i, G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)).
+    Emitted as (numerator, denominator, ppm) so the oracle compare is
+    exact — no float division anywhere.
+
+    The rank window runs over the AGGREGATED customer frame (one row
+    per customer after the first hash-agg), which is the standard
+    concentration-curve shape: the fact table is never sorted, only
+    the |customers| summary. Deterministic ties by custkey.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (
+            2 * F.sum(F.col("i") * F.col("cents"))
+            - (F.count("*") + 1) * F.sum("cents")
+        ).cast("long").alias("gini_num"),
+        (F.count("*") * F.sum("cents")).cast("long").alias("gini_den"),
+        F.expr(
+            "cast((cast(2 * sum(i * cents) - (count(*) + 1) * sum(cents)"
+            " as decimal(38,0)) * 1000000)"
+            " div (cast(count(*) as decimal(38,0)) * sum(cents)) as long)"
+        ).alias("gini_ppm"),
+    )
+
+
+QUERIES["revenue_gini"] = revenue_gini
+ORACLE["revenue_gini"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM per_cust)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS BIGINT)
+         AS gini_num,
+       CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den,
+       CAST((CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+                  AS HUGEINT) * 1000000)
+            // (CAST(COUNT(*) AS HUGEINT) * SUM(cents)) AS BIGINT) AS gini_ppm
+FROM ranked
+"""

@@ -912,3 +912,53 @@ def test_imputation_shifts_mean_toward_median(spark):
 
 def test_cross_source_dup_matrix_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "cross_source_dup_matrix", SF_DIR)
+
+
+def test_mann_kendall_trend_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "mann_kendall_trend", SF_DIR)
+
+
+def test_mann_kendall_margins(spark):
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        mann_kendall_trend,
+    )
+
+    r = mann_kendall_trend(spark, SF_DIR).collect()[0]
+    assert r.concordant + r.discordant + r.tied == r.n_pairs
+    assert r.s_statistic == r.concordant - r.discordant
+
+
+def test_revenue_gini_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "revenue_gini", SF_DIR)
+
+
+def test_revenue_gini_in_unit_interval_and_exact_vs_numpy(spark):
+    import numpy as np
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        revenue_gini,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    r = revenue_gini(spark, SF_DIR).collect()[0]
+    assert 0 <= r.gini_ppm <= 1_000_000
+    cents = np.array(
+        [
+            row.c
+            for row in load_table(spark, SF_DIR, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                ).alias("c")
+            )
+            .collect()
+        ]
+    )
+    x = np.sort(cents)
+    n = len(x)
+    num = int(2 * (np.arange(1, n + 1) * x).sum() - (n + 1) * x.sum())
+    den = int(n * x.sum())
+    assert (r.gini_num, r.gini_den) == (num, den)
