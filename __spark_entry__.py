@@ -150,6 +150,7 @@ _SWEEP_PRIORITY = [
     "cross_source_dup_matrix",     # new: provenance duplication pairs
     "mann_kendall_trend",          # new: exact nonparametric trend test
     "revenue_gini",                # new: exact-rational concentration index
+    "lorenz_curve_deciles",        # new: decile cumulative-share curve
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

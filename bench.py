@@ -154,6 +154,7 @@ HEADLINE += [
     "cross_source_dup_matrix",
     "mann_kendall_trend",
     "revenue_gini",
+    "lorenz_curve_deciles",
 ]
 
 

@@ -2290,3 +2290,74 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
             // (CAST(COUNT(*) AS HUGEINT) * SUM(cents)) AS BIGINT) AS gini_ppm
 FROM ranked
 """
+
+
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue at decile resolution: for each
+    decile of customers (poorest first), the exact cumulative revenue
+    share in ppm — the plot behind `revenue_gini`, and the table a
+    concentration dashboard renders.
+
+    Same scalable shape as the Gini: rank over the AGGREGATED customer
+    frame only; decile assignment is integer arithmetic on the rank
+    (ceil(10*i/n)), shares are integer ppm of total cents.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    tot = per_cust.agg(
+        F.sum("cents").alias("tot"), F.count("*").alias("n")
+    )
+    deciled = ranked.crossJoin(F.broadcast(tot)).select(
+        F.expr("cast(ceil(10 * i / n) as long)").alias("decile"),
+        "cents",
+        "tot",
+    )
+    per_dec = deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+        F.any_value("tot").alias("tot"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.withColumn("cum_cents", F.sum("decile_cents").over(wd))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.expr("cast(cum_cents * 1000000 div tot as long)").alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["lorenz_curve_deciles"] = lorenz_curve_deciles
+ORACLE["lorenz_curve_deciles"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM per_cust),
+tot AS (SELECT SUM(cents) AS tot, COUNT(*) AS n FROM per_cust),
+per_dec AS (
+  SELECT CAST(ceil(10.0 * i / n) AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM ranked, tot GROUP BY 1)
+SELECT decile, n_customers, decile_cents,
+       CAST(SUM(decile_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+            // (SELECT tot FROM tot) AS BIGINT) AS cum_share_ppm
+FROM per_dec ORDER BY decile
+"""

@@ -962,3 +962,23 @@ def test_revenue_gini_in_unit_interval_and_exact_vs_numpy(spark):
     num = int(2 * (np.arange(1, n + 1) * x).sum() - (n + 1) * x.sum())
     den = int(n * x.sum())
     assert (r.gini_num, r.gini_den) == (num, den)
+
+
+def test_lorenz_curve_deciles_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "lorenz_curve_deciles", SF_DIR)
+
+
+def test_lorenz_curve_is_convex_and_ends_at_one(spark):
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        lorenz_curve_deciles,
+    )
+
+    rows = lorenz_curve_deciles(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
+    # convexity: per-decile increments are non-decreasing (sorted
+    # ascending by revenue)
+    inc = [b - a for a, b in zip([0] + shares, shares)]
+    assert all(b >= a - 1 for a, b in zip(inc, inc[1:]))  # -1 for div truncation
