@@ -151,6 +151,7 @@ _SWEEP_PRIORITY = [
     "mann_kendall_trend",          # new: exact nonparametric trend test
     "revenue_gini",                # new: exact-rational concentration index
     "lorenz_curve_deciles",        # new: decile cumulative-share curve
+    "theil_sen_slope",             # new: robust pairwise-median trend slope
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

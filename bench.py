@@ -155,6 +155,7 @@ HEADLINE += [
     "mann_kendall_trend",
     "revenue_gini",
     "lorenz_curve_deciles",
+    "theil_sen_slope",
 ]
 
 

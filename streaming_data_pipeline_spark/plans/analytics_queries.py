@@ -2361,3 +2361,84 @@ SELECT decile, n_customers, decile_cents,
             // (SELECT tot FROM tot) AS BIGINT) AS cum_share_ppm
 FROM per_dec ORDER BY decile
 """
+
+
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope over monthly revenue (public
+    estimator: Theil 1950 / Sen 1968): the MEDIAN of all pairwise
+    slopes (cents per month), immune to the outlier months that wreck
+    least squares. Pairs with `mann_kendall_trend` (that test's
+    significance, this estimator's magnitude).
+
+    Exact cross-engine protocol: each slope is the rational
+    (dc = cents_j - cents_i, dm = months apart); ranking uses the
+    DOUBLE quotient of those exact integers (identical in both
+    engines) with (dc, dm) as the deterministic tie-break, and the
+    median is reported as the exact integer pair plus a ppm quotient —
+    no float ever reaches the verified value columns except the
+    reproducible division. The pair frame is months^2-bounded (the
+    fact table folds first), so the rank window is tiny at any scale.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias("m")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents")
+    )
+    idx = monthly.select(
+        (
+            F.year("m") * 12 + F.month("m")
+        ).cast("long").alias("mi"),
+        "cents",
+    )
+    slopes = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("a.mi") < F.col("b.mi"))
+        .select(
+            (F.col("b.cents") - F.col("a.cents")).alias("dc"),
+            (F.col("b.mi") - F.col("a.mi")).alias("dm"),
+        )
+        .withColumn("q", F.col("dc").cast("double") / F.col("dm").cast("double"))
+    )
+    w = Window.orderBy("q", "dc", "dm")
+    n = slopes.agg(F.count("*").alias("n"))
+    med = (
+        slopes.withColumn("r", F.row_number().over(w))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+    )
+    return med.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("dc").cast("long").alias("slope_num_cents"),
+        F.col("dm").cast("long").alias("slope_den_months"),
+        F.expr("dc * 1000000 div dm").cast("long").alias("slope_ppm"),
+    )
+
+
+QUERIES["theil_sen_slope"] = theil_sen_slope
+ORACLE["theil_sen_slope"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT CAST(EXTRACT(year FROM m) * 12 + EXTRACT(month FROM m) AS BIGINT)
+           AS mi, cents
+  FROM monthly),
+slopes AS (
+  SELECT b.cents - a.cents AS dc, b.mi - a.mi AS dm,
+         CAST(b.cents - a.cents AS DOUBLE) / (b.mi - a.mi) AS q
+  FROM idx a JOIN idx b ON a.mi < b.mi),
+n AS (SELECT COUNT(*) AS n FROM slopes),
+ranked AS (
+  SELECT dc, dm, row_number() OVER (ORDER BY q, dc, dm) AS r FROM slopes)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(dc AS BIGINT) AS slope_num_cents,
+       CAST(dm AS BIGINT) AS slope_den_months,
+       CAST(dc * 1000000 // dm AS BIGINT) AS slope_ppm
+FROM ranked, n WHERE r = (n + 1) // 2
+"""

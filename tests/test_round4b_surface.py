@@ -982,3 +982,44 @@ def test_lorenz_curve_is_convex_and_ends_at_one(spark):
     # ascending by revenue)
     inc = [b - a for a, b in zip([0] + shares, shares)]
     assert all(b >= a - 1 for a, b in zip(inc, inc[1:]))  # -1 for div truncation
+
+
+def test_theil_sen_slope_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "theil_sen_slope", SF_DIR)
+
+
+def test_theil_sen_median_matches_numpy(spark):
+    import numpy as np
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        theil_sen_slope,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    r = theil_sen_slope(spark, SF_DIR).collect()[0]
+    monthly = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias("m")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("c")
+        )
+        .collect()
+    )
+    pts = sorted((row.m.year * 12 + row.m.month, row.c) for row in monthly)
+    slopes = sorted(
+        (
+            (cj - ci) / (mj - mi),
+            cj - ci,
+            mj - mi,
+        )
+        for i, (mi, ci) in enumerate(pts)
+        for mj, cj in pts[i + 1 :]
+    )
+    q, dc, dm = slopes[(len(slopes) + 1) // 2 - 1]
+    assert (r.n_pairs, r.slope_num_cents, r.slope_den_months) == (
+        len(slopes), dc, dm,
+    )
