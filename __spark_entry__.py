@@ -152,6 +152,7 @@ _SWEEP_PRIORITY = [
     "revenue_gini",                # new: exact-rational concentration index
     "lorenz_curve_deciles",        # new: decile cumulative-share curve
     "theil_sen_slope",             # new: robust pairwise-median trend slope
+    "ks_two_sample",               # new: exact-rational ECDF distance
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -156,6 +156,7 @@ HEADLINE += [
     "revenue_gini",
     "lorenz_curve_deciles",
     "theil_sen_slope",
+    "ks_two_sample",
 ]
 
 

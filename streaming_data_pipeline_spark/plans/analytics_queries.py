@@ -2442,3 +2442,110 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
        CAST(dc * 1000000 // dm AS BIGINT) AS slope_ppm
 FROM ranked, n WHERE r = (n + 1) // 2
 """
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between purchase and
+    view event-value distributions — D = max |ECDF_a - ECDF_b|, the
+    standard distribution-shift detector between segments. Reported as
+    the exact rational: D_num = max |c_a*n_b - c_b*n_a|, D_den =
+    n_a*n_b, plus the value where the maximum gap occurs and a ppm
+    quotient — no float comparison anywhere.
+
+    Shape: both ECDFs ride ONE distinct-value frame (full-outer merge
+    of per-value counts, two running sums over the bounded
+    distinct-cents domain), and the argmax is a lexicographic
+    struct-max. The fact table is touched once per group; everything
+    ordered runs on the distinct-value frame.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "view")
+    ca = a.groupBy("cents").agg(F.count("*").alias("ca"))
+    cb = b.groupBy("cents").agg(F.count("*").alias("cb"))
+    merged = (
+        ca.join(cb, "cents", "full_outer")
+        .select(
+            "cents",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "cents",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    na = a.agg(F.count("*").alias("na"))
+    nb = b.agg(F.count("*").alias("nb"))
+    scored = cum.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).select(
+        "na",
+        "nb",
+        F.struct(
+            F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na")).alias(
+                "gap"
+            ),
+            (-F.col("cents")).alias("nc"),
+        ).alias("st"),
+    )
+    return (
+        scored.groupBy("na", "nb")
+        .agg(F.max("st").alias("m"))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("m.gap").cast("long").alias("d_num"),
+            (F.col("na") * F.col("nb")).cast("long").alias("d_den"),
+            (-F.col("m.nc")).cast("long").alias("at_cents"),
+            F.expr(
+                "cast(cast(m.gap as decimal(38,0)) * 1000000"
+                " div (cast(na as decimal(38,0)) * nb) as long)"
+            ).alias("d_ppm"),
+        )
+    )
+
+
+QUERIES["ks_two_sample"] = ks_two_sample
+ORACLE["ks_two_sample"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'view')),
+ca AS (SELECT cents, COUNT(*) AS ca FROM ev
+       WHERE event_type = 'purchase' GROUP BY cents),
+cb AS (SELECT cents, COUNT(*) AS cb FROM ev
+       WHERE event_type = 'view' GROUP BY cents),
+merged AS (
+  SELECT COALESCE(ca.cents, cb.cents) AS cents,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb ON ca.cents = cb.cents),
+cum AS (
+  SELECT cents,
+         SUM(ca) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+         SUM(cb) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+  FROM merged),
+n AS (SELECT
+        (SELECT COUNT(*) FROM ev WHERE event_type = 'purchase') AS na,
+        (SELECT COUNT(*) FROM ev WHERE event_type = 'view') AS nb),
+scored AS (
+  SELECT abs(fa * nb - fb * na) AS gap, cents, na, nb FROM cum, n),
+best AS (
+  SELECT gap, cents, na, nb,
+         row_number() OVER (ORDER BY gap DESC, cents ASC) AS r
+  FROM scored)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(gap AS BIGINT) AS d_num,
+       CAST(na * nb AS BIGINT) AS d_den,
+       CAST(cents AS BIGINT) AS at_cents,
+       CAST((CAST(gap AS HUGEINT) * 1000000)
+            // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm
+FROM best WHERE r = 1
+"""

@@ -1023,3 +1023,31 @@ def test_theil_sen_median_matches_numpy(spark):
     assert (r.n_pairs, r.slope_num_cents, r.slope_den_months) == (
         len(slopes), dc, dm,
     )
+
+
+def test_ks_two_sample_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "ks_two_sample", SF_DIR)
+
+
+def test_ks_statistic_matches_scipy_style_recompute(spark):
+    """Recompute D with numpy ECDFs and compare the exact rational."""
+    import numpy as np
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        ks_two_sample,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    r = ks_two_sample(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    a = np.array([x.c for x in ev.filter(F.col("event_type") == "purchase").collect()])
+    b = np.array([x.c for x in ev.filter(F.col("event_type") == "view").collect()])
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right")
+    fb = np.searchsorted(np.sort(b), grid, side="right")
+    gaps = np.abs(fa * len(b) - fb * len(a))
+    assert int(gaps.max()) == r.d_num
+    assert (len(a), len(b), len(a) * len(b)) == (r.n_a, r.n_b, r.d_den)
