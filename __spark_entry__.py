@@ -153,6 +153,7 @@ _SWEEP_PRIORITY = [
     "lorenz_curve_deciles",        # new: decile cumulative-share curve
     "theil_sen_slope",             # new: robust pairwise-median trend slope
     "ks_two_sample",               # new: exact-rational ECDF distance
+    "poisson_bootstrap_ci",        # new: one-pass distributed bootstrap
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -157,6 +157,7 @@ HEADLINE += [
     "lorenz_curve_deciles",
     "theil_sen_slope",
     "ks_two_sample",
+    "poisson_bootstrap_ci",
 ]
 
 

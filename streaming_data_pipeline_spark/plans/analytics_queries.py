@@ -2549,3 +2549,125 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
             // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm
 FROM best WHERE r = 1
 """
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities), written
+# as literals so both engines compare the SAME doubles; weights capped
+# at 6 (P(>6) ~ 1e-4 — the cap is part of the documented estimator).
+_POIS_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str, b_count: int = 100) -> DataFrame:
+    """Distributed bootstrap 90% CI for the mean order price via the
+    POISSON bootstrap (the resampling scheme that works in one pass on
+    sharded data — each row draws an independent Poisson(1) replication
+    count per resample, no global multinomial needed; public method,
+    e.g. Chamandy et al., "Estimating Uncertainty for Massively
+    Parallel Algorithms", Google 2012).
+
+    Determinism: the per-(row, resample) uniform is the 13-hex md5
+    fraction (bit-exact in both engines), weights come from comparing
+    that double against literal Poisson CDF thresholds, resample means
+    are integer cents divisions, and the CI bounds are exact rank
+    statistics over the B-row mean frame. Shape: one B-way explode
+    (row count x B, scan-side), one hash-agg per resample, one tiny
+    rank window.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    w_expr = F.lit(6)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w_expr = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w_expr)
+    sampled = (
+        orders.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.expr(f"sequence(1, {b_count})")).alias("b"),
+        )
+        .withColumn("w", w_expr)
+    )
+    means = sampled.groupBy("b").agg(
+        F.expr("sum(w * cents) div sum(w)").alias("mean_cents")
+    )
+    wr = Window.orderBy("mean_cents", "b")
+    ranked = means.withColumn("r", F.row_number().over(wr))
+    point = orders.agg(F.expr("sum(cents) div count(*)").alias("point"))
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .agg(
+            F.count("*").cast("long").alias("n_resamples"),
+            F.any_value("point").cast("long").alias("point_mean_cents"),
+            F.min(F.when(F.col("r") == 5, F.col("mean_cents")))
+            .cast("long")
+            .alias("ci_lo_cents"),
+            F.min(F.when(F.col("r") == 95, F.col("mean_cents")))
+            .cast("long")
+            .alias("ci_hi_cents"),
+        )
+    )
+
+
+QUERIES["poisson_bootstrap_ci"] = poisson_bootstrap_ci
+_POIS_W_SQL = "CASE " + " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+) + " ELSE 6 END"
+ORACLE["poisson_bootstrap_ci"] = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+sampled AS (
+  SELECT o_orderkey, cents, CAST(g.b AS BIGINT) AS b,
+         (CAST('0x' || substring(md5('boot:' || CAST(g.b AS VARCHAR) || ':'
+               || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT))
+           / 4503599627370496.0 AS u
+  FROM o, UNNEST(range(1, 101)) AS g(b)),
+weighted AS (SELECT b, cents, {_POIS_W_SQL} AS w FROM sampled),
+means AS (
+  SELECT b, SUM(w * cents) // SUM(w) AS mean_cents
+  FROM weighted GROUP BY b),
+ranked AS (
+  SELECT mean_cents, row_number() OVER (ORDER BY mean_cents, b) AS r
+  FROM means),
+point AS (SELECT SUM(cents) // COUNT(*) AS point FROM o)
+SELECT CAST((SELECT COUNT(*) FROM means) AS BIGINT) AS n_resamples,
+       CAST(point AS BIGINT) AS point_mean_cents,
+       CAST((SELECT mean_cents FROM ranked WHERE r = 5) AS BIGINT)
+         AS ci_lo_cents,
+       CAST((SELECT mean_cents FROM ranked WHERE r = 95) AS BIGINT)
+         AS ci_hi_cents
+FROM point
+"""

@@ -1051,3 +1051,18 @@ def test_ks_statistic_matches_scipy_style_recompute(spark):
     gaps = np.abs(fa * len(b) - fb * len(a))
     assert int(gaps.max()) == r.d_num
     assert (len(a), len(b), len(a) * len(b)) == (r.n_a, r.n_b, r.d_den)
+
+
+def test_poisson_bootstrap_ci_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "poisson_bootstrap_ci", SF_DIR)
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        poisson_bootstrap_ci,
+    )
+
+    r = poisson_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert r.n_resamples == 100
+    assert r.ci_lo_cents <= r.point_mean_cents <= r.ci_hi_cents
+    assert r.ci_lo_cents < r.ci_hi_cents
