@@ -154,6 +154,7 @@ _SWEEP_PRIORITY = [
     "theil_sen_slope",             # new: robust pairwise-median trend slope
     "ks_two_sample",               # new: exact-rational ECDF distance
     "poisson_bootstrap_ci",        # new: one-pass distributed bootstrap
+    "cusum_changepoint",           # new: integer-exact level-shift locator
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -158,6 +158,7 @@ HEADLINE += [
     "theil_sen_slope",
     "ks_two_sample",
     "poisson_bootstrap_ci",
+    "cusum_changepoint",
 ]
 
 

@@ -2671,3 +2671,85 @@ SELECT CAST((SELECT COUNT(*) FROM means) AS BIGINT) AS n_resamples,
          AS ci_hi_cents
 FROM point
 """
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate over daily order revenue (public
+    method: Page 1954 / the cumulative-deviation form): the day t
+    maximizing |C_t| where C_t = sum_{i<=t} x_i - t*mean — the
+    single-shift detector every metrics pipeline runs before alerting
+    on a level change.
+
+    Exact integers throughout: the deviation is cross-multiplied to
+    C_num_t = n*cumsum_t - t*total (no rational mean materialized),
+    the argmax is a lexicographic struct-max with the day as
+    deterministic tie-break, and the statistic ships as the exact
+    (numerator, denominator=n) pair plus the located day. One hash-agg
+    folds the fact table to the bounded daily frame; the running sum
+    and argmax run there.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    daily = orders.groupBy("d").agg(F.sum("cents").alias("x"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.sum("x").over(w).alias("cs"),
+        F.row_number().over(wt).alias("t"),
+    )
+    tot = daily.agg(
+        F.sum("x").alias("total"), F.count("*").alias("n")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.struct(
+            F.abs(
+                F.col("n").cast("decimal(38,0)") * F.col("cs")
+                - F.col("t").cast("decimal(38,0)") * F.col("total")
+            ).alias("c_abs"),
+            F.col("d").cast("timestamp_ntz").alias("nd"),
+        ).alias("st"),
+    )
+    best = scored.groupBy("n").agg(F.max("st").alias("m"))
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("m.nd").alias("changepoint_day"),
+        F.col("m.c_abs").cast("decimal(38,0)").cast("string").alias("c_num"),
+        F.col("n").cast("long").alias("c_den_days"),
+    )
+
+
+QUERIES["cusum_changepoint"] = cusum_changepoint
+ORACLE["cusum_changepoint"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+cum AS (
+  SELECT d,
+         SUM(x) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         row_number() OVER (ORDER BY d) AS t
+  FROM daily),
+tot AS (SELECT SUM(x) AS total, COUNT(*) AS n FROM daily),
+scored AS (
+  SELECT n, d, abs(CAST(n AS HUGEINT) * cs - CAST(t AS HUGEINT) * total)
+           AS c_abs
+  FROM cum, tot),
+best AS (
+  SELECT n, d, c_abs,
+         row_number() OVER (ORDER BY c_abs DESC, d DESC) AS r
+  FROM scored)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(d AS TIMESTAMP) AS changepoint_day,
+       CAST(c_abs AS VARCHAR) AS c_num,
+       CAST(n AS BIGINT) AS c_den_days
+FROM best WHERE r = 1
+"""

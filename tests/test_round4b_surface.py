@@ -1066,3 +1066,40 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
     assert r.n_resamples == 100
     assert r.ci_lo_cents <= r.point_mean_cents <= r.ci_hi_cents
     assert r.ci_lo_cents < r.ci_hi_cents
+
+
+def test_cusum_changepoint_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "cusum_changepoint", SF_DIR)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """On a synthetic series with a hard level shift, the argmax of
+    |n*cumsum_t - t*total| must land exactly on the shift boundary."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    # 20 days at 100 cents, then 20 days at 500: change after day 20
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+         100 if i < 20 else 500)
+        for i in range(40)
+    ]
+    daily = spark.createDataFrame(rows, "d date, x long")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("d")
+    cum = daily.select(
+        "d", F.sum("x").over(w).alias("cs"), F.row_number().over(wt).alias("t")
+    )
+    best = (
+        cum.crossJoin(
+            F.broadcast(daily.agg(F.sum("x").alias("tot"), F.count("*").alias("n")))
+        )
+        .select(
+            "d",
+            F.abs(F.col("n") * F.col("cs") - F.col("t") * F.col("tot")).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.desc("d"))
+        .first()
+    )
+    assert best.d == datetime.date(2024, 1, 20)
