@@ -155,6 +155,7 @@ _SWEEP_PRIORITY = [
     "ks_two_sample",               # new: exact-rational ECDF distance
     "poisson_bootstrap_ci",        # new: one-pass distributed bootstrap
     "cusum_changepoint",           # new: integer-exact level-shift locator
+    "permutation_test_mean_diff",  # new: exact-rational randomization test
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

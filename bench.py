@@ -159,6 +159,7 @@ HEADLINE += [
     "ks_two_sample",
     "poisson_bootstrap_ci",
     "cusum_changepoint",
+    "permutation_test_mean_diff",
 ]
 
 

@@ -2753,3 +2753,146 @@ SELECT CAST(n AS BIGINT) AS n_days,
        CAST(n AS BIGINT) AS c_den_days
 FROM best WHERE r = 1
 """
+
+
+def permutation_test_mean_diff(spark: SparkSession, sf_dir: str, b_count: int = 100) -> DataFrame:
+    """Randomization test for the purchase-vs-view mean value gap
+    (public method: Fisher's permutation test, binomial-assignment
+    variant — each row is independently relabeled with the empirical
+    group probability per resample, the one-pass approximation that
+    parallelizes like the Poisson bootstrap). p = fraction of
+    relabelings whose |mean diff| reaches the observed one.
+
+    Everything is exact: the relabel condition u < na/(na+nb) is the
+    integer comparison k*(na+nb) < na*2^52 on the md5 hash integer k
+    (no float ever decides a label), per-resample diffs are integer
+    rationals (num = sa*nb' - sb*na', den = na'*nb'), and
+    "more extreme" is the cross-multiplied DECIMAL(38) comparison
+    |num_b|*den_obs >= |num_obs|*den_b. Shape: one B-way explode +
+    one hash-agg per resample + a tiny final fold.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_id",
+        (F.col("event_type") == "purchase").alias("is_a"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    obs = ev.agg(
+        F.sum(F.when(F.col("is_a"), F.col("cents"))).alias("sa"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("cents"))).alias("sb"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
+    ).select(
+        "na",
+        "nb",
+        (
+            F.col("sa").cast("decimal(38,0)") * F.col("nb")
+            - F.col("sb").cast("decimal(38,0)") * F.col("na")
+        ).alias("obs_num"),
+        (F.col("na").cast("decimal(38,0)") * F.col("nb")).alias("obs_den"),
+    )
+    k = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("perm:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    perm = (
+        ev.select(
+            "event_id", "cents", F.explode(F.expr(f"sequence(1, {b_count})")).alias("b")
+        )
+        .crossJoin(F.broadcast(obs.select("na", "nb")))
+        .withColumn(
+            "to_a",
+            k.cast("decimal(38,0)") * (F.col("na") + F.col("nb"))
+            < F.col("na").cast("decimal(38,0)") * F.lit(2**52),
+        )
+    )
+    per_b = perm.groupBy("b").agg(
+        F.sum(F.when(F.col("to_a"), F.col("cents"))).alias("sa"),
+        F.sum(F.when(F.col("to_a"), 1).otherwise(0)).alias("na2"),
+        F.sum(F.when(~F.col("to_a"), F.col("cents"))).alias("sb"),
+        F.sum(F.when(~F.col("to_a"), 1).otherwise(0)).alias("nb2"),
+    ).filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+    scored = per_b.crossJoin(F.broadcast(obs)).select(
+        "obs_num",
+        "obs_den",
+        (
+            F.abs(
+                F.col("sa").cast("decimal(38,0)") * F.col("nb2")
+                - F.col("sb").cast("decimal(38,0)") * F.col("na2")
+            ) * F.col("obs_den")
+            >= F.abs(F.col("obs_num"))
+            * (F.col("na2").cast("decimal(38,0)") * F.col("nb2"))
+        ).cast("int").alias("extreme"),
+    )
+    return scored.groupBy("obs_num", "obs_den").agg(
+        F.count("*").cast("long").alias("n_perms"),
+        F.sum("extreme").cast("long").alias("n_more_extreme"),
+        F.expr("sum(extreme) * 1000000 div count(*)").cast("long").alias("p_ppm"),
+    ).select(
+        F.col("obs_num").cast("string").alias("obs_num"),
+        F.col("obs_den").cast("string").alias("obs_den"),
+        "n_perms",
+        "n_more_extreme",
+        "p_ppm",
+    )
+
+
+QUERIES["permutation_test_mean_diff"] = permutation_test_mean_diff
+ORACLE["permutation_test_mean_diff"] = """
+WITH ev AS (
+  SELECT event_id, event_type = 'purchase' AS is_a,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'view')),
+obs AS (
+  SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb,
+         CAST(SUM(CASE WHEN is_a THEN cents END) AS HUGEINT)
+           * SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+         - CAST(SUM(CASE WHEN is_a THEN 0 ELSE cents END) AS HUGEINT)
+           * SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS obs_num,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT)
+           * SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS obs_den
+  FROM ev),
+perm AS (
+  SELECT g.b, cents,
+         CAST(CAST('0x' || substring(md5('perm:' || CAST(g.b AS VARCHAR)
+              || ':' || CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT)
+              AS HUGEINT) * (obs.na + obs.nb)
+           < CAST(obs.na AS HUGEINT) * 4503599627370496 AS to_a
+  FROM ev, UNNEST(range(1, 101)) AS g(b), obs),
+per_b AS (
+  SELECT b,
+         SUM(CASE WHEN to_a THEN cents END) AS sa,
+         SUM(CASE WHEN to_a THEN 1 ELSE 0 END) AS na2,
+         SUM(CASE WHEN to_a THEN 0 ELSE cents END) AS sb,
+         SUM(CASE WHEN to_a THEN 0 ELSE 1 END) AS nb2
+  FROM perm GROUP BY b
+  HAVING SUM(CASE WHEN to_a THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN to_a THEN 0 ELSE 1 END) > 0),
+scored AS (
+  SELECT CASE WHEN abs(CAST(sa AS HUGEINT) * nb2
+                       - CAST(sb AS HUGEINT) * na2) * obs.obs_den
+              >= abs(obs.obs_num) * (CAST(na2 AS HUGEINT) * nb2)
+         THEN 1 ELSE 0 END AS extreme,
+         obs.obs_num, obs.obs_den
+  FROM per_b, obs)
+SELECT CAST(obs_num AS VARCHAR) AS obs_num,
+       CAST(obs_den AS VARCHAR) AS obs_den,
+       CAST(COUNT(*) AS BIGINT) AS n_perms,
+       CAST(SUM(extreme) AS BIGINT) AS n_more_extreme,
+       CAST(SUM(extreme) * 1000000 // COUNT(*) AS BIGINT) AS p_ppm
+FROM scored GROUP BY obs_num, obs_den
+"""

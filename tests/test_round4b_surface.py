@@ -1103,3 +1103,22 @@ def test_cusum_finds_planted_level_shift(spark):
         .first()
     )
     assert best.d == datetime.date(2024, 1, 20)
+
+
+def test_permutation_test_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "permutation_test_mean_diff", SF_DIR)
+
+
+def test_permutation_p_value_is_calibrated_under_null(spark):
+    """The groups differ only by noise in this fixture, so the p-value
+    must be non-degenerate (not ~0) — a sign test of calibration, and
+    the counts must be internally consistent."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        permutation_test_mean_diff,
+    )
+
+    r = permutation_test_mean_diff(spark, SF_DIR).collect()[0]
+    assert r.n_perms == 100
+    assert 0 <= r.n_more_extreme <= r.n_perms
+    assert r.p_ppm == r.n_more_extreme * 1_000_000 // r.n_perms
+    assert r.p_ppm > 10_000  # not spuriously significant under the null
