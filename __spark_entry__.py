@@ -156,6 +156,7 @@ _SWEEP_PRIORITY = [
     "poisson_bootstrap_ci",        # new: one-pass distributed bootstrap
     "cusum_changepoint",           # new: integer-exact level-shift locator
     "permutation_test_mean_diff",  # new: exact-rational randomization test
+    "benford_first_digit_audit",   # new: forensic first-digit distribution
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -160,6 +160,7 @@ HEADLINE += [
     "poisson_bootstrap_ci",
     "cusum_changepoint",
     "permutation_test_mean_diff",
+    "benford_first_digit_audit",
 ]
 
 

@@ -1308,3 +1308,77 @@ SELECT event_type,
        CAST(SUM(f) // COUNT(*) AS BIGINT) AS mean_after_cents
 FROM filled GROUP BY event_type ORDER BY event_type
 """
+
+
+# Benford first-digit probabilities log10(1+1/d) in exact ppm literals
+# (rounded once, shared verbatim by both engines).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order prices (public forensic-accounting
+    check, Benford 1938/Newcomb 1881): the observed first-digit
+    distribution vs the log-law expectation, per digit, with the
+    integer ppm deviation — fabricated or unit-corrupted monetary data
+    bends this curve long before summary stats notice.
+
+    The first digit comes from the DECIMAL STRING head (no float log10
+    near power-of-ten boundaries); expected shares are literal ppm
+    constants; observed shares and deviations are integer divisions.
+    One projection + one 9-row hash-agg.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias(
+            "cents"
+        )
+    ).filter(F.col("cents") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("long")
+    counted = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("c")
+    )
+    n = orders.agg(F.count("*").alias("n"))
+    expected = F.create_map(
+        *[x for d, p in _BENFORD_PPM.items() for x in (F.lit(d), F.lit(p))]
+    )
+    return (
+        counted.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.col("c").cast("long").alias("observed"),
+            F.expr("c * 1000000 div n").cast("long").alias("observed_ppm"),
+            expected[F.col("digit")].cast("long").alias("benford_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm",
+            F.abs(F.col("observed_ppm") - F.col("benford_ppm")).cast("long"),
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["benford_first_digit_audit"] = benford_first_digit_audit
+ORACLE["benford_first_digit_audit"] = f"""
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+counted AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS c
+  FROM o GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM o),
+exp_tbl AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())}
+  ) AS t(digit, benford_ppm))
+SELECT CAST(counted.digit AS BIGINT) AS digit,
+       CAST(c AS BIGINT) AS observed,
+       CAST(c * 1000000 // n AS BIGINT) AS observed_ppm,
+       CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(c * 1000000 // n - benford_ppm) AS BIGINT) AS deviation_ppm
+FROM counted JOIN exp_tbl ON exp_tbl.digit = counted.digit, n
+ORDER BY digit
+"""

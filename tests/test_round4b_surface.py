@@ -1122,3 +1122,22 @@ def test_permutation_p_value_is_calibrated_under_null(spark):
     assert 0 <= r.n_more_extreme <= r.n_perms
     assert r.p_ppm == r.n_more_extreme * 1_000_000 // r.n_perms
     assert r.p_ppm > 10_000  # not spuriously significant under the null
+
+
+def test_benford_first_digit_audit_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "benford_first_digit_audit", SF_DIR)
+
+
+def test_benford_digits_partition_orders(spark):
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        benford_first_digit_audit,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = benford_first_digit_audit(spark, SF_DIR).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    n = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.observed for r in rows) == n
+    # the ppm shares approximately partition a million (div truncation)
+    share = sum(r.observed_ppm for r in rows)
+    assert 1_000_000 - 9 <= share <= 1_000_000
