@@ -157,6 +157,7 @@ _SWEEP_PRIORITY = [
     "cusum_changepoint",           # new: integer-exact level-shift locator
     "permutation_test_mean_diff",  # new: exact-rational randomization test
     "benford_first_digit_audit",   # new: forensic first-digit distribution
+    "mann_whitney_u",              # new: exact midrank rank-sum / AUC
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -161,6 +161,7 @@ HEADLINE += [
     "cusum_changepoint",
     "permutation_test_mean_diff",
     "benford_first_digit_audit",
+    "mann_whitney_u",
 ]
 
 

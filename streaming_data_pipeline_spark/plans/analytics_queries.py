@@ -2896,3 +2896,89 @@ SELECT CAST(obs_num AS VARCHAR) AS obs_num,
        CAST(SUM(extreme) * 1000000 // COUNT(*) AS BIGINT) AS p_ppm
 FROM scored GROUP BY obs_num, obs_den
 """
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between purchase and view
+    values (public test, Mann & Whitney 1947) — the rank-based
+    location test beside the KS shape test, exact under ties: every
+    rank is a midrank, kept integral by working at DOUBLE SCALE
+    (rank2 = 2*count_below + count_equal + 1), so U ships as the
+    exact scaled integer u2 = 2*U alongside its maximum na*nb*2.
+
+    Same scalable frame as `ks_two_sample`: one merged distinct-value
+    frame, one running sum for count-below, the group contribution
+    folded per value — the fact table is never ranked row-by-row.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "view")
+    ca = a.groupBy("cents").agg(F.count("*").alias("ca"))
+    cb = b.groupBy("cents").agg(F.count("*").alias("cb"))
+    merged = ca.join(cb, "cents", "full_outer").select(
+        "cents",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    ).withColumn("eq", F.col("ca") + F.col("cb"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = merged.withColumn(
+        "below", F.coalesce(F.sum("eq").over(w), F.lit(0))
+    )
+    # rank2 of every element at value v = 2*below + eq + 1; group A's
+    # scaled rank sum contribution at v = ca * rank2
+    sums = cum.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * F.col("below") + F.col("eq") + 1)
+        ).alias("r2a"),
+    )
+    return sums.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        # 2*U = 2*R_A - na(na+1)  (with R_A at double scale: r2a = 2*R_A)
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1)).cast("long").alias("u2"),
+        (2 * F.col("na") * F.col("nb")).cast("long").alias("u2_max"),
+        F.expr(
+            "cast((cast(r2a - na * (na + 1) as decimal(38,0)) * 1000000)"
+            " div (cast(2 as decimal(38,0)) * na * nb) as long)"
+        ).alias("auc_ppm"),
+    )
+
+
+QUERIES["mann_whitney_u"] = mann_whitney_u
+ORACLE["mann_whitney_u"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'view')),
+ca AS (SELECT cents, COUNT(*) AS ca FROM ev
+       WHERE event_type = 'purchase' GROUP BY cents),
+cb AS (SELECT cents, COUNT(*) AS cb FROM ev
+       WHERE event_type = 'view' GROUP BY cents),
+merged AS (
+  SELECT COALESCE(ca.cents, cb.cents) AS cents,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb,
+         COALESCE(ca, 0) + COALESCE(cb, 0) AS eq
+  FROM ca FULL OUTER JOIN cb ON ca.cents = cb.cents),
+cum AS (
+  SELECT *, COALESCE(SUM(eq) OVER (ORDER BY cents
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM merged),
+sums AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb,
+         SUM(ca * (2 * below + eq + 1)) AS r2a
+  FROM cum)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+       CAST(2 * na * nb AS BIGINT) AS u2_max,
+       CAST((CAST(r2a - na * (na + 1) AS HUGEINT) * 1000000)
+            // (CAST(2 AS HUGEINT) * na * nb) AS BIGINT) AS auc_ppm
+FROM sums
+"""

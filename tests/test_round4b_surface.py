@@ -1141,3 +1141,41 @@ def test_benford_digits_partition_orders(spark):
     # the ppm shares approximately partition a million (div truncation)
     share = sum(r.observed_ppm for r in rows)
     assert 1_000_000 - 9 <= share <= 1_000_000
+
+
+def test_mann_whitney_u_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "mann_whitney_u", SF_DIR)
+
+
+def test_mann_whitney_u_matches_numpy_midranks(spark):
+    import numpy as np
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        mann_whitney_u,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    r = mann_whitney_u(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    a = np.array([x.c for x in ev.filter(F.col("event_type") == "purchase").collect()])
+    b = np.array([x.c for x in ev.filter(F.col("event_type") == "view").collect()])
+    both = np.concatenate([a, b])
+    order = np.argsort(both, kind="stable")
+    ranks = np.empty(len(both))
+    sorted_vals = both[order]
+    i = 0
+    while i < len(sorted_vals):
+        j = i
+        while j < len(sorted_vals) and sorted_vals[j] == sorted_vals[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2  # midrank, 1-based average
+        i = j
+    r_a = ranks[: len(a)].sum()
+    u = r_a - len(a) * (len(a) + 1) / 2
+    assert r.u2 == int(round(2 * u))
+    assert (r.n_a, r.n_b, r.u2_max) == (len(a), len(b), 2 * len(a) * len(b))
+    # AUC under the null fixture should hover near 1/2
+    assert 450_000 < r.auc_ppm < 550_000
