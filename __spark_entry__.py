@@ -158,6 +158,7 @@ _SWEEP_PRIORITY = [
     "permutation_test_mean_diff",  # new: exact-rational randomization test
     "benford_first_digit_audit",   # new: forensic first-digit distribution
     "mann_whitney_u",              # new: exact midrank rank-sum / AUC
+    "acf_lag_profile",             # new: exact-component autocorrelation
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -162,6 +162,7 @@ HEADLINE += [
     "permutation_test_mean_diff",
     "benford_first_digit_audit",
     "mann_whitney_u",
+    "acf_lag_profile",
 ]
 
 

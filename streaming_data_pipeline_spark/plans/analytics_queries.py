@@ -2982,3 +2982,88 @@ SELECT CAST(na AS BIGINT) AS n_a,
             // (CAST(2 AS HUGEINT) * na * nb) AS BIGINT) AS auc_ppm
 FROM sums
 """
+
+
+def acf_lag_profile(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation profile of daily revenue at lags 1..7, reported
+    in EXACT integer components: for each lag the Pearson numerator
+    n*Sxy - Sx*Sy and the two variance numerators n*Sxx-(Sx)^2 /
+    n*Syy-(Sy)^2 (r = num / sqrt(d1*d2), left to the consumer so no
+    irrational sqrt enters the verified values). The weekly-cycle
+    diagnostic every forecasting pipeline checks first.
+
+    Shape: the fact table folds once to the bounded daily frame; each
+    lag is an equi-join of that frame against itself shifted k days
+    (generated by one explode over the 7 lags); one hash-agg per lag.
+    All products run in DECIMAL(38) — daily sums of cents squared
+    exceed int64.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    daily = orders.groupBy("d").agg(F.sum("cents").alias("x")).localCheckpoint(
+        eager=True
+    )
+    lags = daily.select(
+        "d", "x", F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag")
+    )
+    shifted = daily.select(
+        F.col("d").alias("d2"), F.col("x").alias("y")
+    )
+    pairs = lags.join(
+        shifted, F.expr("date_add(d, lag) = d2")
+    ).select("lag", "x", "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(dec("x") * dec("y")).alias("sxy"),
+            F.sum(dec("x") * dec("x")).alias("sxx"),
+            F.sum(dec("y") * dec("y")).alias("syy"),
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_pairs"),
+            (F.col("n") * F.col("sxy") - dec("sx") * dec("sy"))
+            .cast("decimal(38,0)").cast("string").alias("num"),
+            (F.col("n") * F.col("sxx") - dec("sx") * dec("sx"))
+            .cast("decimal(38,0)").cast("string").alias("den_x"),
+            (F.col("n") * F.col("syy") - dec("sy") * dec("sy"))
+            .cast("decimal(38,0)").cast("string").alias("den_y"),
+        )
+        .orderBy("lag")
+    )
+
+
+QUERIES["acf_lag_profile"] = acf_lag_profile
+ORACLE["acf_lag_profile"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT g.lag, a.x, b.x AS y
+  FROM daily a
+  JOIN (SELECT CAST(l.l AS BIGINT) AS lag FROM UNNEST(range(1, 8)) AS l(l)) g
+    ON TRUE
+  JOIN daily b ON b.d = a.d + CAST(g.lag AS INT) * INTERVAL 1 DAY),
+agg AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS num,
+       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS den_x,
+       CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS den_y
+FROM agg ORDER BY lag
+"""

@@ -1179,3 +1179,50 @@ def test_mann_whitney_u_matches_numpy_midranks(spark):
     assert (r.n_a, r.n_b, r.u2_max) == (len(a), len(b), 2 * len(a) * len(b))
     # AUC under the null fixture should hover near 1/2
     assert 450_000 < r.auc_ppm < 550_000
+
+
+def test_acf_lag_profile_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "acf_lag_profile", SF_DIR)
+
+
+def test_acf_components_reconstruct_numpy_pearson(spark):
+    import numpy as np
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        acf_lag_profile,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = {r.lag: r for r in acf_lag_profile(spark, SF_DIR).collect()}
+    daily = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("x")
+        )
+        .collect()
+    )
+    series = {r.d: r.x for r in daily}
+    import datetime
+
+    for lag in (1, 3, 7):
+        xs, ys = [], []
+        for d, x in series.items():
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in series:
+                xs.append(x)
+                ys.append(series[d2])
+        x = np.array(xs, dtype=object)
+        y = np.array(ys, dtype=object)
+        n = len(x)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        dx = n * sum(a * a for a in xs) - sum(xs) ** 2
+        dy = n * sum(b * b for b in ys) - sum(ys) ** 2
+        r = rows[lag]
+        assert (r.n_pairs, int(r.num), int(r.den_x), int(r.den_y)) == (
+            n, num, dx, dy,
+        )
+        # and the reconstructed Pearson r is a valid correlation
+        assert abs(num / (dx * dy) ** 0.5) <= 1.0
