@@ -159,6 +159,7 @@ _SWEEP_PRIORITY = [
     "benford_first_digit_audit",   # new: forensic first-digit distribution
     "mann_whitney_u",              # new: exact midrank rank-sum / AUC
     "acf_lag_profile",             # new: exact-component autocorrelation
+    "linear_model_quality_gate",   # new: in-engine model inference + calib
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

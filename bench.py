@@ -163,6 +163,7 @@ HEADLINE += [
     "benford_first_digit_audit",
     "mann_whitney_u",
     "acf_lag_profile",
+    "linear_model_quality_gate",
 ]
 
 

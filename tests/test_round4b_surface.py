@@ -1226,3 +1226,24 @@ def test_acf_components_reconstruct_numpy_pearson(spark):
         )
         # and the reconstructed Pearson r is a valid correlation
         assert abs(num / (dx * dy) ** 0.5) <= 1.0
+
+
+def test_linear_model_quality_gate_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "linear_model_quality_gate", SF_DIR)
+
+
+def test_linear_gate_agreement_beats_chance(spark):
+    """The fitted linear gate must agree with the rule gate well above
+    the independence baseline (its whole point is approximating the
+    rules with one dot product)."""
+    from streaming_data_pipeline_spark.plans.curation_queries import (
+        linear_model_quality_gate,
+    )
+
+    rows = linear_model_quality_gate(spark, SF_DIR).collect()
+    n = sum(r.n_docs for r in rows)
+    agree = sum(r.agree for r in rows)
+    mp = sum(r.model_pass for r in rows) / n
+    rp = sum(r.rule_pass for r in rows) / n
+    chance = mp * rp + (1 - mp) * (1 - rp)
+    assert agree / n > chance + 0.10
