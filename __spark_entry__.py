@@ -160,6 +160,7 @@ _SWEEP_PRIORITY = [
     "mann_whitney_u",              # new: exact midrank rank-sum / AUC
     "acf_lag_profile",             # new: exact-component autocorrelation
     "linear_model_quality_gate",   # new: in-engine model inference + calib
+    "spearman_rank_correlation",   # new: midrank-exact monotone association
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

@@ -164,6 +164,7 @@ HEADLINE += [
     "mann_whitney_u",
     "acf_lag_profile",
     "linear_model_quality_gate",
+    "spearman_rank_correlation",
 ]
 
 

@@ -3067,3 +3067,88 @@ SELECT CAST(lag AS BIGINT) AS lag,
        CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS den_y
 FROM agg ORDER BY lag
 """
+
+
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each customer's order count
+    and revenue (public statistic, Spearman 1904): Pearson on tie-
+    midranks, with every component exact — midranks kept integral at
+    double scale (rank2 = 2*below + eq + 1, as in `mann_whitney_u`),
+    and the correlation shipped as the three DECIMAL(38) integers
+    (num, den_x, den_y; rho = num/sqrt(den_x*den_y)) like
+    `acf_lag_profile` — the monotone-association measure that Pearson
+    misses when the relationship is nonlinear.
+
+    Shape: one hash-agg to the customer frame, two distinct-value
+    rank maps (window over each variable's bounded value domain)
+    joined back, one final fold. The fact table is never ranked
+    row-by-row.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("x"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+
+    def rank2_map(col):
+        per_v = cust.groupBy(col).agg(F.count("*").alias("eq"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.withColumn(
+            "below", F.coalesce(F.sum("eq").over(w), F.lit(0))
+        ).select(
+            col, (2 * F.col("below") + F.col("eq") + 1).alias(f"r2_{col}")
+        )
+
+    ranked = cust.join(rank2_map("x"), "x").join(rank2_map("y"), "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r2_x").alias("sx"),
+        F.sum("r2_y").alias("sy"),
+        F.sum(dec("r2_x") * dec("r2_y")).alias("sxy"),
+        F.sum(dec("r2_x") * dec("r2_x")).alias("sxx"),
+        F.sum(dec("r2_y") * dec("r2_y")).alias("syy"),
+    ).select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("n") * F.col("sxy") - dec("sx") * dec("sy"))
+        .cast("decimal(38,0)").cast("string").alias("num"),
+        (F.col("n") * F.col("sxx") - dec("sx") * dec("sx"))
+        .cast("decimal(38,0)").cast("string").alias("den_x"),
+        (F.col("n") * F.col("syy") - dec("sy") * dec("sy"))
+        .cast("decimal(38,0)").cast("string").alias("den_y"),
+    )
+
+
+QUERIES["spearman_rank_correlation"] = spearman_rank_correlation
+ORACLE["spearman_rank_correlation"] = """
+WITH cust AS (
+  SELECT o_custkey, COUNT(*) AS x,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM orders GROUP BY o_custkey),
+rx AS (
+  SELECT x, 2 * COALESCE(SUM(eq) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + eq + 1
+         AS r2_x
+  FROM (SELECT x, COUNT(*) AS eq FROM cust GROUP BY x)),
+ry AS (
+  SELECT y, 2 * COALESCE(SUM(eq) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + eq + 1
+         AS r2_y
+  FROM (SELECT y, COUNT(*) AS eq FROM cust GROUP BY y)),
+ranked AS (
+  SELECT r2_x, r2_y FROM cust JOIN rx USING (x) JOIN ry USING (y)),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(r2_x) AS sx, SUM(r2_y) AS sy,
+         SUM(CAST(r2_x AS HUGEINT) * r2_y) AS sxy,
+         SUM(CAST(r2_x AS HUGEINT) * r2_x) AS sxx,
+         SUM(CAST(r2_y AS HUGEINT) * r2_y) AS syy
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS num,
+       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS den_x,
+       CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS den_y
+FROM agg
+"""

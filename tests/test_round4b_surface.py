@@ -1247,3 +1247,58 @@ def test_linear_gate_agreement_beats_chance(spark):
     rp = sum(r.rule_pass for r in rows) / n
     chance = mp * rp + (1 - mp) * (1 - rp)
     assert agree / n > chance + 0.10
+
+
+def test_spearman_rank_correlation_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "spearman_rank_correlation", SF_DIR)
+
+
+def test_spearman_matches_scipy_style_recompute(spark):
+    """Rebuild rho from raw per-customer pairs with numpy midranks and
+    compare the exact integer components."""
+    import numpy as np
+
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        spearman_rank_correlation,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    r = spearman_rank_correlation(spark, SF_DIR).collect()[0]
+    cust = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("y"),
+        )
+        .collect()
+    )
+
+    def rank2(vals):
+        order = np.argsort(vals, kind="stable")
+        out = np.empty(len(vals), dtype=object)
+        sv = np.array(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            for k in range(i, j):
+                out[order[k]] = i + j + 1  # 2*midrank with 1-based ranks
+            i = j
+        return out
+
+    xs = [c.x for c in cust]
+    ys = [c.y for c in cust]
+    r2x, r2y = rank2(xs), rank2(ys)
+    n = len(xs)
+    num = n * sum(a * b for a, b in zip(r2x, r2y)) - sum(r2x) * sum(r2y)
+    dx = n * sum(a * a for a in r2x) - sum(r2x) ** 2
+    dy = n * sum(b * b for b in r2y) - sum(r2y) ** 2
+    assert (r.n_customers, int(r.num), int(r.den_x), int(r.den_y)) == (
+        n, num, dx, dy,
+    )
+    rho = num / (dx * dy) ** 0.5
+    assert 0.5 < rho <= 1.0  # order count and revenue are strongly monotone
