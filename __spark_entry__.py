@@ -161,6 +161,7 @@ _SWEEP_PRIORITY = [
     "acf_lag_profile",             # new: exact-component autocorrelation
     "linear_model_quality_gate",   # new: in-engine model inference + calib
     "spearman_rank_correlation",   # new: midrank-exact monotone association
+    "kaplan_meier_table",          # new: integer life table w/ censoring
     # the r1-stale tranche (oldest evidence)
     "top5_latest",
     "windowed_counts_60s",

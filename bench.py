@@ -165,6 +165,7 @@ HEADLINE += [
     "acf_lag_profile",
     "linear_model_quality_gate",
     "spearman_rank_correlation",
+    "kaplan_meier_table",
 ]
 
 

@@ -3152,3 +3152,73 @@ SELECT CAST(n AS BIGINT) AS n_customers,
        CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS den_y
 FROM agg
 """
+
+
+def kaplan_meier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier risk table for user lifetime (public estimator,
+    Kaplan & Meier 1958): per observed lifetime t (days between a
+    user's first and last event), the number at risk, the churn events
+    d_t, and the right-censored count c_t — users still active on the
+    corpus's final day are censored, not churned. The survival curve
+    S(t) = prod(1 - d_i/n_i) is consumer-derived from these EXACT
+    integer columns, so no rational product ever enters the verified
+    values.
+
+    Shape: one per-user hash-agg (first/last day), one per-duration
+    hash-agg, and the at-risk count is a REVERSE running sum over the
+    bounded duration domain — the standard life-table construction
+    with nothing row-ordered.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    horizon = ev.agg(F.max("d").alias("h"))
+    per_user = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("long").alias("t"),
+        (F.col("last_d") < F.col("h")).cast("int").alias("churned"),
+    )
+    per_t = per_user.groupBy("t").agg(
+        F.sum("churned").alias("d_t"),
+        F.sum(1 - F.col("churned")).alias("c_t"),
+        F.count("*").alias("n_t"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_t.withColumn("at_risk", F.sum("n_t").over(w))
+        .select(
+            F.col("t").alias("lifetime_days"),
+            F.col("at_risk").cast("long").alias("n_at_risk"),
+            F.col("d_t").cast("long").alias("churn_events"),
+            F.col("c_t").cast("long").alias("censored"),
+        )
+        .orderBy("lifetime_days")
+    )
+
+
+QUERIES["kaplan_meier_table"] = kaplan_meier_table
+ORACLE["kaplan_meier_table"] = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+span AS (
+  SELECT user_id, MIN(d) AS first_d, MAX(d) AS last_d
+  FROM ev GROUP BY user_id),
+horizon AS (SELECT MAX(d) AS h FROM ev),
+per_user AS (
+  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t,
+         CASE WHEN last_d < h THEN 1 ELSE 0 END AS churned
+  FROM span, horizon),
+per_t AS (
+  SELECT t, SUM(churned) AS d_t, SUM(1 - churned) AS c_t, COUNT(*) AS n_t
+  FROM per_user GROUP BY t)
+SELECT t AS lifetime_days,
+       CAST(SUM(n_t) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_at_risk,
+       CAST(d_t AS BIGINT) AS churn_events,
+       CAST(c_t AS BIGINT) AS censored
+FROM per_t ORDER BY lifetime_days
+"""

@@ -1302,3 +1302,29 @@ def test_spearman_matches_scipy_style_recompute(spark):
     )
     rho = num / (dx * dy) ** 0.5
     assert 0.5 < rho <= 1.0  # order count and revenue are strongly monotone
+
+
+def test_kaplan_meier_table_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "kaplan_meier_table", SF_DIR)
+
+
+def test_km_table_is_a_valid_life_table(spark):
+    """Life-table invariants: at-risk counts decrease by exactly the
+    prior row's exits (d+c), the first at-risk equals the user count,
+    and every cell is consistent."""
+    from streaming_data_pipeline_spark.plans.analytics_queries import (
+        kaplan_meier_table,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    rows = kaplan_meier_table(spark, SF_DIR).collect()
+    users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert rows[0].n_at_risk == users
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_at_risk == prev.n_at_risk - (
+            prev.churn_events + prev.censored
+        )
+    last = rows[-1]
+    assert last.n_at_risk == last.churn_events + last.censored
