@@ -168,6 +168,17 @@ HEADLINE += [
     "kaplan_meier_table",
 ]
 
+# Frozen at the end of round 4 (116 queries): round-5+ additions append
+# AFTER this marker, so headline_total_r4_subset stays apples-to-apples
+# across rounds the same way the r2/r3 subsets do.
+_R4_SET = set(HEADLINE)
+
+# Added round 5: baseline JPEG decode (pure-Python huffman + IDCT via
+# mapInPandas) completing the image codec surface.
+HEADLINE += [
+    "multimodal_jpeg_decode",
+]
+
 
 def _force(df) -> None:
     """Fully execute a plan without driver-side materialization."""
@@ -221,6 +232,7 @@ def main() -> None:
     cold_total = round(sum(cold.values()), 3)
     r2_subset = round(sum(v for k, v in timings.items() if k in _R2_SET), 3)
     r3_subset = round(sum(v for k, v in timings.items() if k in _R3_SET), 3)
+    r4_subset = round(sum(v for k, v in timings.items() if k in _R4_SET), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -237,6 +249,7 @@ def main() -> None:
                 "cold_queries": cold,
                 "headline_total_r2_subset": r2_subset,
                 "headline_total_r3_subset": r3_subset,
+                "headline_total_r4_subset": r4_subset,
                 "sf": sf_val,
             }
         )

@@ -350,6 +350,13 @@ def simhash_near_dup_pairs(
     chunk join and Hamming verification run group-level, and verified
     group pairs expand back to doc pairs. Returns (id_a, id_b, hamming).
     """
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"simhash_near_dup_pairs with {chunks} chunks is complete only "
+            f"for max_hamming <= {chunks - 1} (pigeonhole); got "
+            f"max_hamming={max_hamming} — raise `chunks` to at least "
+            f"max_hamming + 1"
+        )
     width = 64 // chunks
     _release_caches()
     members = _cached(
@@ -731,6 +738,12 @@ def phash_near_dup_pairs(
     packed longs, and verified group pairs expand back to doc pairs
     (plus hamming-0 pairs within identical-hash groups). Returns
     (id_a, id_b, hamming)."""
+    if max_hamming >= 4:
+        raise ValueError(
+            "phash_near_dup_pairs uses a 4-chunk pigeonhole band join, "
+            "complete only for max_hamming <= 3 (a pair differing in one "
+            f"bit per chunk shares no band); got max_hamming={max_hamming}"
+        )
     _release_caches()
     members = _cached(sig.select(F.col("doc_id").alias("id"), "h_lo", "h_hi"))
     groups = _cached(members.groupBy("h_lo", "h_hi").agg(F.count("*").alias("cnt")))

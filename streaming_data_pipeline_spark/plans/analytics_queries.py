@@ -2576,9 +2576,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str, b_count: int = 100) -
     fraction (bit-exact in both engines), weights come from comparing
     that double against literal Poisson CDF thresholds, resample means
     are integer cents divisions, and the CI bounds are exact rank
-    statistics over the B-row mean frame. Shape: one B-way explode
-    (row count x B, scan-side), one hash-agg per resample, one tiny
-    rank window.
+    statistics over the B-row mean frame. Shape: repartition the BASE
+    rows, then the B-way explode — any operator that multiplies rows
+    must redistribute, and redistributing before the explode is B
+    times cheaper than after (the small parquet scan is one split;
+    exploding first ran the amplified md5/weight work in a single
+    task, 28 s of the whole bench) — then one map-side-combining
+    hash-agg per resample and one tiny rank window; the amplified
+    rows never cross the wire. The 90% CI rank cutoffs are derived
+    from ``b_count`` (ceil(0.05 B) / ceil(0.95 B)), not hard-coded.
     """
     from pyspark.sql import Window
 
@@ -2608,15 +2614,30 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str, b_count: int = 100) -
         .cast("double")
         / F.lit(float(16**13))
     )
+    # The CASE ladder references u once per Poisson threshold; keep it
+    # against a MATERIALIZED u column (withColumn below), not the inlined
+    # md5/conv tree — codegen subexpression elimination does not collapse
+    # the 7 copies (measured 5.0 s -> 1.3 s for the weight stage).
     w_expr = F.lit(6)
     for k in range(len(_POIS_CUM) - 1, -1, -1):
-        w_expr = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w_expr)
+        w_expr = F.when(F.col("u") < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w_expr)
+    lo_rank = -(-5 * b_count // 100)   # ceil(0.05 * B)
+    hi_rank = -(-95 * b_count // 100)  # ceil(0.95 * B)
+    # Redistribute the BASE rows BEFORE the B-way explode: the small
+    # parquet scan is one split, so exploding first would run the whole
+    # amplified md5/weight compute in a single task (or pay a B-times
+    # larger shuffle to spread it). Shuffling the un-amplified frame is
+    # B-times cheaper and the per-resample hash-agg then combines
+    # map-side, so the amplified rows never cross the wire.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sampled = (
-        orders.select(
+        orders.repartition(shuffle_n, "o_orderkey")
+        .select(
             "o_orderkey",
             "cents",
             F.explode(F.expr(f"sequence(1, {b_count})")).alias("b"),
         )
+        .withColumn("u", u)
         .withColumn("w", w_expr)
     )
     means = sampled.groupBy("b").agg(
@@ -2630,10 +2651,10 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str, b_count: int = 100) -
         .agg(
             F.count("*").cast("long").alias("n_resamples"),
             F.any_value("point").cast("long").alias("point_mean_cents"),
-            F.min(F.when(F.col("r") == 5, F.col("mean_cents")))
+            F.min(F.when(F.col("r") == lo_rank, F.col("mean_cents")))
             .cast("long")
             .alias("ci_lo_cents"),
-            F.min(F.when(F.col("r") == 95, F.col("mean_cents")))
+            F.min(F.when(F.col("r") == hi_rank, F.col("mean_cents")))
             .cast("long")
             .alias("ci_hi_cents"),
         )
@@ -2808,8 +2829,13 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str, b_count: int = 
         16,
         10,
     ).cast("long")
+    # Same repartition-before-amplification rule as poisson_bootstrap_ci:
+    # the small scan is one split, so exploding first would run the md5
+    # relabeling single-task; shuffling the base rows is B-times cheaper.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     perm = (
-        ev.select(
+        ev.repartition(shuffle_n, "event_id")
+        .select(
             "event_id", "cents", F.explode(F.expr(f"sequence(1, {b_count})")).alias("b")
         )
         .crossJoin(F.broadcast(obs.select("na", "nb")))

@@ -190,6 +190,20 @@ class _SynthStreamReader(DataSourceStreamReader):
       confirmed through any callback (planned starts/ends, commits), so
       a fresh reader jumps forward to the checkpointed frontier instead
       of recounting admission from 0.
+
+    The two in-memory guards make a SINGLE restart exactly-once. A
+    second restart constructs yet another fresh reader whose ``_floor``
+    is 0 while the engine's offset log may hold a regressed entry from
+    the first restart — the re-emission would then arrive as a normal
+    forward plan that no in-memory signal can distinguish. For
+    multi-restart exactly-once, pass ``frontier_dir`` (a per-query
+    directory, same uniqueness contract as ``checkpointLocation``):
+    ``commit`` then persists the confirmed frontier atomically
+    (tmp + rename) and every fresh reader resumes ``_latest`` and
+    ``_floor`` from it, so the first ``latestOffset`` after any number
+    of restarts is >= the committed frontier and committed ranges are
+    never re-planned forward. Without the option the behavior is the
+    documented single-restart guarantee.
     """
 
     def __init__(self, options: dict) -> None:
@@ -198,6 +212,40 @@ class _SynthStreamReader(DataSourceStreamReader):
         self.p = max(1, int(options.get("num_partitions", 4)))
         self._latest = 0  # largest index seen via any engine callback
         self._floor = 0  # committed frontier evidenced by inverted plans
+        self._frontier_path: str | None = None
+        frontier_dir = options.get("frontier_dir")
+        if frontier_dir:
+            import os
+
+            os.makedirs(frontier_dir, exist_ok=True)
+            self._frontier_path = os.path.join(frontier_dir, "frontier.json")
+            persisted = self._read_frontier()
+            self._latest = self._floor = persisted
+
+    def _read_frontier(self) -> int:
+        """Durable committed frontier, 0 when absent/unreadable."""
+        import json
+
+        if not self._frontier_path:
+            return 0
+        try:
+            with open(self._frontier_path) as fh:
+                return max(0, int(json.load(fh)["index"]))
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _persist_frontier(self, index: int) -> None:
+        """Atomic monotone write (tmp + rename) of the committed frontier."""
+        import json
+        import os
+
+        if not self._frontier_path:
+            return
+        index = max(index, self._read_frontier())
+        tmp = self._frontier_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"index": index}, fh)
+        os.replace(tmp, self._frontier_path)
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -226,9 +274,12 @@ class _SynthStreamReader(DataSourceStreamReader):
             yield _row(i)
 
     def commit(self, end: dict) -> None:
-        # Nothing external to clean up; note the committed frontier so
-        # admission stays monotone relative to it.
+        # Note the committed frontier so admission stays monotone
+        # relative to it, and (when frontier_dir is set) persist it so
+        # a fresh reader after ANY number of restarts resumes at or
+        # above it instead of 0.
         self._latest = max(self._latest, end["index"])
+        self._persist_frontier(end["index"])
 
 
 class EventSynthDataSource(DataSource):

@@ -35,6 +35,33 @@ last-key-wins. Consequences:
   each appends its own line. (POSIX ``O_APPEND`` single-write lines on
   a local/NFS-coherent filesystem; on object stores you'd swap this
   file for a log table, the protocol is unchanged.)
+
+Concurrency model (single path, multiple writers) — what IS and IS NOT
+defined:
+
+* DEFINED: concurrent commits. Each commit is one ``O_APPEND`` write of
+  one whole line, so interleaved committers produce a manifest that is
+  some serialization of intact lines — no torn lines, no lost entries
+  (tests/test_round5_surface.py exercises 2x50 interleaved committers).
+  Data-file name collisions cannot occur: every staged file is named
+  ``part-<uuid4>``, so two writers never ``os.replace`` the same target.
+* DEFINED: concurrent readers. ``read_committed`` resolves whatever
+  prefix of the manifest exists at open time — always a consistent
+  committed snapshot (commits promote data files BEFORE appending the
+  manifest line).
+* UNDEFINED ORDER (but never corrupt): a ``truncate`` (overwrite)
+  commit racing an ``append`` commit — whichever line lands second
+  decides whether the append survives, exactly as two racing jobs
+  against any table with snapshot-overwrite semantics.
+* NOT ALLOWED concurrently: :func:`vacuum`. Compaction rewrites the
+  manifest and deletes unreferenced data files, so it requires a quiet
+  window with no in-flight writers (the same operational contract as a
+  table-format VACUUM); a commit racing a vacuum can lose its entry.
+
+Retention: without :func:`vacuum`, the manifest grows one line per
+commit forever and a ``truncate`` leaves superseded data files on disk
+unreachable — acceptable for fixture-scale paths, but long-lived paths
+should vacuum on a maintenance cadence.
 """
 
 from __future__ import annotations
@@ -189,6 +216,55 @@ def committed_files(path: str) -> list[str]:
         for name in names:
             out.append(os.path.join(path, name))
     return out
+
+
+def vacuum(path: str) -> dict:
+    """Compact the append-only manifest and delete unreachable data.
+
+    Rewrites ``_manifest`` to exactly its RESOLVED entries (last key
+    wins, truncate applied) via an atomic tmp+rename — readers racing
+    the rewrite see either the old or the new file, and both resolve to
+    the same committed set — then deletes every data file no resolved
+    entry references (superseded epochs, pre-truncate snapshots) plus
+    any abandoned ``_staging`` stragglers. Requires a quiet window with
+    no in-flight writers (see the module docstring's concurrency model).
+
+    Returns counts: ``{"manifest_lines_before", "manifest_lines_after",
+    "data_files_deleted", "staging_files_deleted"}``.
+    """
+    manifest = os.path.join(path, "_manifest")
+    lines_before = 0
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            lines_before = sum(1 for _ in f)
+    entries = _manifest_entries(path)
+    referenced = {name for names in entries.values() for name in names}
+
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        for key, files in entries.items():
+            f.write(json.dumps({"key": key, "files": files}) + "\n")
+    os.replace(tmp, manifest)
+
+    data_deleted = 0
+    for name in os.listdir(path):
+        if name in ("_manifest", "_staging") or name in referenced:
+            continue
+        if name.startswith("part-") and name.endswith(".jsonl"):
+            os.remove(os.path.join(path, name))
+            data_deleted += 1
+    staging_deleted = 0
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging):
+        for name in os.listdir(staging):
+            os.remove(os.path.join(staging, name))
+            staging_deleted += 1
+    return {
+        "manifest_lines_before": lines_before,
+        "manifest_lines_after": len(entries),
+        "data_files_deleted": data_deleted,
+        "staging_files_deleted": staging_deleted,
+    }
 
 
 def read_committed(spark, path: str, schema: str):

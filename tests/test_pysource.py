@@ -317,3 +317,100 @@ def test_stream_restart_end_to_end_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 600  # no duplicate re-emission after restart
     assert got.select("event_id").distinct().count() == 600
+
+
+def test_stream_reader_double_restart_with_frontier_dir(tmp_path):
+    """The advisory's duplicate scenario: two consecutive restarts. The
+    in-memory floor only survives one (a second fresh reader starts at
+    _floor=0 and re-emits a regressed forward plan). With frontier_dir
+    the committed frontier is durable: every fresh reader's FIRST
+    latestOffset resumes at >= the committed frontier, and a forward
+    plan that starts below it (a poisoned offset-log entry) is clamped
+    instead of re-emitted."""
+    opts = {
+        "num_rows": "1000",
+        "rows_per_batch": "100",
+        "frontier_dir": str(tmp_path / "frontier"),
+    }
+    r1 = pysource._SynthStreamReader(opts)
+    emitted = _drain(r1, 0, r1.latestOffset()["index"])
+    r1.commit({"index": 100})
+
+    r2 = pysource._SynthStreamReader(opts)  # restart 1
+    assert r2.latestOffset() == {"index": 200}  # resumes, never regresses
+    emitted += _drain(r2, 100, 200)
+    r2.commit({"index": 200})
+
+    r3 = pysource._SynthStreamReader(opts)  # restart 2 — the dup window
+    assert r3.latestOffset() == {"index": 300}
+    # A forward plan entirely below the durable frontier re-emits nothing.
+    assert _drain(r3, 50, 150) == []
+    emitted += _drain(r3, 200, 300)
+    assert emitted == list(range(0, 300))  # exactly-once across 2 restarts
+
+
+def test_stream_reader_frontier_file_corruption_tolerated(tmp_path):
+    """A truncated/garbled frontier file degrades to the in-memory
+    single-restart guarantee instead of crashing the query."""
+    fdir = tmp_path / "frontier"
+    fdir.mkdir()
+    (fdir / "frontier.json").write_text("{not json")
+    r = pysource._SynthStreamReader(
+        {"num_rows": "500", "rows_per_batch": "100", "frontier_dir": str(fdir)}
+    )
+    assert r.latestOffset() == {"index": 100}
+    r.commit({"index": 100})  # heals: next reader resumes from 100
+    r2 = pysource._SynthStreamReader(
+        {"num_rows": "500", "rows_per_batch": "100", "frontier_dir": str(fdir)}
+    )
+    assert r2.latestOffset() == {"index": 200}
+
+
+def test_stream_double_restart_end_to_end_exactly_once(spark, tmp_path):
+    """Full engine double-restart with frontier_dir: stop the bounded
+    stream twice mid-flight and assert the sink holds each event_id
+    exactly once — the multi-restart guarantee, end to end."""
+    import time
+
+    pysource.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    fdir = str(tmp_path / "frontier")
+
+    def _start():
+        return (
+            spark.readStream.format("event_synth")
+            .option("num_rows", 600)
+            .option("rows_per_batch", 100)
+            .option("frontier_dir", fdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def _run_until(target, deadline_s):
+        q = _start()
+        deadline = time.time() + deadline_s
+        while True:
+            try:
+                if spark.read.parquet(out).count() >= target:
+                    break
+            except Exception:
+                pass
+            if time.time() > deadline:
+                q.stop()
+                raise TimeoutError(f"never reached {target} rows")
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+
+    _run_until(100, 60)   # first life
+    _run_until(300, 90)   # restart 1
+    _run_until(600, 90)   # restart 2 — the advisory's duplicate window
+    got = spark.read.parquet(out)
+    assert got.count() == 600
+    assert got.select("event_id").distinct().count() == 600
