@@ -43,132 +43,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else. More names than the 50 budget: overflow rolls to
 # the next round's window.
 _SWEEP_PRIORITY = [
-    # ---- round-4 window (driver budget: first 50) -------------------
-    # 1) The 41 queries that have never had a driver row (CORRECTNESS
-    #    r1-r3 union). All were green in the judge's independent sf0.01
-    #    sweep in round 3; this rotation gives them first-party rows.
-    "contamination_ngram_overlap",
-    "stratified_sample_docs",
-    "boilerplate_chunk_removal",
-    "pack_training_sequences",
-    "train_val_test_split",
-    "embedding_random_projection",
-    "udaf_median_mad_by_type",
-    "bloom_filter_join_pruning",
-    "hourly_dense_locf",
-    "incremental_rollup_maintenance",
-    "tokenizer_bpe_pair_counts",
-    "order_rank_profile",
-    "bucketed_colocated_join",
-    "streaming_update_mode_changelog",
-    "map_column_roundtrip",
-    "approx_topk_mergeable_tokens",
-    "kll_quantile_sketch_check",
-    "sql_udf_quality_score",
-    "recursive_cte_user_hierarchy",
-    "multimodal_png_resize",
-    "zorder_locality_buckets",
-    "snapshot_incremental_changes",
-    "daily_distribution_drift",   # reshaped collect-free this round
-    "daily_volume_anomaly",
-    "pagerank_event_transitions",  # single-job reshape this round
-    "streaming_chained_window_rollup",
-    "sql_table_function_calendar",
-    "file_metadata_audit",
-    "ab_test_chi_square",          # decimal-exact reshape this round
-    "null_safe_join_counts",
-    "running_user_value",
-    "user_value_trend",
-    "value_histogram_equiwidth",
-    "doc_length_log_histogram",
-    "zipf_token_rank",
-    "top_bigrams_by_lang",
-    "dedup_keep_canonical",
-    "vocab_richness_by_source",
-    "unigram_surprisal_by_doc",
-    "chunk_dup_stats",
-    "orc_export_roundtrip",
-    # 2) New or behavior-changed in round 4 -> need fresh rows
-    "image_phash_near_dup",        # new: decoded-pixel dHash near-dup
-    "similarity_int8_rerank",      # new: quantized two-stage ANN
-    "semantic_dedup_keep_canonical",   # new: SemDeDup-style embedding CC
-    "dedup_minhash_estimate_error",    # new: integer-exact est-vs-exact
-    "streaming_scd2_asof_enrich",  # new: temporal as-of dim enrichment
-    "streaming_multimodal_phash_rollup",  # new: Arrow decode on stream
-    "dedup_keep_best_quality",     # new: quality-policy canonical keep
-    "streaming_approx_users_per_window",  # new: stream HLL self-check
-    "dedup_incremental_ingest",    # new: O(delta) ingest-time dedup
-    # ---- round-5 queue ----------------------------------------------
-    # new/changed this round, locally re-verified at sf0.01+sf0.1 but
-    # displaced by the 50-budget; first in line next round
-    "range_join_binned_incidents", # new: binned big-big interval join
-    "similarity_pq_adc",           # new: 32x PQ codes + ADC + rerank
-    "cms_token_frequency",         # new: Count-Min mergeable sketch
-    "epoch_shuffle_shards",        # new: per-epoch shuffle + sharding
-    "curriculum_mix_schedule",     # new: per-epoch length-tier mix
-    "dedup_unicode_normalized",    # new: NFC-aware exact dedup
-    "dedup_edit_distance_pairs",   # new: blocked Levenshtein near-dup
-    "similarity_recall_at_k",      # gained int8_rerank_recall column
-    "wire_sink_roundtrip",         # manifest became append-only ledger
-    "graph_triangle_counts",       # new: degree-oriented triangle count
-    "value_histogram_equidepth",   # new: exact ntile without global sort
-    "join_skew_diagnostics",       # new: pre-join skew profile + salt rec
-    "incremental_join_maintenance", # new: two-sided delta-join IVM
-    "char_diversity_by_source",    # new: integer Simpson char diversity
-    "inverted_index_postings",     # new: capped-postings index head
-    "dedup_containment_pairs",     # new: rarest-shingle substring containment
-    "gopher_rules_filter",         # new: integer-exact quality rule report
-    "weighted_sample_docs",        # new: A-ES distributed weighted sampling
-    "max_concurrent_shipments",    # new: +1/-1 interval concurrency sweep
-    "bigram_lm_surprisal",         # new: conditional bigram LM scoring
-    "bpe_train_merges",            # new: declarative iterative BPE training
-    "repeated_passage_coverage",   # new: exact-substring repetition metric
-    "token_budget_selection",      # new: budgeted best-data selection
-    "k_core_peel_rounds",          # new: iterative k-core peel trajectory
-    "ewma_user_value",             # new: integer-exact EWMA (2^-k weights)
-    "k_anonymity_audit",           # new: QI group-size privacy gate
-    "streaming_quality_gate",      # new: array-expr quality rules on stream
-    "audio_energy_windows",        # new: framed WAV energy + argmax frame
-    "cumulative_unique_users_by_day",  # new: first-seen distinct growth curve
-    "first_touch_attribution",     # new: sessionized purchase attribution
-    "sparse_dot_topk_pairs",       # new: inverted-index weighted similarity
-    "pmi_collocations",            # new: integer-ppm PMI phrase mining
-    "neyman_allocation_sample",    # new: variance-proportional stratified draw
-    "langid_confusion_metrics",    # new: classifier eval (ppm precision/recall)
-    "dataset_datasheet",           # new: tidy (stat,value) release card
-    "within_doc_dedup",            # new: intra-doc repetition removal
-    "winsorized_price_stats",      # new: exact-percentile robust mean
-    "basket_lift_pairs",           # new: integer-ppm co-occurrence lift
-    "bpe_apply_compression",       # new: train->apply tokenizer round trip
-    "interarrival_gap_stats",      # new: exact gap percentiles per type
-    "dup_cluster_size_histogram",  # new: dedup strategy report
-    "seasonal_residual_anomaly",   # new: hour-of-day seasonal-naive screen
-    "top_event_paths",             # new: length-3 journey mining
-    "grouped_leakage_free_split",  # new: group-keyed split + leakage cert
-    "pca_power_iteration",         # new: spectral top-direction (declarative)
-    "median_imputation_audit",     # new: group-median fill + audit
-    "cross_source_dup_matrix",     # new: provenance duplication pairs
-    "mann_kendall_trend",          # new: exact nonparametric trend test
-    "revenue_gini",                # new: exact-rational concentration index
-    "lorenz_curve_deciles",        # new: decile cumulative-share curve
-    "theil_sen_slope",             # new: robust pairwise-median trend slope
-    "ks_two_sample",               # new: exact-rational ECDF distance
-    "poisson_bootstrap_ci",        # new: one-pass distributed bootstrap
-    "cusum_changepoint",           # new: integer-exact level-shift locator
-    "permutation_test_mean_diff",  # new: exact-rational randomization test
-    "benford_first_digit_audit",   # new: forensic first-digit distribution
-    "mann_whitney_u",              # new: exact midrank rank-sum / AUC
-    "acf_lag_profile",             # new: exact-component autocorrelation
-    "linear_model_quality_gate",   # new: in-engine model inference + calib
-    "spearman_rank_correlation",   # new: midrank-exact monotone association
-    "kaplan_meier_table",          # new: integer life table w/ censoring
-    # the r1-stale tranche (oldest evidence)
-    "top5_latest",
-    "windowed_counts_60s",
+    # ---- round-5 window (driver budget: first 50) -------------------
+    # 1 new query (real baseline JPEG decode), the 2 plans reshaped
+    # this round (repartition-before-explode), the wire-sink ledger
+    # reshaped in r4, then 34 of the 59 never-driver-checked backlog
+    # (architectural operators first; poisson/permutation are both
+    # backlog AND reshaped) and the 14 stalest TPC-H queries (evidence
+    # from r1). Backlog after this window: 25. r6 retires the queue
+    # below.
+    "multimodal_jpeg_decode",
+    "poisson_bootstrap_ci",
+    "permutation_test_mean_diff",
+    "wire_sink_roundtrip",
+    "range_join_binned_incidents",
+    "similarity_pq_adc",
+    "cms_token_frequency",
+    "epoch_shuffle_shards",
+    "curriculum_mix_schedule",
+    "dedup_unicode_normalized",
+    "dedup_edit_distance_pairs",
+    "graph_triangle_counts",
+    "value_histogram_equidepth",
+    "join_skew_diagnostics",
+    "incremental_join_maintenance",
+    "char_diversity_by_source",
+    "inverted_index_postings",
+    "dedup_containment_pairs",
+    "gopher_rules_filter",
+    "weighted_sample_docs",
+    "max_concurrent_shipments",
+    "bigram_lm_surprisal",
+    "bpe_train_merges",
+    "repeated_passage_coverage",
+    "token_budget_selection",
+    "k_core_peel_rounds",
+    "streaming_quality_gate",
+    "audio_energy_windows",
+    "sparse_dot_topk_pairs",
+    "pmi_collocations",
+    "langid_confusion_metrics",
+    "within_doc_dedup",
+    "bpe_apply_compression",
+    "grouped_leakage_free_split",
+    "pca_power_iteration",
+    "cross_source_dup_matrix",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q2_cheapest_part_per_brand",
+    "tpch_q22_idle_customers",
+    "tpch_q8_market_share",
+    # ---- round-6 queue ----------------------------------------------
+    # the remaining never-driver-checked queries, then the rest of the
+    # r1-stale tranche; first in line next round
+    "k_anonymity_audit",
+    "dup_cluster_size_histogram",
+    "similarity_recall_at_k",
+    "ewma_user_value",
+    "cumulative_unique_users_by_day",
+    "first_touch_attribution",
+    "winsorized_price_stats",
+    "basket_lift_pairs",
+    "interarrival_gap_stats",
+    "seasonal_residual_anomaly",
+    "top_event_paths",
+    "mann_kendall_trend",
+    "revenue_gini",
+    "lorenz_curve_deciles",
+    "theil_sen_slope",
+    "ks_two_sample",
+    "cusum_changepoint",
+    "mann_whitney_u",
+    "acf_lag_profile",
+    "spearman_rank_correlation",
+    "kaplan_meier_table",
+    "neyman_allocation_sample",
+    "median_imputation_audit",
+    "benford_first_digit_audit",
+    "linear_model_quality_gate",
+    "dataset_datasheet",
+    "top5_latest",
+    "windowed_counts_60s",
     "revenue_by_region",
     "customers_with_orders",
     "customers_without_orders",
@@ -180,16 +143,6 @@ _SWEEP_PRIORITY = [
     "distinct_mktsegments",
     "sql_cte_priority_revenue",
     "asof_last_login_value",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q2_cheapest_part_per_brand",
-    "tpch_q22_idle_customers",
-    "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_part_value_concentration",
     "tpch_q12_late_shipment_priority",

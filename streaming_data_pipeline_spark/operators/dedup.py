@@ -853,10 +853,21 @@ def containment_pairs(
     from pyspark.sql import Window
 
     _release_caches()
-    base = docs.filter(F.length(text_col) >= gram).select(
-        F.col(id_col).alias("cid"),
-        F.col(text_col).alias("ctext"),
-        F.length(text_col).alias("clen"),
+    # Repartition the BASE rows before the per-char shingle explode —
+    # the documents scan is one split at small SF, and an explode that
+    # multiplies rows ~len(text)-fold must run after a redistribution
+    # (shuffling pre-amplification is len-times cheaper than after).
+    shuffle_n = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = (
+        docs.filter(F.length(text_col) >= gram)
+        .repartition(shuffle_n, id_col)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(text_col).alias("ctext"),
+            F.length(text_col).alias("clen"),
+        )
     )
     shingles = _cached(
         base.select(

@@ -14,9 +14,15 @@ sizing — is real and tested here. Decode status by format:
   ``decode_png_features`` walks the chunk stream, verifies CRCs,
   inflates IDAT, and unfilters every scanline — oracle-checked
   (`multimodal_png_decode`).
-- Formats needing codecs outside the stdlib (JPEG/H.264/...) remain
+- IMAGE (JPEG) decode is REAL: ``synth_jpeg_payloads`` writes spec-valid
+  baseline-sequential JFIF (canonical Huffman entropy coding, byte
+  stuffing) and ``decode_jpeg_features`` re-parses the container,
+  entropy-decodes (DC prediction, AC run/size with EOB+ZRL), dequantizes
+  and runs a fixed-point integer IDCT — oracle-checked
+  (`multimodal_jpeg_decode`).
+- Formats needing codecs outside the stdlib (H.264/AV1/Opus/...) remain
   stubs: ``decode_stub`` raises NotImplementedError (the marked
-  integration point for PIL/ffmpeg); ``fake_decode`` is a deterministic
+  integration point for ffmpeg); ``fake_decode`` is a deterministic
   stand-in so that pipeline stays end-to-end testable too.
 
 Pattern: one ``mapInPandas`` over binary batches (Arrow transfers the
@@ -518,3 +524,423 @@ def decode_wav_frames(df: DataFrame, frame: int = 50) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(run, WAV_FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (the last codec stub made real, stdlib+numpy only).
+#
+# The reference treats media as opaque blobs; re-expressed Spark-first the
+# decode is an Arrow mapInPandas stage like the WAV/PNG paths above. The
+# encoder writes spec-valid baseline-sequential JFIF (SOI/APP0/DQT/SOF0/
+# DHT/SOS/EOI, canonical Huffman DC+AC entropy coding with byte stuffing);
+# the decoder re-parses the container, canonical-decodes the entropy
+# stream (DC prediction, run/size AC with EOB+ZRL, EXTEND sign recovery),
+# dezigzags, dequantizes, and runs a FIXED-POINT integer IDCT — every
+# arithmetic op is int64 multiply/add/shift, so the decode is bit-exact on
+# any platform and a DC-only block reduces to the closed form
+# ``(724*724*dc + 2^21) >> 22`` the SQL oracle can evaluate.
+
+# Zigzag scan order: zigzag index -> natural (row-major) index (T.81 fig 5).
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Quantization table in NATURAL order: q[0]=6 sized so the fixture's DC
+# range (+-200 quantized) drives pixels past BOTH clamp rails.
+_JPEG_Q_NAT = [6] + [1 + ((i * 5) % 16) for i in range(1, 64)]
+
+# Huffman table specs (DHT (bits, values) form — canonical codes follow
+# from lengths alone). Mixed code lengths so the decoder's MINCODE walk
+# is genuinely exercised; Kraft sums < 1 so no all-ones code exists.
+_DC_BITS = [0, 1, 2, 4, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))  # categories 0..11
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 2, 0, 100, 60, 0, 0, 0, 0, 0, 0, 0]
+
+# Fixed-point IDCT basis, M[u][x] = round(2^11 * C(u)/2 * cos((2x+1)u*pi/16))
+# (C(0)=1/sqrt(2)): embedded as literals so no libm call can perturb the
+# decode. pixel = (M^T F M + 2^21) >> 22, within +-2 of the float IDCT.
+_IDCT_M = [
+    [724, 724, 724, 724, 724, 724, 724, 724],
+    [1004, 851, 569, 200, -200, -569, -851, -1004],
+    [946, 392, -392, -946, -946, -392, 392, 946],
+    [851, -200, -1004, -569, 569, 1004, 200, -851],
+    [724, -724, -724, 724, 724, -724, -724, 724],
+    [569, -1004, 200, 851, -851, -200, 1004, -569],
+    [392, -946, 946, -392, -392, 946, -946, 392],
+    [200, -569, 851, -1004, 1004, -851, 569, -200],
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                b = self._acc
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+                self._acc = self._n = 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_coef_blocks(doc_id: int, wb: int, hb: int) -> list[list[int]]:
+    """Deterministic quantized coefficients (ZIGZAG order) per block:
+    even-index blocks are DC-only (flat after IDCT — the oracle's exact
+    pixel path), odd blocks carry ACs at zigzag 1/20/40 — the 19-zero
+    gap before zz40 forces a ZRL(16-zero) code, so run-length encoding
+    is on the oracle-checked path, not just in unit tests."""
+    blocks = []
+    for b in range(wb * hb):
+        zz = [0] * 64
+        zz[0] = ((doc_id * 7 + b * 13) % 401) - 200
+        if b % 2 == 1:
+            zz[1] = ((doc_id + b * 3) % 21) - 10
+            zz[20] = ((doc_id * 5 + b) % 11) - 5
+            zz[40] = ((doc_id * 11 + b * 7) % 7) - 3
+        blocks.append(zz)
+    return blocks
+
+
+def _jpeg_encode(width: int, height: int, blocks: list[list[int]]) -> bytes:
+    """Spec-valid baseline-sequential JFIF around quantized ZIGZAG-order
+    coefficient blocks (grayscale, 1x1 sampling, one scan, no restarts)."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for zz in blocks:
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        t = diff if diff >= 0 else -diff
+        size = t.bit_length()
+        code, length = dc_codes[size]
+        w.put(code, length)
+        if size:
+            w.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+                w.put(zc, zl)
+                run -= 16
+            size = (v if v >= 0 else -v).bit_length()
+            code, length = ac_codes[(run << 4) | size]
+            w.put(code, length)
+            w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            ec, el = ac_codes[0x00]  # EOB
+            w.put(ec, el)
+    scan = w.flush()
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0x00]) + bytes(_JPEG_Q_NAT[_ZIGZAG[k]] for k in range(64))
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; raises on any marker or truncation inside the scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated entropy stream")
+                nxt = self.data[self.pos]
+                if nxt != 0x00:
+                    raise ValueError("unexpected marker inside scan")
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tables(bits: list[int], vals: list[int]):
+    """(code, length) -> symbol map for canonical decoding."""
+    return {cl: sym for sym, cl in _huff_codes(bits, vals).items()}
+
+
+def _read_symbol(r: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    """Parse a baseline grayscale JFIF back to (width, height,
+    coef_blocks_zigzag_quantized, pixel_blocks). Strict: rejects bad
+    signatures, non-baseline frames (e.g. progressive SOF2), missing
+    tables, invalid codes, coefficient overruns, and truncation."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature (no SOI)")
+    pos = 2
+    qtab: dict[int, list[int]] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    width = height = None
+    qsel = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated before SOS")
+        marker, ln = struct.unpack(">HH", payload[pos : pos + 4])
+        if marker >> 8 != 0xFF:
+            raise ValueError("bad marker alignment")
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated segment")
+        pos += 2 + ln
+        m = marker & 0xFF
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zz = body[i + 1 : i + 65]
+                if len(zz) != 64:
+                    raise ValueError("short quant table")
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = zz[k]
+                qtab[tq] = nat
+                i += 65
+        elif m == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            if width == 0 or height == 0:
+                raise ValueError("zero image dimension")
+            qsel = body[8]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline-sequential JPEG not supported")
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("short Huffman table")
+                hufftabs[(tc, th)] = _huff_decode_tables(bits, vals)
+                i += 17 + n
+        elif m == 0xDA:  # SOS
+            if width is None:
+                raise ValueError("SOS before SOF")
+            td, ta = body[2] >> 4, body[2] & 0xF
+            break
+        elif m == 0xD9:
+            raise ValueError("EOI before scan data")
+        # else: APPn/COM — skipped via the length field
+    if qsel not in qtab:
+        raise ValueError("missing quantization table")
+    if (0, td) not in hufftabs or (1, ta) not in hufftabs:
+        raise ValueError("missing Huffman table")
+    dc_tab, ac_tab = hufftabs[(0, td)], hufftabs[(1, ta)]
+    q = qtab[qsel]
+
+    wb = (width + 7) // 8
+    hb = (height + 7) // 8
+    r = _JpegBitReader(payload, pos)
+    Mn = np.array(_IDCT_M, dtype=np.int64)
+    coef_blocks: list[list[int]] = []
+    pixel_blocks: list[np.ndarray] = []
+    prev_dc = 0
+    for _ in range(wb * hb):
+        zz = [0] * 64
+        size = _read_symbol(r, dc_tab)
+        diff = _extend(r.bits(size), size) if size else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_symbol(r, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("coefficient run past end of block")
+            zz[k] = _extend(r.bits(size), size)
+            k += 1
+        coef_blocks.append(zz)
+        fnat = np.zeros((8, 8), dtype=np.int64)
+        for kk in range(64):
+            if zz[kk]:
+                nat = _ZIGZAG[kk]
+                fnat[nat // 8, nat % 8] = zz[kk] * q[nat]
+        px = ((Mn.T @ fnat @ Mn + (1 << 21)) >> 22) + 128
+        pixel_blocks.append(np.clip(px, 0, 255))
+    # Byte-align, then the stream must close with EOI.
+    if payload[r.pos : r.pos + 2] != b"\xff\xd9":
+        raise ValueError("missing EOI after scan")
+    return width, height, coef_blocks, pixel_blocks
+
+
+JPEG_FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, n_blocks long, "
+    "dc_dequant_sum long, ac_dequant_sum long, flat_pixel_sum long"
+)
+
+
+def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL baseline JPEG per row: deterministic quantized
+    coefficients (``_jpeg_coef_blocks``) entropy-coded into a spec-valid
+    JFIF container. Image geometry per doc: 2+doc_id%3 x 1+doc_id%2
+    blocks, with the pixel dims cropped below the block grid
+    (w = 8*wb - doc_id%4, h = 8*hb - doc_id%3) so partial edge blocks
+    are on the decode path too."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                doc_id = int(d)
+                wb, hb = 2 + doc_id % 3, 1 + doc_id % 2
+                w, h = 8 * wb - doc_id % 4, 8 * hb - doc_id % 3
+                payloads.append(
+                    _jpeg_encode(w, h, _jpeg_coef_blocks(doc_id, wb, hb))
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, "doc_id long, payload binary")
+
+
+def decode_jpeg_features(df: DataFrame) -> DataFrame:
+    """REAL JPEG decode, stdlib+numpy only: container parse, canonical
+    Huffman entropy decode (DC prediction + EXTEND, AC run/size with
+    EOB and ZRL), dezigzag, dequantization, fixed-point integer IDCT,
+    level shift, clamp — reduced to exact integer features:
+
+    - ``dc_dequant_sum`` / ``ac_dequant_sum``: sums of dequantized
+      coefficients (huffman+zigzag+DQT must all be exact);
+    - ``flat_pixel_sum``: the VISIBLE (cropped) pixels of even-index
+      blocks summed from the IDCT output — those blocks are DC-only by
+      construction, so the oracle evaluates the decoder's own DC-only
+      closed form ``clamp(128 + (724^2*dc + 2^21) >> 22)`` without a
+      SQL IDCT; the decoder doesn't know which blocks are flat, it just
+      sums what the full pipeline produced.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_blocks": [],
+                "dc_dequant_sum": [], "ac_dequant_sum": [], "flat_pixel_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, coefs, pixels = _decode_jpeg(bytes(payload))
+                wb = (w + 7) // 8
+                dc_sum = ac_sum = flat_sum = 0
+                for b, zz in enumerate(coefs):
+                    dc_sum += zz[0] * _JPEG_Q_NAT[0]
+                    ac_sum += sum(
+                        zz[k] * _JPEG_Q_NAT[_ZIGZAG[k]] for k in range(1, 64)
+                    )
+                    if b % 2 == 0:
+                        bx, by = b % wb, b // wb
+                        vis = pixels[b][
+                            : min(8, h - 8 * by), : min(8, w - 8 * bx)
+                        ]
+                        flat_sum += int(vis.sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_blocks"].append(len(coefs))
+                out["dc_dequant_sum"].append(dc_sum)
+                out["ac_dequant_sum"].append(ac_sum)
+                out["flat_pixel_sum"].append(flat_sum)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, JPEG_FEATURE_SCHEMA)

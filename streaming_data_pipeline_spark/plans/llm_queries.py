@@ -211,9 +211,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1, where the group graph has a few thousand edges) — the step
     that turns pairwise near-dups into "keep one doc per cluster". Docs
     in no pair are singleton clusters. The DuckDB oracle computes the
-    same components with a recursive transitive-closure CTE over doc
-    pairs (oracle-only shape: closure is O(cluster^2)), proving the
-    group-graph shortcut changes nothing."""
+    same components with unrolled pointer-doubling min-label
+    propagation over the doc-pair edges (materialized per round, O(V+E)
+    a round, with a fixpoint-certificate round that injects a loud
+    sentinel row if unconverged — never a silent wrong pass), proving
+    the group-graph shortcut changes nothing; unlike the earlier
+    transitive-closure CTE this oracle also runs at sf0.1, so the
+    full-scale sweep has no skips."""
     from streaming_data_pipeline_spark.operators.dedup import (
         minhash_cluster_labels,
     )
@@ -1222,29 +1226,69 @@ WHERE rank <= 10 ORDER BY probe_id, rank
 # (same WITH body, sans its trailing total ORDER BY).
 _PAIRS_SQL = ORACLE["dedup_near_minhash_lsh"].rsplit("ORDER BY", 1)[0]
 
+# Connected components WITHOUT a transitive-closure CTE: the naive
+# RECURSIVE `reach` accumulates one row per (node, reachable-label) —
+# O(sum of cluster^2) with combinatorial re-derivation, which is why
+# the sf0.1 sweep used to skip this pair. Instead: unrolled min-label
+# propagation with POINTER DOUBLING, every round MATERIALIZED (DuckDB
+# inlines plain CTEs and would re-evaluate the chain exponentially).
+# Round k folds three candidate label sources per node — keep, best
+# neighbor label, label-of-label (following the current parent
+# compresses 2^k hops after k rounds) — so convergence needs only
+# ~log2(diameter) rounds and every round is O(V + E) rows. A fixpoint
+# CERTIFICATE runs one extra round and injects a loud sentinel row
+# (doc_id = -1) if anything still moved, so an unconverged run can
+# never silently pass the compare.
+_CC_ROUNDS = 12  # covers component diameter up to 2^12
+
+
+def _cc_propagation_sql() -> str:
+    rounds = []
+    prev = "l0"
+    rounds.append(
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_id AS node, doc_id AS lbl"
+        " FROM documents)"
+    )
+    for k in range(1, _CC_ROUNDS + 2):  # +1 extra round = the certificate
+        cur = f"l{k}"
+        rounds.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT node, lbl FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, p.lbl FROM edges e JOIN {prev} p ON e.dst = p.node
+    UNION ALL
+    SELECT a.node, b.lbl FROM {prev} a JOIN {prev} b ON a.lbl = b.node
+  ) GROUP BY node)"""
+        )
+        prev = cur
+    return ",\n".join(rounds)
+
+
 ORACLE["dedup_cluster_components"] = f"""
-WITH RECURSIVE pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM ( {_PAIRS_SQL} )
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
-nodes AS (SELECT DISTINCT doc_id AS node FROM documents),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node
-),
-labels AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+{_cc_propagation_sql()},
+moved AS (
+  SELECT COUNT(*) AS n FROM l{_CC_ROUNDS} f
+  JOIN l{_CC_ROUNDS + 1} nx ON f.node = nx.node AND f.lbl <> nx.lbl),
+labels AS (SELECT node AS doc_id, lbl AS cluster_id FROM l{_CC_ROUNDS})
 SELECT l.doc_id,
        CAST(l.cluster_id AS BIGINT) AS cluster_id,
        CAST(c.sz AS BIGINT) AS cluster_size
 FROM labels l
 JOIN (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id) c
   USING (cluster_id)
-ORDER BY l.doc_id
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(n AS BIGINT)
+FROM moved WHERE n > 0
+ORDER BY doc_id
 """
 
 ORACLE["tfidf_top_terms"] = f"""
@@ -1417,8 +1461,8 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer features. The oracle regenerates the PCM formula in
     SQL — so a header-parsing or byte-order bug anywhere in the decode
     path flips the row red. Upgrades the round-2 'decode is a stub'
-    weakness: the codec here is real; only non-stdlib formats
-    (JPEG/H.264) remain documented stubs.
+    weakness: the codec here is real; only formats with no
+    pure-Python-feasible codec (H.264/AV1) remain documented stubs.
     """
     from streaming_data_pipeline_spark.operators.multimodal import (
         decode_wav_features,
@@ -1511,6 +1555,76 @@ SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
        CAST(MAX(CASE WHEN r = 7 AND c = 7 THEN p END) AS BIGINT)
          AS resized_corner
 FROM rz GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end — the last codec stub made
+    real (operators/multimodal.py): spec-valid JFIF files (SOI/APP0/
+    DQT/SOF0/DHT/SOS/EOI, canonical Huffman entropy coding with byte
+    stuffing) are synthesized per doc from deterministic quantized
+    coefficients, then a second Arrow stage re-parses the container,
+    canonical-decodes the entropy stream (DC prediction + EXTEND, AC
+    run/size with EOB and ZRL — the fixture's 19-zero gaps force real
+    ZRL codes), dezigzags, dequantizes, and runs a fixed-point integer
+    IDCT with level shift and clamp. The oracle regenerates the
+    coefficient formulas in SQL, and for the DC-only blocks evaluates
+    the integer IDCT's exact closed form — so a Huffman, zigzag, DQT,
+    predictor, IDCT, crop, or clamp bug flips rows red. Partial edge
+    blocks (image dims below the block grid) are on the checked path.
+    With `multimodal_wav_decode` and `multimodal_png_decode` all three
+    dominant training-data modalities decode for real, stdlib-only."""
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg_payloads,
+    )
+
+    # The documents scan is one split at small SF; redistribute BEFORE
+    # the per-row Python encode/decode stages so the Arrow batches run
+    # on every core (same rule as the repartition-before-explode plans).
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_table(spark, sf_dir, "documents").repartition(shuffle_n, "doc_id")
+    return decode_jpeg_features(synth_jpeg_payloads(docs)).orderBy("doc_id")
+
+
+QUERIES["multimodal_jpeg_decode"] = multimodal_jpeg_decode
+# q table: q[0]=6, q[nat]=1+((nat*5)%16); zigzag 1/20/40 -> natural
+# 1/40/29 -> q 6/9/2. Flat-block pixel = clamp(128 + (724^2*dc_dq +
+# 2^21) >> 22); the >> is floor, expressed with a +2^32 offset so the
+# numerator stays positive (// truncation == floor there).
+ORACLE["multimodal_jpeg_decode"] = """
+WITH geo AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+         8 * (2 + doc_id % 3) - doc_id % 4 AS w,
+         8 * (1 + doc_id % 2) - doc_id % 3 AS h
+  FROM documents),
+blk AS (
+  SELECT g.doc_id, g.wb, g.hb, g.w, g.h, CAST(u.b AS BIGINT) AS b,
+         (((g.doc_id * 7 + u.b * 13) % 401) - 200) * 6 AS dc_dq
+  FROM geo g, UNNEST(range(CAST(g.wb * g.hb AS BIGINT))) AS u(b)),
+feat AS (
+  SELECT doc_id, w, h, wb, hb, dc_dq,
+         CASE WHEN b % 2 = 1 THEN
+             (((doc_id + b * 3) % 21) - 10) * 6
+           + (((doc_id * 5 + b) % 11) - 5) * 9
+           + (((doc_id * 11 + b * 7) % 7) - 3) * 2
+         ELSE 0 END AS ac_dq,
+         CASE WHEN b % 2 = 0 THEN
+           LEAST(8, w - 8 * (b % wb)) * LEAST(8, h - 8 * (b // wb))
+           * LEAST(255, GREATEST(0,
+               128 + ((524176 * dc_dq + 2097152 + 4294967296) // 4194304)
+               - 1024))
+         ELSE 0 END AS flat_px
+  FROM blk)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(wb) * MAX(hb) AS BIGINT) AS n_blocks,
+       CAST(SUM(dc_dq) AS BIGINT) AS dc_dequant_sum,
+       CAST(SUM(ac_dq) AS BIGINT) AS ac_dequant_sum,
+       CAST(SUM(flat_px) AS BIGINT) AS flat_pixel_sum
+FROM feat GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -2042,9 +2156,16 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon_text = docs.select(
         F.col("doc_id").alias("canon_id"), F.col("text").alias("canon_text")
     )
+    # Spread the star edges by MEMBER id before the DP runs: one
+    # duplicate-heavy block shares a single canon_id, so partitioning
+    # by the join key (or leaving the scan's single split) would put
+    # every O(len^2) Levenshtein of that block on one task; the
+    # canonical texts are a small broadcast.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
         members.filter(F.col("doc_id") != F.col("canon_id"))
-        .join(canon_text, "canon_id")
+        .repartition(shuffle_n, "doc_id")
+        .join(F.broadcast(canon_text), "canon_id")
         .select(
             F.col("canon_id").alias("id_a"),
             F.col("doc_id").alias("id_b"),
@@ -2473,8 +2594,13 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) 
     and two stacked aggs fold to doc then source. All counts integer;
     coverage = repeated_positions * 1e6 // positions.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= gram
+    # Repartition before the ~len(text)-fold gram explode (the scan is
+    # one split at small SF; amplified work must not run single-task).
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= gram)
+        .repartition(shuffle_n, "doc_id")
     )
     per_dg = (
         docs.select(
