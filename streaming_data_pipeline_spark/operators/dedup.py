@@ -4,12 +4,15 @@
 Scale design (100 TB):
 - exact/token-set dedup is one hash-groupBy — a single shuffle on the
   16-byte fingerprint, with map-side partial aggregation;
-- MinHash LSH: signatures are computed scan-side (no shuffle), then
-  explode(bands) -> shuffle keyed by (band, bucket) -> per-bucket
-  self-join. Candidate volume is bounded by the banding s-curve, never
-  O(n^2); exact Jaccard verification happens only on candidates;
-- SimHash: 64-bit signature per doc from token hashes, again scan-side;
-  near-dup candidates via matching any 16-bit chunk.
+- MinHash LSH: signatures are computed map-side (narrow scans first get
+  spread_small_scan's conditional redistribution so per-doc tokenize/
+  hash work never runs single-task; at real scale the scan's own splits
+  carry it), then explode(bands) -> shuffle keyed by (band, bucket) ->
+  per-bucket self-join. Candidate volume is bounded by the banding
+  s-curve, never O(n^2); exact Jaccard verification happens only on
+  candidates;
+- SimHash: 64-bit signature per doc from token hashes, same map-side
+  shape; near-dup candidates via matching any 16-bit chunk.
 All hashing is md5-based so the DuckDB oracle reproduces results
 bit-for-bit (no engine-private hash functions on any result path).
 """
@@ -19,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_spark.sources.batch import spread_small_scan
 from streaming_data_pipeline_spark.functions.text import (
     distinct_tokens,
     lsh_band_buckets,
@@ -154,11 +158,16 @@ def _minhash_group_stage(
     if tokens_fn is None:
         tokens_fn = distinct_tokens
     _release_caches()
+    # Repartition the base rows first: the parquet scan is one split at
+    # small SF, and tokenize + array_sort + md5 per doc is the kind of
+    # per-row amplification that must never run in a single task.
     members = _cached(
-        df.select(
+        spread_small_scan(df, id_col)
+        .select(
             F.col(id_col).alias("id"),
             F.array_sort(tokens_fn(F.col(text_col))).alias("toks"),
-        ).withColumn("fp", F.md5(F.concat_ws(" ", "toks")))
+        )
+        .withColumn("fp", F.md5(F.concat_ws(" ", "toks")))
     )
     member_ids = members.select("id", "fp")
 
@@ -459,10 +468,18 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     ~20x slower at sf0.1. explode_outer keeps empty/null-token documents
     as all-zero-contribution rows, so they still get the all-'0' hash.
     """
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(distinct_tokens(F.col(text_col))).alias("t"),
-    ).withColumn("h", F.md5("t"))
+    # Repartition before the token explode + per-token md5: the scan is
+    # one split at small SF and the amplified hash work must not run in
+    # a single task (the map-side combine of the 64-sum aggregate then
+    # keeps the shuffled volume one row per (doc, partition)).
+    tok = (
+        spread_small_scan(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(distinct_tokens(F.col(text_col))).alias("t"),
+        )
+        .withColumn("h", F.md5("t"))
+    )
     nibs = [
         F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"nib{i}")
         for i in range(16)
@@ -857,12 +874,8 @@ def containment_pairs(
     # the documents scan is one split at small SF, and an explode that
     # multiplies rows ~len(text)-fold must run after a redistribution
     # (shuffling pre-amplification is len-times cheaper than after).
-    shuffle_n = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     base = (
-        docs.filter(F.length(text_col) >= gram)
-        .repartition(shuffle_n, id_col)
+        spread_small_scan(docs.filter(F.length(text_col) >= gram), id_col)
         .select(
             F.col(id_col).alias("cid"),
             F.col(text_col).alias("ctext"),

@@ -38,7 +38,7 @@ from streaming_data_pipeline_spark.plans.base import (
     int_halfup_avg_expr,
     int_halfup_avg_sql,
 )
-from streaming_data_pipeline_spark.sources.batch import load_table
+from streaming_data_pipeline_spark.sources.batch import load_table, spread_small_scan
 
 
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2629,9 +2629,8 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str, b_count: int = 100) -
     # larger shuffle to spread it). Shuffling the un-amplified frame is
     # B-times cheaper and the per-resample hash-agg then combines
     # map-side, so the amplified rows never cross the wire.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sampled = (
-        orders.repartition(shuffle_n, "o_orderkey")
+        spread_small_scan(orders, "o_orderkey")
         .select(
             "o_orderkey",
             "cents",
@@ -2832,9 +2831,8 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str, b_count: int = 
     # Same repartition-before-amplification rule as poisson_bootstrap_ci:
     # the small scan is one split, so exploding first would run the md5
     # relabeling single-task; shuffling the base rows is B-times cheaper.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     perm = (
-        ev.repartition(shuffle_n, "event_id")
+        spread_small_scan(ev, "event_id")
         .select(
             "event_id", "cents", F.explode(F.expr(f"sequence(1, {b_count})")).alias("b")
         )

@@ -51,7 +51,7 @@ from streaming_data_pipeline_spark.operators.similarity import (
     multitable_lsh_topk,
     near_dup_pairs,
 )
-from streaming_data_pipeline_spark.sources.batch import load_table
+from streaming_data_pipeline_spark.sources.batch import load_table, spread_small_scan
 
 N_PROBES = 5  # probe set: vec_id < 5
 DIM = 64
@@ -1469,7 +1469,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return decode_wav_features(synth_wav_payloads(docs)).orderBy("doc_id")
 
 
@@ -1502,7 +1504,9 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return decode_png_features(synth_png_payloads(docs)).orderBy("doc_id")
 
 
@@ -1535,7 +1539,9 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return resize_png_pixels(synth_png_payloads(docs)).orderBy("doc_id")
 
 
@@ -1582,8 +1588,9 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The documents scan is one split at small SF; redistribute BEFORE
     # the per-row Python encode/decode stages so the Arrow batches run
     # on every core (same rule as the repartition-before-explode plans).
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load_table(spark, sf_dir, "documents").repartition(shuffle_n, "doc_id")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return decode_jpeg_features(synth_jpeg_payloads(docs)).orderBy("doc_id")
 
 
@@ -1647,7 +1654,12 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Redistribute before the per-row Python encode/decode stages: the
+    # documents scan is one split at small SF, and the whole PNG synth +
+    # unfilter + dHash pipeline would otherwise run in a single task.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     sig = dhash_png(synth_png_payloads(docs))
     return phash_near_dup_pairs(sig, max_hamming=3).orderBy("id_a", "id_b")
 
@@ -2161,10 +2173,10 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the join key (or leaving the scan's single split) would put
     # every O(len^2) Levenshtein of that block on one task; the
     # canonical texts are a small broadcast.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        members.filter(F.col("doc_id") != F.col("canon_id"))
-        .repartition(shuffle_n, "doc_id")
+        spread_small_scan(
+            members.filter(F.col("doc_id") != F.col("canon_id")), "doc_id"
+        )
         .join(F.broadcast(canon_text), "canon_id")
         .select(
             F.col("canon_id").alias("id_a"),
@@ -2596,11 +2608,9 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) 
     """
     # Repartition before the ~len(text)-fold gram explode (the scan is
     # one split at small SF; amplified work must not run single-task).
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length("text") >= gram)
-        .repartition(shuffle_n, "doc_id")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") >= gram),
+        "doc_id",
     )
     per_dg = (
         docs.select(

@@ -50,6 +50,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Redistribute a NARROW scan before row-amplifying work.
+
+    Any operator that multiplies rows (explode of per-char shingles, a
+    B-way resample, per-row Python encode/decode) must run on a frame
+    that is already spread across the cluster — a tiny parquet table
+    yields one or two input splits, and amplifying on top of that runs
+    the whole blow-up in a single task (measured 28 s -> ~2 s on the
+    bootstrap plan). Repartitioning BEFORE the amplification is
+    amplification-factor-times cheaper than after.
+
+    The repartition is CONDITIONAL: at real scale the scan already has
+    at least the session's shuffle parallelism in splits
+    (``spark.sql.files.maxPartitionBytes``) and an unconditional
+    repartition would shuffle the full table for nothing. Checking the
+    physical partition count costs one plan analysis, no job.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (mirrors the DuckDB
     oracle's pre-registered views) so queries can be written in pure SQL."""
