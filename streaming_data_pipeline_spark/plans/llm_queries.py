@@ -2848,7 +2848,11 @@ def langid_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both frames bounded by the label-domain squared). All ratios are
     integer ppm divisions.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # the per-doc lang_id heuristic is the heavy map work — spread the
+    # narrow scan so it doesn't run single-task
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     pred = docs.select(
         F.col("lang").alias("actual"),
         lang_id(F.col("text")).alias("predicted"),
