@@ -102,8 +102,23 @@ _SWEEP_PRIORITY = [
     "tpch_q22_idle_customers",
     "tpch_q8_market_share",
     # ---- round-6 queue ----------------------------------------------
-    # the remaining never-driver-checked queries, then the rest of the
-    # r1-stale tranche; first in line next round
+    # FIRST: queries whose physical plans changed in round 5 after their
+    # last driver row (spread_small_scan in the shared minhash/simhash/
+    # multimodal stages — results identical, verified green in four full
+    # sf0.01 sweeps + the skip-free sf0.1 sweep this round, but their
+    # first-party rows predate the change), then the remaining
+    # never-driver-checked queries, then the rest of the r1-stale tranche
+    "dedup_near_minhash_lsh",
+    "simhash_near_dup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_estimate_error",
+    "dedup_cluster_components",
+    "dedup_keep_canonical",
+    "dedup_keep_best_quality",
+    "image_phash_near_dup",
+    "multimodal_png_decode",
+    "multimodal_png_resize",
+    "multimodal_wav_decode",
     "k_anonymity_audit",
     "dup_cluster_size_histogram",
     "similarity_recall_at_k",
