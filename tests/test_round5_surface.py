@@ -341,3 +341,76 @@ def test_amplifying_explodes_run_post_exchange(spark):
         # executedPlan prints top-down: the Generate consumes the
         # Exchange's output, so it must appear ABOVE (before) it.
         assert gen < exch, (fn.__name__, gen, exch)
+
+
+# --------------------------------------------------- property tests --
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _coef_blocks(draw):
+    """1-4 random quantized coefficient blocks, each with 0-16 nonzero
+    ACs at arbitrary zigzag positions and values across every JPEG
+    category the tables support (|v| <= 1023 -> size <= 10)."""
+    n_blocks = draw(st.integers(1, 4))
+    blocks = []
+    for _ in range(n_blocks):
+        zz = [0] * 64
+        zz[0] = draw(st.integers(-1023, 1023))
+        n_ac = draw(st.integers(0, 16))
+        positions = draw(
+            st.lists(st.integers(1, 63), min_size=n_ac, max_size=n_ac, unique=True)
+        )
+        for p in positions:
+            zz[p] = draw(st.integers(-1023, 1023).filter(lambda v: v != 0))
+        blocks.append(zz)
+    return blocks
+
+
+@settings(max_examples=150, deadline=None)
+@given(_coef_blocks())
+def test_jpeg_entropy_roundtrip_property(blocks):
+    """PROPERTY: the entropy coder round-trips ANY quantized coefficient
+    blocks exactly — every DC diff category, every (run,size) pair, any
+    ZRL chain, any EOB position hypothesis can construct."""
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        _jpeg_encode,
+    )
+
+    w, h = 8 * len(blocks), 8
+    payload = _jpeg_encode(w, h, blocks)
+    w2, h2, coefs, pixels = _decode_jpeg(payload)
+    assert (w2, h2) == (w, h)
+    assert coefs == blocks
+    assert all(p.min() >= 0 and p.max() <= 255 for p in pixels)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(1, 200), min_size=1, max_size=8),
+    st.integers(1, 3),
+)
+def test_pysource_frontier_monotone_property(commits, restarts):
+    """PROPERTY: across any commit sequence interleaved with any number
+    of restarts, a fresh reader's first latestOffset never falls below
+    the largest committed frontier (the durable exactly-once invariant)."""
+    import tempfile
+
+    from streaming_data_pipeline_spark.sources import pysource
+
+    fdir = tempfile.mkdtemp(prefix="frontier-prop-")
+    opts = {"num_rows": "100000", "rows_per_batch": "50", "frontier_dir": fdir}
+    frontier = 0
+    r = pysource._SynthStreamReader(opts)
+    for i, step in enumerate(commits):
+        frontier += step
+        r.commit({"index": frontier})
+        if i % max(1, len(commits) // restarts) == 0:
+            r = pysource._SynthStreamReader(opts)  # restart
+            assert r.latestOffset()["index"] >= frontier
+    r2 = pysource._SynthStreamReader(opts)
+    assert r2.latestOffset()["index"] >= frontier
