@@ -768,6 +768,14 @@ def _decode_jpeg(payload: bytes):
     width = height = None
     qsel = 0
     while True:
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them so spec-legal padding parses.
+        while (
+            pos + 1 < len(payload)
+            and payload[pos] == 0xFF
+            and payload[pos + 1] == 0xFF
+        ):
+            pos += 1
         if pos + 4 > len(payload):
             raise ValueError("truncated before SOS")
         marker, ln = struct.unpack(">HH", payload[pos : pos + 4])
@@ -862,8 +870,16 @@ def _decode_jpeg(payload: bytes):
                 fnat[nat // 8, nat % 8] = zz[kk] * q[nat]
         px = ((Mn.T @ fnat @ Mn + (1 << 21)) >> 22) + 128
         pixel_blocks.append(np.clip(px, 0, 255))
-    # Byte-align, then the stream must close with EOI.
-    if payload[r.pos : r.pos + 2] != b"\xff\xd9":
+    # Byte-align, then the stream must close with EOI (fill bytes
+    # before it are spec-legal padding).
+    end = r.pos
+    while (
+        end + 1 < len(payload)
+        and payload[end] == 0xFF
+        and payload[end + 1] == 0xFF
+    ):
+        end += 1
+    if payload[end : end + 2] != b"\xff\xd9":
         raise ValueError("missing EOI after scan")
     return width, height, coef_blocks, pixel_blocks
 

@@ -414,3 +414,21 @@ def test_pysource_frontier_monotone_property(commits, restarts):
             assert r.latestOffset()["index"] >= frontier
     r2 = pysource._SynthStreamReader(opts)
     assert r2.latestOffset()["index"] >= frontier
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes — spec-legal padding (emitted by some encoders between
+    segments and before EOI) must parse to the identical result."""
+    from streaming_data_pipeline_spark.operators.multimodal import _decode_jpeg
+
+    good = _valid_jpeg()
+    base = _decode_jpeg(good)
+
+    # fill before the DQT segment and before EOI
+    i = good.index(b"\xff\xdb")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:-2] + b"\xff\xff" + good[-2:]
+    assert _decode_jpeg(padded)[:3] == base[:3]
+    assert [p.tolist() for p in _decode_jpeg(padded)[3]] == [
+        p.tolist() for p in base[3]
+    ]
