@@ -753,7 +753,8 @@ def _extend(v: int, size: int) -> int:
 
 def _decode_jpeg(payload: bytes):
     """Parse a baseline grayscale JFIF back to (width, height,
-    coef_blocks_zigzag_quantized, pixel_blocks). Strict: rejects bad
+    coef_blocks_zigzag_quantized, pixel_blocks, quant_table_natural).
+    Strict: rejects bad
     signatures, non-baseline frames (e.g. progressive SOF2), missing
     tables, invalid codes, coefficient overruns, and truncation."""
     import struct
@@ -881,7 +882,10 @@ def _decode_jpeg(payload: bytes):
         end += 1
     if payload[end : end + 2] != b"\xff\xd9":
         raise ValueError("missing EOI after scan")
-    return width, height, coef_blocks, pixel_blocks
+    # q is the payload's OWN natural-order quant table: feature math
+    # downstream must use it, not the encoder's module constant, so the
+    # decode path stays self-contained for arbitrary baseline JPEGs.
+    return width, height, coef_blocks, pixel_blocks, q
 
 
 JPEG_FEATURE_SCHEMA = (
@@ -920,7 +924,10 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
     level shift, clamp — reduced to exact integer features:
 
     - ``dc_dequant_sum`` / ``ac_dequant_sum``: sums of dequantized
-      coefficients (huffman+zigzag+DQT must all be exact);
+      coefficients using the quant table PARSED FROM THE PAYLOAD's DQT
+      segment (huffman+zigzag+DQT must all be exact, and a payload
+      whose DQT differs from the synth encoder's dequantizes with its
+      own table — the feature path is self-contained);
     - ``flat_pixel_sum``: the VISIBLE (cropped) pixels of even-index
       blocks summed from the IDCT output — those blocks are DC-only by
       construction, so the oracle evaluates the decoder's own DC-only
@@ -936,13 +943,13 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
                 "dc_dequant_sum": [], "ac_dequant_sum": [], "flat_pixel_sum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, coefs, pixels = _decode_jpeg(bytes(payload))
+                w, h, coefs, pixels, q = _decode_jpeg(bytes(payload))
                 wb = (w + 7) // 8
                 dc_sum = ac_sum = flat_sum = 0
                 for b, zz in enumerate(coefs):
-                    dc_sum += zz[0] * _JPEG_Q_NAT[0]
+                    dc_sum += zz[0] * q[0]
                     ac_sum += sum(
-                        zz[k] * _JPEG_Q_NAT[_ZIGZAG[k]] for k in range(1, 64)
+                        zz[k] * q[_ZIGZAG[k]] for k in range(1, 64)
                     )
                     if b % 2 == 0:
                         bx, by = b % wb, b // wb

@@ -2164,15 +2164,23 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = docs.groupBy("fp").agg(
         F.count("*").alias("cnt"), F.min("doc_id").alias("canon_id")
     )
-    members = docs.join(grp.filter(F.col("cnt") > 1), "fp")
-    canon_text = docs.select(
-        F.col("doc_id").alias("canon_id"), F.col("text").alias("canon_text")
-    )
+    dup_blocks = grp.filter(F.col("cnt") > 1)
+    members = docs.join(dup_blocks, "fp")
+    # The broadcast side must be the CANONICAL texts only — one row per
+    # duplicate block, not the full corpus. Semi-joining docs against
+    # the (broadcast, tiny) canon_id set keeps the full-table pass
+    # map-side; broadcasting all of docs here would ship the whole
+    # corpus text to every executor at real scale.
+    canon_text = docs.join(
+        F.broadcast(dup_blocks.select("canon_id")),
+        docs["doc_id"] == F.col("canon_id"),
+        "left_semi",
+    ).select(F.col("doc_id").alias("canon_id"), F.col("text").alias("canon_text"))
     # Spread the star edges by MEMBER id before the DP runs: one
     # duplicate-heavy block shares a single canon_id, so partitioning
     # by the join key (or leaving the scan's single split) would put
     # every O(len^2) Levenshtein of that block on one task; the
-    # canonical texts are a small broadcast.
+    # canonical texts (bounded by the duplicate-block count) broadcast.
     return (
         spread_small_scan(
             members.filter(F.col("doc_id") != F.col("canon_id")), "doc_id"

@@ -64,9 +64,22 @@ def spread_small_scan(df: DataFrame, *keys: str) -> DataFrame:
     The repartition is CONDITIONAL: at real scale the scan already has
     at least the session's shuffle parallelism in splits
     (``spark.sql.files.maxPartitionBytes``) and an unconditional
-    repartition would shuffle the full table for nothing. Checking the
-    physical partition count costs one plan analysis, no job.
+    repartition would shuffle the full table for nothing.
+
+    BATCH ONLY: the partition-count probe goes through
+    ``df.rdd.getNumPartitions()``, which forces physical planning and
+    RDD lineage construction (one plan analysis per call, no job) and
+    is undefined for a streaming DataFrame — a streaming frame raises
+    here rather than failing deep inside the RDD bridge. Streaming
+    plans size their parallelism via ``spark.sql.shuffle.partitions``
+    on the stateful exchange instead.
     """
+    if df.isStreaming:
+        raise ValueError(
+            "spread_small_scan is batch-only: a streaming DataFrame has "
+            "no physical partition count to probe; rely on "
+            "spark.sql.shuffle.partitions for the stateful exchange."
+        )
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() >= n:

@@ -131,7 +131,7 @@ def test_jpeg_huffman_roundtrip_adversarial_blocks():
     signs[0], signs[2], signs[3] = -1, 1, -1
     cases.append(signs)
     payload = _jpeg_encode(40, 8, cases)
-    w, h, coefs, pixels = _decode_jpeg(payload)
+    w, h, coefs, pixels, _q = _decode_jpeg(payload)
     assert (w, h) == (40, 8)
     assert coefs == cases
     assert len(pixels) == 5
@@ -383,7 +383,7 @@ def test_jpeg_entropy_roundtrip_property(blocks):
 
     w, h = 8 * len(blocks), 8
     payload = _jpeg_encode(w, h, blocks)
-    w2, h2, coefs, pixels = _decode_jpeg(payload)
+    w2, h2, coefs, pixels, _q = _decode_jpeg(payload)
     assert (w2, h2) == (w, h)
     assert coefs == blocks
     assert all(p.min() >= 0 and p.max() <= 255 for p in pixels)
