@@ -219,6 +219,18 @@ class _SynthStreamReader(DataSourceStreamReader):
 
             os.makedirs(frontier_dir, exist_ok=True)
             self._frontier_path = os.path.join(frontier_dir, "frontier.json")
+            # Crash-window hygiene: a crash between the tmp write and
+            # os.replace in _persist_frontier leaves a stray .tmp whose
+            # content was never committed (the engine may not have
+            # logged that offset). The committed frontier is ONLY ever
+            # frontier.json (atomic rename), so the stray is discarded
+            # — resuming from it could skip ranges the engine plans to
+            # replay; resuming from frontier.json is always >= the last
+            # truly committed frontier.
+            try:
+                os.remove(self._frontier_path + ".tmp")
+            except FileNotFoundError:
+                pass
             persisted = self._read_frontier()
             self._latest = self._floor = persisted
 

@@ -53,10 +53,25 @@ defined:
   commit racing an ``append`` commit — whichever line lands second
   decides whether the append survives, exactly as two racing jobs
   against any table with snapshot-overwrite semantics.
-* NOT ALLOWED concurrently: :func:`vacuum`. Compaction rewrites the
-  manifest and deletes unreferenced data files, so it requires a quiet
-  window with no in-flight writers (the same operational contract as a
-  table-format VACUUM); a commit racing a vacuum can lose its entry.
+* DEFINED: a commit racing :func:`vacuum`. Both sides cooperate
+  through an advisory ``flock`` on the manifest inode — each commit
+  appends under a shared lock and re-opens if the manifest was
+  rewritten underneath it (inode check), while ``vacuum`` holds the
+  exclusive lock across its read -> rewrite -> rename. A racing commit
+  therefore lands either before the compaction (and is carried into
+  the rewritten manifest) or after it (appended to the new file);
+  it is never lost. Enforced by an interleaved writer-during-vacuum
+  test, not just contract prose.
+* READERS vs :func:`vacuum`: the manifest swap itself is safe (atomic
+  rename — a reader resolves either snapshot), but ``read_committed``
+  lists files eagerly while ``spark.read.json`` consumes them lazily:
+  a reader that resolved a pre-truncate (or superseded-epoch) snapshot
+  before vacuum runs can have its DATA FILES deleted mid-read. The
+  operational contract is therefore: vacuum's quiet window must cover
+  in-flight READERS of superseded snapshots, or pass
+  ``min_age_seconds`` >= the longest reader duration so unreferenced
+  data files are retained until no snapshot that old can still be
+  open (the table-format retention-window discipline).
 
 Retention: without :func:`vacuum`, the manifest grows one line per
 commit forever and a ``truncate`` leaves superseded data files on disk
@@ -66,8 +81,10 @@ should vacuum on a maintenance cadence.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -102,28 +119,63 @@ def _stage_partition(path: str, iterator) -> _Staged:
     return _Staged(filename=name, rows=n)
 
 
+def _locked_manifest_fd(manifest: str, exclusive: bool) -> int:
+    """Open the LIVE manifest and ``flock`` it; caller ``os.close``-s
+    the fd to release. The inode re-check loop is what composes commits
+    with :func:`vacuum`: vacuum rewrites the manifest to a NEW inode
+    under the exclusive lock, so a waiter whose fd points at the dead
+    inode re-opens the live path instead of writing into the discarded
+    file. Advisory ``flock`` is sufficient because every manifest
+    mutation in this module goes through this helper (local/NFS-
+    coherent filesystem, same caveat as the O_APPEND line discipline)."""
+    flag = fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH
+    while True:
+        fd = os.open(manifest, os.O_RDWR | os.O_CREAT | os.O_APPEND, 0o644)
+        keep = False
+        try:
+            fcntl.flock(fd, flag)
+            st_fd = os.fstat(fd)
+            try:
+                st_path = os.stat(manifest)
+            except FileNotFoundError:
+                continue  # swapped+unlinked under us; retry on the live path
+            if (st_fd.st_ino, st_fd.st_dev) == (st_path.st_ino, st_path.st_dev):
+                keep = True
+                return fd
+            # vacuum swapped the inode while we waited; reopen
+        finally:
+            if not keep:
+                os.close(fd)  # releases the flock
+
+
 def _promote(path: str, messages, ledger_key: str, truncate: bool = False) -> None:
     """Driver side: move staged files into place and APPEND one manifest
     line recording them under ``ledger_key``. Idempotent per key via
     last-key-wins at read time (a replayed streaming epoch supersedes
     its own entry); ``truncate`` marks an overwrite commit that
-    invalidates all earlier entries."""
+    invalidates all earlier entries.
+
+    The whole promote (data-file renames + the single O_APPEND line
+    write) runs under the SHARED manifest lock: concurrent committers
+    interleave whole lines instead of clobbering each other, and
+    :func:`vacuum` (exclusive lock) can never observe the half-state
+    where a data file is promoted but its manifest line not yet
+    appended — which is what makes vacuum's unreferenced-file deletion
+    safe against racing commits."""
     manifest = os.path.join(path, "_manifest")
-    files = []
-    for m in messages:
-        if m is None:
-            continue
-        src = os.path.join(path, "_staging", m.filename)
-        dst = os.path.join(path, m.filename)
-        os.replace(src, dst)
-        files.append(m.filename)
-    entry: dict = {"key": ledger_key, "files": files}
-    if truncate:
-        entry["truncate"] = True
-    # One O_APPEND write per commit: concurrent committers interleave
-    # whole lines instead of clobbering each other's read-modify-write.
-    fd = os.open(manifest, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    fd = _locked_manifest_fd(manifest, exclusive=False)
     try:
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            src = os.path.join(path, "_staging", m.filename)
+            dst = os.path.join(path, m.filename)
+            os.replace(src, dst)
+            files.append(m.filename)
+        entry: dict = {"key": ledger_key, "files": files}
+        if truncate:
+            entry["truncate"] = True
         os.write(fd, (json.dumps(entry) + "\n").encode())
     finally:
         os.close(fd)
@@ -218,7 +270,7 @@ def committed_files(path: str) -> list[str]:
     return out
 
 
-def vacuum(path: str) -> dict:
+def vacuum(path: str, min_age_seconds: float = 0.0) -> dict:
     """Compact the append-only manifest and delete unreachable data.
 
     Rewrites ``_manifest`` to exactly its RESOLVED entries (last key
@@ -226,44 +278,84 @@ def vacuum(path: str) -> dict:
     the rewrite see either the old or the new file, and both resolve to
     the same committed set — then deletes every data file no resolved
     entry references (superseded epochs, pre-truncate snapshots) plus
-    any abandoned ``_staging`` stragglers. Requires a quiet window with
-    no in-flight writers (see the module docstring's concurrency model).
+    any abandoned ``_staging`` stragglers.
+
+    Writer exclusion is ENFORCED, not contractual: the read -> listing
+    -> rewrite -> rename happens under the EXCLUSIVE manifest ``flock``
+    while every commit runs its promote+append under the SHARED lock
+    (:func:`_promote`), so a racing commit serializes either entirely
+    before the compaction snapshot (its line is carried into the
+    rewritten manifest, its data file is referenced) or entirely after
+    the rename (its line appends to the new file, its data file never
+    appears in vacuum's under-lock listing) — no committed batch can be
+    dropped and no just-promoted data file can be swept. Concurrent
+    vacuums serialize the same way (the second re-reads the first's
+    output via the inode loop).
+
+    ``min_age_seconds`` is the reader/straggler-retention window:
+    unreferenced data files and staging stragglers younger than this
+    (by mtime) are kept, because (a) an in-flight reader that resolved
+    a superseded snapshot before the vacuum may still be lazily
+    consuming deleted-snapshot files, and (b) a staged-but-uncommitted
+    task of an in-flight write job would have its staging file swept.
+    0 deletes immediately — only safe when the quiet window covers
+    readers and whole write JOBS, not just commits.
 
     Returns counts: ``{"manifest_lines_before", "manifest_lines_after",
-    "data_files_deleted", "staging_files_deleted"}``.
+    "data_files_deleted", "staging_files_deleted", "data_files_retained"}``.
     """
     manifest = os.path.join(path, "_manifest")
-    lines_before = 0
-    if os.path.exists(manifest):
+    staging = os.path.join(path, "_staging")
+    fd = _locked_manifest_fd(manifest, exclusive=True)
+    try:
         with open(manifest) as f:
             lines_before = sum(1 for _ in f)
-    entries = _manifest_entries(path)
-    referenced = {name for names in entries.values() for name in names}
+        entries = _manifest_entries(path)
+        referenced = {name for names in entries.values() for name in names}
+        # Deletion candidates are listed UNDER the lock: no promote is
+        # mid-flight here, so unreferenced == truly unreachable.
+        candidates = [
+            name
+            for name in os.listdir(path)
+            if name not in ("_manifest", "_staging")
+            and name not in referenced
+            and name.startswith("part-")
+            and name.endswith(".jsonl")
+        ]
+        staging_candidates = os.listdir(staging) if os.path.isdir(staging) else []
 
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        for key, files in entries.items():
-            f.write(json.dumps({"key": key, "files": files}) + "\n")
-    os.replace(tmp, manifest)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            for key, files in entries.items():
+                f.write(json.dumps({"key": key, "files": files}) + "\n")
+        os.replace(tmp, manifest)
+    finally:
+        os.close(fd)
 
-    data_deleted = 0
-    for name in os.listdir(path):
-        if name in ("_manifest", "_staging") or name in referenced:
-            continue
-        if name.startswith("part-") and name.endswith(".jsonl"):
-            os.remove(os.path.join(path, name))
-            data_deleted += 1
-    staging_deleted = 0
-    staging = os.path.join(path, "_staging")
-    if os.path.isdir(staging):
-        for name in os.listdir(staging):
-            os.remove(os.path.join(staging, name))
-            staging_deleted += 1
+    now = time.time()
+
+    def _sweep(dirpath: str, names: list[str]) -> tuple[int, int]:
+        deleted = retained = 0
+        for name in names:
+            full = os.path.join(dirpath, name)
+            try:
+                if now - os.stat(full).st_mtime < min_age_seconds:
+                    retained += 1
+                    continue
+                os.remove(full)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+        return deleted, retained
+
+    data_deleted, data_retained = _sweep(path, candidates)
+    staging_deleted, staging_retained = _sweep(staging, staging_candidates)
     return {
         "manifest_lines_before": lines_before,
         "manifest_lines_after": len(entries),
         "data_files_deleted": data_deleted,
         "staging_files_deleted": staging_deleted,
+        "data_files_retained": data_retained + staging_retained,
     }
 
 
