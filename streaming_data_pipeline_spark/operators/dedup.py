@@ -43,6 +43,21 @@ _HEX = "0123456789abcdef"
 _LIVE_CACHES: list[DataFrame] = []
 
 
+# Observability hook for the scale-growth audit (tools/scaling_audit.py):
+# when set, each near-dup family routes its candidate-pair frame through
+# this callable (fn(family: str, cand: DataFrame) -> DataFrame) before
+# the verify stage, so the audit counts the candidates of the EXACT
+# production plan instead of a re-implementation. None (the default) is
+# the identity — zero plan or behavior change.
+CANDIDATE_OBSERVER = None
+
+
+def _observe_candidates(family: str, cand: DataFrame) -> DataFrame:
+    if CANDIDATE_OBSERVER is not None:
+        return CANDIDATE_OBSERVER(family, cand)
+    return cand
+
+
 def _release_caches() -> None:
     while _LIVE_CACHES:
         try:
@@ -286,6 +301,7 @@ def _minhash_group_stage(
         .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .distinct()
     )
+    cand = _observe_candidates("minhash", cand)
 
     # --- exact-Jaccard verification, candidates only -------------------
     ga = groups.select(F.col("fp").alias("fp_a"), F.col("toks").alias("toks_a"))
@@ -398,6 +414,7 @@ def simhash_near_dup_pairs(
         .select(F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
         .distinct()
     )
+    cand = _observe_candidates("simhash", cand)
     # Hamming via integer XOR + popcount over the chunk values, not 64
     # per-character substring compares: chunks are decoded to longs ONCE
     # per distinct signature (pre-join), so each candidate pair costs
@@ -800,6 +817,7 @@ def phash_near_dup_pairs(
         )
         .distinct()
     )
+    cand = _observe_candidates("phash", cand)
     hamming = (
         F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
@@ -928,6 +946,7 @@ def containment_pairs(
         .join(need.withColumnRenamed("cid", "inner_id"), "inner_id")
         .filter(F.col("matched") == F.col("need"))
     )
+    cand = _observe_candidates("containment", cand)
     inner_txt = base.select(F.col("cid").alias("inner_id"), F.col("ctext").alias("itext"))
     outer_txt = base.select(F.col("cid").alias("outer_id"), F.col("ctext").alias("otext"))
     return (

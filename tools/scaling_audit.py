@@ -1,0 +1,190 @@
+"""10x scale-growth audit of the near-dup candidate stages (r5 verdict
+task 5): measures CANDIDATE-PAIR counts, output pairs, shuffle bytes,
+and wall time for the minhash / simhash / containment / phash families
+at sf0.1 (5k docs) vs a synthesized 10x table (50k docs), and reports
+the growth exponent of each. ~Linear candidate growth validates the
+banding design at scale; anything super-linear is called out with its
+cause (SCALING.md records the numbers + analysis).
+
+The 10x table preserves the fixture's INTRINSIC duplicate structure
+exactly: 10 copies of sf0.1's documents, copy k transformed by a
+per-copy alphabet rotation (letters rotated k positions, digits k mod
+10; a bijection on characters). Within a copy the token-set AND the
+char-12-gram document-frequency structure are ISOMORPHIC to the
+original — the same dup/near-dup pairs, the same shingle-rarity
+distribution (a token-suffix perturbation was tried first and REJECTED:
+it injects copy-common char-grams that corrupt the rarest-shingle
+statistics containment's blocker depends on) — while across copies
+tokens and shingles are distinct strings except for rare rotation
+coincidences. True-pair counts therefore grow exactly 10x (linear) by
+construction, isolating the ALGORITHM's candidate growth from the
+data's (the fixture's own sf ladder grows dup-group sizes with N, so
+output pairs grow ~quadratically along it — unusable as the
+instrument).
+
+Candidate counts come from the production plans themselves via
+operators.dedup.CANDIDATE_OBSERVER — the audit runs the same
+`queries()` entries the driver sweeps, not a re-implementation.
+
+Usage: python tools/scaling_audit.py [out_json]  (default
+SCALING_AUDIT.json in the repo root; pass --small to audit
+sf0.01 -> sf0.1 instead, the shape the pytest guard uses).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+TENX_DIR = "/tmp/scaling_audit_sf1x10"
+
+FAMILIES = [
+    ("minhash", "dedup_near_minhash_lsh"),
+    ("simhash", "simhash_near_dup"),
+    ("containment", "dedup_containment_pairs"),
+    ("phash", "image_phash_near_dup"),
+]
+
+
+def build_tenx(spark, src_dir: str, out_dir: str) -> None:
+    """10 alphabet-rotated copies of the source documents table (copy 0
+    is the identity, i.e. the original rows)."""
+    import string
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    n = src.count()
+    lower, upper, digits = (
+        string.ascii_lowercase,
+        string.ascii_uppercase,
+        string.digits,
+    )
+    parts = []
+    for k in range(10):
+        rot = (
+            lower[k:] + lower[:k] + upper[k:] + upper[:k] + digits[k:] + digits[:k]
+        )
+        parts.append(
+            src.select(
+                (F.col("doc_id") + F.lit(k * n)).alias("doc_id"),
+                F.translate(F.col("text"), lower + upper + digits, rot).alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+                "n_chars",  # length-preserving bijection
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    big.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def _shuffle_bytes(spark) -> int | None:
+    """Cumulative shuffle-write bytes across completed stages (REST)."""
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return None
+    try:
+        url = f"{base}/api/v1/applications/{sc.applicationId}/stages?status=COMPLETE"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.loads(r.read())
+        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+    except Exception:
+        return None
+
+
+def run_family(spark, qname: str, family: str, sf_dir: str) -> dict:
+    from streaming_data_pipeline_spark.operators import dedup
+
+    import __spark_entry__ as entrymod
+
+    captured: dict[str, object] = {}
+
+    def observer(fam, cand):
+        captured[fam] = cand
+        return cand
+
+    dedup.CANDIDATE_OBSERVER = observer
+    try:
+        df = entrymod.queries()[qname](spark, sf_dir)
+        s0 = _shuffle_bytes(spark)
+        t0 = time.perf_counter()
+        out_pairs = df.count()
+        wall = round(time.perf_counter() - t0, 2)
+        s1 = _shuffle_bytes(spark)
+        cand_df = captured.get(family)
+        cand_pairs = cand_df.count() if cand_df is not None else None
+    finally:
+        dedup.CANDIDATE_OBSERVER = None
+    return {
+        "candidate_pairs": cand_pairs,
+        "output_pairs": out_pairs,
+        "shuffle_bytes": (s1 - s0) if (s0 is not None and s1 is not None) else None,
+        "wall_sec": wall,
+    }
+
+
+def growth(a, b):
+    """Exponent e such that b = a * scale^e for scale=10 (log-log slope);
+    None when either side is missing or zero."""
+    if not a or not b:
+        return None
+    return round(math.log(b / a) / math.log(10.0), 2)
+
+
+def main() -> None:
+    small = "--small" in sys.argv
+    out_path = next(
+        (a for a in sys.argv[1:] if not a.startswith("--")),
+        os.path.join(REPO, "SCALING_AUDIT.json"),
+    )
+    from streaming_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scaling-audit",
+        extra_confs={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if small:
+        scales = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SF01)]
+    else:
+        build_tenx(spark, SF01, TENX_DIR)
+        scales = [("sf0.1", SF01), ("sf0.1x10", TENX_DIR)]
+
+    result: dict = {"scales": [s[0] for s in scales], "families": {}}
+    for family, qname in FAMILIES:
+        rows = {}
+        for label, sf_dir in scales:
+            rows[label] = run_family(spark, qname, family, sf_dir)
+            print(f"{family:12s} {label:9s} {rows[label]}", flush=True)
+        lo, hi = rows[scales[0][0]], rows[scales[1][0]]
+        rows["growth_exponent"] = {
+            k: growth(lo.get(k), hi.get(k))
+            for k in ("candidate_pairs", "output_pairs", "shuffle_bytes", "wall_sec")
+        }
+        result["families"][family] = rows
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
