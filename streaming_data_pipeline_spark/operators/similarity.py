@@ -19,6 +19,66 @@ multi-probe neighboring codes for recall — ``stored_codes`` +
 computed once on the stored side (at ingest in production), only the
 tiny probe side expands (1 + n_planes codes per probe) and broadcasts,
 so the stored table is never shuffled for a query.
+
+TIER SELECTION — measured recall@10 on the near-isotropic fixture
+(``similarity_recall_at_k``, sf0.01 means) vs fraction of the table
+scanned, and when each tier is the WRONG choice:
+
+===================  ========  ============  ==============================
+tier                 recall    scan frac     wrong when
+===================  ========  ============  ==============================
+brute force          1.00      100%          the table is large and probes
+                                             are many — O(n*d) per probe
+single-table LSH     ~0.02     ~1/2^8        ALMOST ALWAYS wrong as a
+                                             retrieval tier on unclustered
+                                             data: one 8-bit sign bucket
+                                             has near-zero collision odds
+                                             with true neighbors (p^8 for
+                                             p ~= 0.6). Kept as the
+                                             pedagogical baseline that the
+                                             amplified tiers are measured
+                                             against — use it only as a
+                                             cheap pre-filter where misses
+                                             are acceptable (candidate
+                                             GENERATION feeding a verify
+                                             stage, never final retrieval)
+multiprobe (8+1)     ~0.22     ~9/2^8        wrong whenever recall matters
+                                             more than scan budget: probing
+                                             Hamming-1 neighbors of ONE
+                                             table can't beat independent
+                                             tables (below); right when a
+                                             strict per-probe I/O cap rules
+                                             out multi-table storage
+multi-table L16xb6   ~0.55     ~L/2^b=25%    wrong below ~0.5M rows (just
+                                             brute-force it) or when 25%
+                                             scan is too expensive; the
+                                             floor tier for UNclustered
+                                             data, recall raised by adding
+                                             tables (1-(1-p^b)^L)
+IVF nprobe=4/32      ~0.94     ~12%          wrong only when the corpus has
+                                             NO cluster structure for
+                                             k-means to exploit (recall
+                                             then degrades toward the
+                                             multi-table line); the default
+                                             production tier otherwise
+int8 rerank          1.00      100% (int8)   wrong when a full quantized
+                                             scan per probe is too slow —
+                                             it is a compression tier, not
+                                             a pruning tier; compose it
+                                             UNDER an IVF/LSH shortlist
+PQ-ADC 8x8           ~0.68     100% (8B/vec) same: compression tier (32x),
+                                             compose under IVF; recall cost
+                                             comes from the 16-entry
+                                             codebooks, recovered by the
+                                             exact rerank of the shortlist
+===================  ========  ============  ==============================
+
+The floors asserted in tests/test_round6_surface.py encode this table:
+the tiers recommended for retrieval at scale (multi-table, IVF) must
+hold recall@10 >= 0.3 / >= 0.7 on the fixture; the single-table and
+multiprobe baselines are asserted only for ORDERING (each amplification
+step must help), because their absolute recall on near-isotropic data
+is irreparably low by construction — that is the lesson they document.
 """
 
 from __future__ import annotations
@@ -97,7 +157,13 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: only candidates in the probe's LSH
-    bucket are scored (bucket-equality join instead of a cross join)."""
+    bucket are scored (bucket-equality join instead of a cross join).
+
+    WRONG as a final retrieval tier on unclustered data (recall@10
+    ~0.02 on the fixture — see the module docstring's tier table): a
+    single 2^8-bucket sign hash almost never co-buckets true
+    neighbors. Use it as a cheap candidate generator feeding a verify/
+    rerank stage, or move up to multi-table/IVF for retrieval."""
     planes = hyperplanes(n_planes, dim, seed)
     cand = emb.select(
         F.col(id_col).alias("cand_id"),
@@ -175,6 +241,12 @@ def multiprobe_lsh_topk(
     the n_planes buckets at Hamming distance 1 (one sign bit flipped) —
     the classic recall fix for sign-LSH's hard bucket boundaries
     (multi-probe LSH, Lv et al., VLDB '07).
+
+    Still the wrong RETRIEVAL tier when recall matters (recall@10
+    ~0.22 on the fixture): probing Hamming-1 neighbors of one table
+    cannot match independent tables' amplification — its niche is a
+    strict per-probe I/O cap that rules out multi-table storage. See
+    the module docstring's tier-selection table.
 
     Scale shape: the stored side keeps one code per vector (computed at
     ingest via :func:`stored_codes`); only the probe side fans out
