@@ -43,71 +43,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else. More names than the 50 budget: overflow rolls to
 # the next round's window.
 _SWEEP_PRIORITY = [
-    # ---- round-5 window (driver budget: first 50) -------------------
-    # 1 new query (real baseline JPEG decode), the 2 plans reshaped
-    # this round (repartition-before-explode), the wire-sink ledger
-    # reshaped in r4, then 34 of the 59 never-driver-checked backlog
-    # (architectural operators first; poisson/permutation are both
-    # backlog AND reshaped) and the 14 stalest TPC-H queries (evidence
-    # from r1). Backlog after this window: 25. r6 retires the queue
-    # below.
-    "multimodal_jpeg_decode",
-    "poisson_bootstrap_ci",
-    "permutation_test_mean_diff",
-    "wire_sink_roundtrip",
-    "range_join_binned_incidents",
-    "similarity_pq_adc",
-    "cms_token_frequency",
-    "epoch_shuffle_shards",
-    "curriculum_mix_schedule",
-    "dedup_unicode_normalized",
+    # ---- round-6 window (driver budget: first 50) -------------------
+    # Retires the driver-evidence backlog to ZERO (r5 verdict task 1):
+    # first the 3 queries whose plans changed THIS round (edit-distance
+    # broadcast restricted to block canonicals, JPEG dequant sums from
+    # the payload's own DQT, wire-sink commits under the manifest
+    # flock), then the 11 dedup/multimodal queries whose plans gained
+    # spread_small_scan in r5 after their last first-party row, then
+    # the 25 never-driver-checked statistics/analytics queries plus
+    # similarity_recall_at_k (stalest ANN evidence, r3), then 10 of the
+    # r1-stale tranche. Query count frozen at 242 — no additions.
     "dedup_edit_distance_pairs",
-    "graph_triangle_counts",
-    "value_histogram_equidepth",
-    "join_skew_diagnostics",
-    "incremental_join_maintenance",
-    "char_diversity_by_source",
-    "inverted_index_postings",
-    "dedup_containment_pairs",
-    "gopher_rules_filter",
-    "weighted_sample_docs",
-    "max_concurrent_shipments",
-    "bigram_lm_surprisal",
-    "bpe_train_merges",
-    "repeated_passage_coverage",
-    "token_budget_selection",
-    "k_core_peel_rounds",
-    "streaming_quality_gate",
-    "audio_energy_windows",
-    "sparse_dot_topk_pairs",
-    "pmi_collocations",
-    "langid_confusion_metrics",
-    "within_doc_dedup",
-    "bpe_apply_compression",
-    "grouped_leakage_free_split",
-    "pca_power_iteration",
-    "cross_source_dup_matrix",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_customer",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q2_cheapest_part_per_brand",
-    "tpch_q22_idle_customers",
-    "tpch_q8_market_share",
-    # ---- round-6 queue ----------------------------------------------
-    # FIRST: queries whose physical plans changed in round 5 after their
-    # last driver row (spread_small_scan in the shared minhash/simhash/
-    # multimodal stages — results identical, verified green in four full
-    # sf0.01 sweeps + the skip-free sf0.1 sweep this round, but their
-    # first-party rows predate the change), then the remaining
-    # never-driver-checked queries, then the rest of the r1-stale tranche
+    "multimodal_jpeg_decode",
+    "wire_sink_roundtrip",
     "dedup_near_minhash_lsh",
     "simhash_near_dup",
     "dedup_ngram_jaccard",
@@ -155,6 +103,13 @@ _SWEEP_PRIORITY = [
     "nation_key_set_ops",
     "rollup_order_status",
     "cube_returnflag_status",
+    # ---- round-7 queue ----------------------------------------------
+    # Stalest-first after r6: the remaining 11 r1-stale rows, the 3
+    # pysource queries (sources/pysource.py gained the frontier
+    # tmp-cleanup in r6 — results unchanged, rows stale by
+    # construction), then the r2-stale tranche. Overflow past the 50
+    # budget rolls to r8; everything not named here follows in
+    # declaration order (r3-r5 evidence, freshest last).
     "distinct_mktsegments",
     "sql_cte_priority_revenue",
     "asof_last_login_value",
@@ -166,6 +121,53 @@ _SWEEP_PRIORITY = [
     "tpch_q19_or_predicate_revenue",
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
+    "pysource_batch_rollup",
+    "pysource_pushdown_purchases",
+    "pysource_stream_rollup",
+    "text_stats_by_lang",
+    "token_counts_by_source",
+    "lang_id_heuristic",
+    "doc_fingerprints",
+    "doc_quality_by_source",
+    "dedup_exact_text",
+    "dedup_token_set",
+    "simhash_signatures",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "embedding_near_dup_pairs",
+    "multimodal_decode_fake",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "streaming_windowed_counts",
+    "streaming_user_sessions",
+    "streaming_sliding_counts",
+    "streaming_dedup_user_event",
+    "streaming_stateful_user_totals",
+    "streaming_etl_file_roundtrip",
+    "streaming_foreach_batch_upsert",
+    "partitioned_sink_pruning",
+    "sessionize_events_batch",
+    "range_join_promo_windows",
+    "csv_export_roundtrip",
+    "grouping_sets_revenue",
+    "pivot_priority_by_status",
+    "order_price_percentiles",
+    "json_props_extract",
+    "collect_sources_per_lang",
+    "rolling_weekly_revenue",
+    "customer_balance_quartiles",
+    "json_export_roundtrip",
+    "etl_enrich_events",
+    "event_type_rollup",
+    "quality_score_distribution",
+    "smoke_count",
+    "health_check",
+    "value_counts",
+    "hour_buckets",
+    "recent_count",
+    "global_mean",
+    "schema_introspection",
 ]
 
 
