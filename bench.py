@@ -179,6 +179,12 @@ HEADLINE += [
     "multimodal_jpeg_decode",
 ]
 
+# Frozen at the end of round 5 (120 queries; round 6 added none — the
+# query count is frozen at 242 per the r5 verdict): round-7+ additions
+# append AFTER this marker so headline_total_r5_subset stays
+# apples-to-apples across rounds the same way the r2/r3/r4 subsets do.
+_R5_SET = set(HEADLINE)
+
 
 def _force(df) -> None:
     """Fully execute a plan without driver-side materialization."""
@@ -253,6 +259,7 @@ def main() -> None:
     r2_subset = round(sum(v for k, v in timings.items() if k in _R2_SET), 3)
     r3_subset = round(sum(v for k, v in timings.items() if k in _R3_SET), 3)
     r4_subset = round(sum(v for k, v in timings.items() if k in _R4_SET), 3)
+    r5_subset = round(sum(v for k, v in timings.items() if k in _R5_SET), 3)
     # Steal-normalized subtotals: divide each frozen subset by this
     # run's relative steal (calibration_sec / the frozen round-5
     # reference calibration, same box, same code-frozen probe). A
@@ -279,9 +286,11 @@ def main() -> None:
                 "headline_total_r2_subset": r2_subset,
                 "headline_total_r3_subset": r3_subset,
                 "headline_total_r4_subset": r4_subset,
+                "headline_total_r5_subset": r5_subset,
                 "headline_total_r2_subset_normalized": norm(r2_subset),
                 "headline_total_r3_subset_normalized": norm(r3_subset),
                 "headline_total_r4_subset_normalized": norm(r4_subset),
+                "headline_total_r5_subset_normalized": norm(r5_subset),
                 "headline_total_normalized": norm(total),
                 "calibration_sec": calib,
                 "calibration_ref_r5_sec": _CALIBRATION_REF_R5,
