@@ -69,9 +69,12 @@ defined:
   before vacuum runs can have its DATA FILES deleted mid-read. The
   operational contract is therefore: vacuum's quiet window must cover
   in-flight READERS of superseded snapshots, or pass
-  ``min_age_seconds`` >= the longest reader duration so unreferenced
-  data files are retained until no snapshot that old can still be
-  open (the table-format retention-window discipline).
+  ``min_age_seconds`` >= the longest reader duration — which is a true
+  guarantee because the window is measured from SUPERSESSION (the
+  tombstone a vacuum records the first time it sees a file
+  unreferenced), not from file creation: any reader that resolved the
+  file while it was referenced started before its tombstone, so it
+  finishes inside the window (the table-format retention discipline).
 
 Retention: without :func:`vacuum`, the manifest grows one line per
 commit forever and a ``truncate`` leaves superseded data files on disk
@@ -292,20 +295,31 @@ def vacuum(path: str, min_age_seconds: float = 0.0) -> dict:
     vacuums serialize the same way (the second re-reads the first's
     output via the inode loop).
 
-    ``min_age_seconds`` is the reader/straggler-retention window:
-    unreferenced data files and staging stragglers younger than this
-    (by mtime) are kept, because (a) an in-flight reader that resolved
-    a superseded snapshot before the vacuum may still be lazily
-    consuming deleted-snapshot files, and (b) a staged-but-uncommitted
-    task of an in-flight write job would have its staging file swept.
-    0 deletes immediately — only safe when the quiet window covers
-    readers and whole write JOBS, not just commits.
+    ``min_age_seconds`` is the reader/straggler-retention window, and
+    for DATA files it is measured from **supersession, not creation**:
+    the first vacuum that observes a file unreferenced records a
+    tombstone (``_tombstones``, rewritten under the same exclusive
+    lock), and the file is deleted only once ``min_age_seconds`` has
+    elapsed since that first observation. Creation mtime is the wrong
+    clock — ``os.replace`` preserves the staging-write mtime, so a
+    file superseded an hour after it was written would look "old"
+    immediately. With tombstone age, ``min_age_seconds`` >= the
+    longest reader duration is a TRUE guarantee: any reader that
+    resolved a snapshot while the file was still referenced started
+    before the tombstone was recorded, so it finishes inside the
+    window. STAGING stragglers keep mtime age (their relevant clock IS
+    creation: a staging file older than the longest write-JOB duration
+    cannot still be promoted). 0 deletes immediately — only safe when
+    the quiet window covers readers and whole write JOBS, not just
+    commits.
 
     Returns counts: ``{"manifest_lines_before", "manifest_lines_after",
-    "data_files_deleted", "staging_files_deleted", "data_files_retained"}``.
+    "data_files_deleted", "staging_files_deleted",
+    "data_files_retained", "staging_files_retained"}``.
     """
     manifest = os.path.join(path, "_manifest")
     staging = os.path.join(path, "_staging")
+    tombstones = os.path.join(path, "_tombstones")
     fd = _locked_manifest_fd(manifest, exclusive=True)
     try:
         with open(manifest) as f:
@@ -317,12 +331,38 @@ def vacuum(path: str, min_age_seconds: float = 0.0) -> dict:
         candidates = [
             name
             for name in os.listdir(path)
-            if name not in ("_manifest", "_staging")
+            if name not in ("_manifest", "_staging", "_tombstones")
             and name not in referenced
             and name.startswith("part-")
             and name.endswith(".jsonl")
         ]
         staging_candidates = os.listdir(staging) if os.path.isdir(staging) else []
+
+        now = time.time()
+        # Tombstone ledger: name -> first time a vacuum saw it
+        # unreferenced. Pruned to current candidates (uuid file names
+        # are never re-referenced), rewritten atomically under the
+        # exclusive lock so concurrent vacuums serialize on it too.
+        tomb: dict[str, float] = {}
+        if os.path.exists(tombstones):
+            with open(tombstones) as f:
+                tomb = json.load(f)
+        first_seen = {name: tomb.get(name, now) for name in candidates}
+        data_deleted = data_retained = 0
+        for name in candidates:
+            if now - first_seen[name] < min_age_seconds:
+                data_retained += 1
+                continue
+            try:
+                os.remove(os.path.join(path, name))
+            except FileNotFoundError:
+                pass
+            data_deleted += 1
+            del first_seen[name]
+        tmp = tombstones + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(first_seen, f)
+        os.replace(tmp, tombstones)
 
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
@@ -332,30 +372,24 @@ def vacuum(path: str, min_age_seconds: float = 0.0) -> dict:
     finally:
         os.close(fd)
 
-    now = time.time()
-
-    def _sweep(dirpath: str, names: list[str]) -> tuple[int, int]:
-        deleted = retained = 0
-        for name in names:
-            full = os.path.join(dirpath, name)
-            try:
-                if now - os.stat(full).st_mtime < min_age_seconds:
-                    retained += 1
-                    continue
-                os.remove(full)
-                deleted += 1
-            except FileNotFoundError:
-                pass
-        return deleted, retained
-
-    data_deleted, data_retained = _sweep(path, candidates)
-    staging_deleted, staging_retained = _sweep(staging, staging_candidates)
+    staging_deleted = staging_retained = 0
+    for name in staging_candidates:
+        full = os.path.join(staging, name)
+        try:
+            if now - os.stat(full).st_mtime < min_age_seconds:
+                staging_retained += 1
+                continue
+            os.remove(full)
+            staging_deleted += 1
+        except FileNotFoundError:
+            pass
     return {
         "manifest_lines_before": lines_before,
         "manifest_lines_after": len(entries),
         "data_files_deleted": data_deleted,
         "staging_files_deleted": staging_deleted,
-        "data_files_retained": data_retained + staging_retained,
+        "data_files_retained": data_retained,
+        "staging_files_retained": staging_retained,
     }
 
 

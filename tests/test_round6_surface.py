@@ -32,26 +32,39 @@ def test_wire_sink_commit_during_vacuum_never_drops_batches(tmp_path):
     errors: list[Exception] = []
 
     def _committer() -> None:
+        # min_age_seconds=0 below means the racing vacuum may legally
+        # sweep a staged-but-not-yet-promoted file (the DOCUMENTED
+        # straggler hazard of a zero window) — the committer restages
+        # and retries. What must NEVER need a retry or a window is
+        # committed state: that is protected by the flock alone.
         try:
             for i in range(n_batches):
                 name = f"part-c{i}.jsonl"
-                with open(os.path.join(path, "_staging", name), "w") as f:
-                    f.write(json.dumps({"i": i}) + "\n")
-                wire_sink._promote(
-                    path,
-                    [wire_sink._Staged(filename=name, rows=1)],
-                    ledger_key=f"batch-{i}",
-                )
+                while True:
+                    with open(os.path.join(path, "_staging", name), "w") as f:
+                        f.write(json.dumps({"i": i}) + "\n")
+                    try:
+                        wire_sink._promote(
+                            path,
+                            [wire_sink._Staged(filename=name, rows=1)],
+                            ledger_key=f"batch-{i}",
+                        )
+                        break
+                    except FileNotFoundError:
+                        continue  # staging swept by the zero-window vacuum
         except Exception as e:  # pragma: no cover - surfaced via assert
             errors.append(e)
 
     def _vacuumer() -> None:
-        # min_age_seconds covers the staged-but-not-yet-committed window
-        # of the racing write job (the documented straggler contract);
-        # COMMITTED state needs no window — the flock alone protects it.
+        # ZERO retention window: every unreferenced file is deletable
+        # the instant it is listed, so this exercises the exclusive-
+        # lock candidate listing itself — a vacuum that listed
+        # candidates without the lock could observe a data file in the
+        # promoted-but-not-yet-appended half-state and sweep a
+        # committed batch, which the final assertions would catch.
         try:
             for _ in range(25):
-                wire_sink.vacuum(path, min_age_seconds=30.0)
+                wire_sink.vacuum(path, min_age_seconds=0.0)
         except Exception as e:  # pragma: no cover - surfaced via assert
             errors.append(e)
 
@@ -107,7 +120,8 @@ def test_wire_sink_vacuum_retention_window(tmp_path):
     young = wire_sink.vacuum(path, min_age_seconds=3600)
     assert young["data_files_deleted"] == 0
     assert young["staging_files_deleted"] == 0
-    assert young["data_files_retained"] >= 2  # part-a + the straggler
+    assert young["data_files_retained"] == 1  # part-a (data only)
+    assert young["staging_files_retained"] == 1  # the straggler
     assert os.path.exists(os.path.join(path, "part-a.jsonl"))
     assert os.path.exists(os.path.join(path, "_staging", "part-stray.jsonl"))
 
@@ -116,6 +130,60 @@ def test_wire_sink_vacuum_retention_window(tmp_path):
     assert old["staging_files_deleted"] == 1
     assert not os.path.exists(os.path.join(path, "part-a.jsonl"))
     assert os.path.exists(os.path.join(path, "part-b.jsonl"))
+
+
+def test_wire_sink_vacuum_retention_is_supersession_age_not_mtime(tmp_path):
+    """The retention clock for data files starts at SUPERSESSION (first
+    vacuum observation of unreferencedness), not file creation:
+    os.replace preserves the staging-write mtime, so a file committed
+    hours ago but superseded a second ago must still be retained for
+    the full window — otherwise 'min_age_seconds >= longest reader
+    duration' is not the guarantee the docstring claims."""
+    import time as _time
+
+    from streaming_data_pipeline_spark.sources import wire_sink
+
+    path = str(tmp_path / "sink")
+    os.makedirs(os.path.join(path, "_staging"), exist_ok=True)
+
+    with open(os.path.join(path, "_staging", "part-old.jsonl"), "w") as f:
+        f.write(json.dumps({"k": "old"}) + "\n")
+    wire_sink._promote(
+        path,
+        [wire_sink._Staged(filename="part-old.jsonl", rows=1)],
+        ledger_key="batch-old",
+    )
+    # the file was CREATED two hours ago (backdate mtime, as os.replace
+    # preserves staging mtime in real runs)...
+    stale = _time.time() - 7200
+    os.utime(os.path.join(path, "part-old.jsonl"), (stale, stale))
+    # ...but superseded only NOW
+    with open(os.path.join(path, "_staging", "part-new.jsonl"), "w") as f:
+        f.write(json.dumps({"k": "new"}) + "\n")
+    wire_sink._promote(
+        path,
+        [wire_sink._Staged(filename="part-new.jsonl", rows=1)],
+        ledger_key="batch-new",
+        truncate=True,
+    )
+
+    # a 1h window must RETAIN it: supersession age ~0 despite mtime 2h
+    res = wire_sink.vacuum(path, min_age_seconds=3600)
+    assert res["data_files_deleted"] == 0
+    assert res["data_files_retained"] == 1
+    assert os.path.exists(os.path.join(path, "part-old.jsonl"))
+    # the tombstone persists the first-seen time across vacuums
+    res2 = wire_sink.vacuum(path, min_age_seconds=3600)
+    assert res2["data_files_retained"] == 1
+    # once the window has elapsed since the TOMBSTONE, it goes
+    tomb_file = os.path.join(path, "_tombstones")
+    tomb = json.load(open(tomb_file))
+    tomb["part-old.jsonl"] -= 7200
+    with open(tomb_file, "w") as f:
+        json.dump(tomb, f)
+    res3 = wire_sink.vacuum(path, min_age_seconds=3600)
+    assert res3["data_files_deleted"] == 1
+    assert not os.path.exists(os.path.join(path, "part-old.jsonl"))
 
 
 # ----------------------------------------------------------- frontier --
@@ -276,6 +344,16 @@ def test_edit_distance_broadcast_is_canonicals_only(spark, duck):
 
     q = entrymod.queries()["dedup_edit_distance_pairs"]
     out = q(spark, SF_DIR)
+    # STRUCTURAL assert, on the plan rather than the values (the values
+    # are identical under a full-corpus broadcast, so they cannot catch
+    # the regression): the canonical-text frame must be built by the
+    # LeftSemi join against the duplicate-block aggregate. Reverting
+    # canon_text to a bare projection of documents (the 100 TB-fatal
+    # full-corpus broadcast) removes both nodes from the optimized
+    # logical plan.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "Aggregate" in plan, plan
     # every id_a is a duplicate-block canonical -> the broadcast frame
     # is bounded by the duplicate-block count, not the corpus
     assert out.select("id_a").distinct().count() <= n_canon
