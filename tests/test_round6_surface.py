@@ -68,8 +68,12 @@ def test_wire_sink_commit_during_vacuum_never_drops_batches(tmp_path):
         except Exception as e:  # pragma: no cover - surfaced via assert
             errors.append(e)
 
+    # TWO vacuumers: the docstring also claims concurrent vacuums
+    # serialize through the exclusive lock + inode re-check loop (the
+    # second re-reads the first's rewritten manifest and tombstones).
     threads = [
         threading.Thread(target=_committer),
+        threading.Thread(target=_vacuumer),
         threading.Thread(target=_vacuumer),
     ]
     for t in threads:
