@@ -104,12 +104,25 @@ _SWEEP_PRIORITY = [
     "rollup_order_status",
     "cube_returnflag_status",
     # ---- round-7 queue ----------------------------------------------
-    # Stalest-first after r6: the remaining 11 r1-stale rows, the 3
+    # FIRST: queries whose plans changed in the round-6 hardening pass
+    # AFTER the r6 window was frozen (zero-norm exclusion + shared
+    # top-k tail in operators/similarity.py; NULL-skipping medians in
+    # functions/udafs.py; crash-safe compaction swap in operators/
+    # maintenance.py — all re-verified green in this round's full
+    # sf0.01 sweeps, but their first-party rows predate the change).
+    # Then stalest-first: the remaining 11 r1-stale rows, the 3
     # pysource queries (sources/pysource.py gained the frontier
-    # tmp-cleanup in r6 — results unchanged, rows stale by
-    # construction), then the r2-stale tranche. Overflow past the 50
-    # budget rolls to r8; everything not named here follows in
-    # declaration order (r3-r5 evidence, freshest last).
+    # tmp-cleanup + conflicting-pushdown fix in r6), then the r2-stale
+    # tranche. Overflow past the 50 budget rolls to r8; everything not
+    # named here follows in declaration order (r3-r5 evidence,
+    # freshest last).
+    "similarity_pq_adc",
+    "similarity_multiprobe_lsh",
+    "similarity_multitable_lsh",
+    "similarity_int8_rerank",
+    "semantic_dedup_keep_canonical",
+    "udaf_median_mad_by_type",
+    "small_file_compaction",
     "distinct_mktsegments",
     "sql_cte_priority_revenue",
     "asof_last_login_value",

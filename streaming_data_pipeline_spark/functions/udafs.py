@@ -20,12 +20,24 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def median_udaf(v: pd.Series) -> float:
-    """Exact median of the group's values (numpy even-count midpoint)."""
-    return float(np.median(v.to_numpy()))
+    """Exact median of the group's values (numpy even-count midpoint).
+
+    NULLs are skipped, matching SQL aggregate semantics (MEDIAN /
+    percentile_approx): Arrow delivers SQL NULL as NaN, and a bare
+    np.median would propagate it over the whole group. An all-NULL
+    group returns NULL."""
+    x = v.dropna().to_numpy()
+    if x.size == 0:
+        return None
+    return float(np.median(x))
 
 
 @pandas_udf("double")
 def mad_udaf(v: pd.Series) -> float:
-    """Median absolute deviation — robust spread, no built-in analog."""
-    x = v.to_numpy()
-    return float(np.median(np.abs(x - np.median(x))))
+    """Median absolute deviation — robust spread, no built-in analog.
+    NULL-skipping as in :func:`median_udaf`."""
+    x = v.dropna().to_numpy()
+    if x.size == 0:
+        return None
+    m = np.median(x)
+    return float(np.median(np.abs(x - m)))

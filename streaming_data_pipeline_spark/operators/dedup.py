@@ -382,6 +382,15 @@ def simhash_near_dup_pairs(
             f"max_hamming={max_hamming} — raise `chunks` to at least "
             f"max_hamming + 1"
         )
+    if 64 % chunks:
+        raise ValueError(
+            f"chunks={chunks} does not divide the 64-bit signature: the "
+            f"trailing {64 - chunks * (64 // chunks)} bits would be "
+            "silently excluded from BOTH the candidate join and the "
+            "Hamming verification (undercounted distances, phantom "
+            "duplicates differing only in the uncovered bits) — use a "
+            "divisor of 64"
+        )
     width = 64 // chunks
     _release_caches()
     members = _cached(
@@ -884,6 +893,14 @@ def containment_pairs(
     shuffle as xxhash64 longs (8 bytes, not 12-char strings) — the
     hash is engine-internal, never part of the verified result, so the
     md5 cross-engine contract doesn't apply to it.
+
+    MINIMUM-LENGTH CONTRACT: a document shorter than ``gram`` characters
+    has no shingles and is excluded from BOTH sides — a sub-``gram``
+    snippet contained in a large page is NOT reported. That is a
+    deliberate floor (at 12 chars, shorter strings match by coincidence
+    far more than by duplication), but it means completeness holds only
+    for inner docs of length >= ``gram``; lower ``gram`` if shorter
+    containment matters, at the cost of denser posting lists.
     """
     from pyspark.sql import Window
 

@@ -11,7 +11,8 @@ rewrite_data_files do exactly this).
 ``compact_partitioned_sink`` rewrites each day-partition of a
 date-partitioned parquet sink into ``ceil(partition_bytes /
 target_bytes)`` files: read the partition, ``repartition(n)``, write to
-a scratch dir, atomically swap directories. Only partitions whose file
+a hidden scratch dir, swap directories (two renames with a
+crash-recovery pre-pass — see :func:`_recover_crashed_compactions`). Only partitions whose file
 count exceeds their target are touched, so steady-state runs are cheap;
 the rewrite itself is an executor-parallel scan+write with no shuffle
 besides the explicit round-robin repartition.
@@ -46,6 +47,32 @@ def _data_files(path: str) -> list[str]:
     return [f for f in os.listdir(path) if f.endswith(".parquet")]
 
 
+def _recover_crashed_compactions(base: str, partition_col: str) -> None:
+    """Heal the two crash windows of a previous compaction run. Scratch
+    dirs are DOT-prefixed (``.date=...compact_tmp|old``) so neither
+    Spark's partition discovery nor :func:`_partition_dirs` can mistake
+    them for live partitions — a bare ``date=...compact_old`` leftover
+    would be read as a bogus partition value and duplicate every row in
+    it. A crash between the two swap renames leaves the partition
+    ABSENT with its data in ``.compact_old`` → restore it; a crash
+    after the swap leaves a fully superseded ``.compact_old`` → drop
+    it; an aborted rewrite leaves ``.compact_tmp`` → drop it."""
+    for d in os.listdir(base):
+        if not d.startswith(f".{partition_col}="):
+            continue
+        full = os.path.join(base, d)
+        if not os.path.isdir(full):
+            continue
+        if d.endswith(".compact_old"):
+            pdir = os.path.join(base, d[1 : -len(".compact_old")])
+            if os.path.isdir(pdir):
+                shutil.rmtree(full)
+            else:
+                os.rename(full, pdir)
+        elif d.endswith(".compact_tmp"):
+            shutil.rmtree(full)
+
+
 def compact_partitioned_sink(
     spark: SparkSession,
     base: str,
@@ -59,6 +86,7 @@ def compact_partitioned_sink(
     files_after, bytes}`` — the manifest a maintenance job logs.
     """
     report: list[dict] = []
+    _recover_crashed_compactions(base, partition_col)
     for part in _partition_dirs(base, partition_col):
         pdir = os.path.join(base, part)
         files = _data_files(pdir)
@@ -74,7 +102,8 @@ def compact_partitioned_sink(
                 }
             )
             continue
-        tmp = pdir + ".compact_tmp"
+        tmp = os.path.join(base, f".{part}.compact_tmp")
+        old = os.path.join(base, f".{part}.compact_old")
         # The partition column is encoded in the directory name, not the
         # files, so read/write the bare partition directory.
         (
@@ -83,8 +112,14 @@ def compact_partitioned_sink(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        os.remove(os.path.join(tmp, "_SUCCESS"))
-        old = pdir + ".compact_old"
+        success = os.path.join(tmp, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)
+        # Two renames cannot be one atomic exchange on POSIX; the crash
+        # window between them leaves the partition absent with its data
+        # intact in the dot-prefixed old dir, which the recovery pre-pass
+        # above restores on the next run (readers racing the swap itself
+        # see either copy — both hold the full partition).
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old)

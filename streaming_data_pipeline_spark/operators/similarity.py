@@ -73,6 +73,15 @@ PQ-ADC 8x8           ~0.68     100% (8B/vec) same: compression tier (32x),
                                              exact rerank of the shortlist
 ===================  ========  ============  ==============================
 
+ZERO-NORM CONTRACT: all-zero vectors have no direction, so cosine is
+undefined for them — and under Spark 4's default ANSI mode the division
+would not degrade gracefully, it would throw DIVIDE_BY_ZERO and kill
+the whole job on the first such row. Every tier therefore EXCLUDES
+zero-norm vectors at its projection point (stored side, probe side,
+and IVF centroids): a zero probe returns no rows, a zero candidate is
+never scored, a degenerate (fully cancelled) centroid is dropped and
+its would-be members assign to the next-nearest list.
+
 The floors asserted in tests/test_round6_surface.py encode this table:
 the tiers recommended for retrieval at scale (multi-table, IVF) must
 hold recall@10 >= 0.3 / >= 0.7 on the fixture; the single-table and
@@ -102,6 +111,24 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
     return [[1 if rng.random() < 0.5 else -1 for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _topk_select(scored: DataFrame, k: int) -> DataFrame:
+    """The shared top-k tail of every tier: rank by (cos desc, cand_id
+    asc) per probe, keep k, emit the fixed (probe_id, cand_id, cosine,
+    rank) schema. ONE definition so tie-breaking, rounding precision,
+    and output schema can never silently diverge between tiers."""
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     probes: DataFrame,
@@ -118,12 +145,12 @@ def brute_force_topk(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         norm(F.col(vec_col)).alias("cnrm"),
-    )
+    ).filter(F.col("cnrm") > 0)
     pr = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         norm(F.col(vec_col)).alias("pnrm"),
-    )
+    ).filter(F.col("pnrm") > 0)
     scored = (
         cand.crossJoin(F.broadcast(pr))
         .filter(F.col("probe_id") != F.col("cand_id"))
@@ -133,17 +160,7 @@ def brute_force_topk(
             / (F.col("pnrm") * F.col("cnrm")),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_select(scored, k)
 
 
 def lsh_topk(
@@ -165,18 +182,16 @@ def lsh_topk(
     neighbors. Use it as a cheap candidate generator feeding a verify/
     rerank stage, or move up to multi-table/IVF for retrieval."""
     planes = hyperplanes(n_planes, dim, seed)
-    cand = emb.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cand_vec"),
-        sign_bucket(F.col(vec_col), planes).alias("bucket"),
-        norm(F.col(vec_col)).alias("cnrm"),
-    )
+    # The stored side IS the ingest-time projection — one definition
+    # (stored_codes) shared with multiprobe so the persisted layout
+    # contract cannot drift between tiers.
+    cand = stored_codes(emb, planes, id_col, vec_col)
     pr = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
         norm(F.col(vec_col)).alias("pnrm"),
-    )
+    ).filter(F.col("pnrm") > 0)
     scored = (
         cand.join(F.broadcast(pr), "bucket")
         .filter(F.col("probe_id") != F.col("cand_id"))
@@ -186,17 +201,7 @@ def lsh_topk(
             / (F.col("pnrm") * F.col("cnrm")),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_select(scored, k)
 
 
 def stored_codes(
@@ -210,13 +215,14 @@ def stored_codes(
     bucketed/partitioned BY the code so probe lookups are pruned file
     reads; here it is the stored side of the multiprobe join. The
     vector norm is part of the stored projection too (computed once at
-    ingest, never re-folded at query time)."""
+    ingest, never re-folded at query time), and zero-norm vectors are
+    excluded at ingest (module docstring's zero-norm contract)."""
     return emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
         norm(F.col(vec_col)).alias("cnrm"),
-    )
+    ).filter(F.col("cnrm") > 0)
 
 
 def _flip_bit(code, j: int):
@@ -261,7 +267,7 @@ def multiprobe_lsh_topk(
         F.col(vec_col).alias("probe_vec"),
         sign_bucket(F.col(vec_col), planes).alias("code"),
         norm(F.col(vec_col)).alias("pnrm"),
-    )
+    ).filter(F.col("pnrm") > 0)
     probe_codes = base.select(
         "probe_id",
         "probe_vec",
@@ -282,17 +288,7 @@ def multiprobe_lsh_topk(
             / (F.col("pnrm") * F.col("cnrm")),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_select(scored, k)
 
 
 def _multitable_planes(n_tables: int, bits: int, dim: int, seed: int):
@@ -386,7 +382,7 @@ def multitable_lsh_topk(
         F.explode(
             table_code_array(F.col(vec_col), n_tables, bits, dim, seed)
         ).alias("bucket"),
-    )
+    ).filter(F.col("cnrm") > 0)
     pr = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
@@ -394,7 +390,7 @@ def multitable_lsh_topk(
         F.explode(
             table_code_array(F.col(vec_col), n_tables, bits, dim, seed)
         ).alias("bucket"),
-    )
+    ).filter(F.col("pnrm") > 0)
     scored = (
         cand.join(F.broadcast(pr), "bucket")
         .filter(F.col("probe_id") != F.col("cand_id"))
@@ -406,17 +402,7 @@ def multitable_lsh_topk(
             / (F.col("pnrm") * F.col("cnrm")),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_select(scored, k)
 
 
 def ivf_topk(
@@ -443,12 +429,12 @@ def ivf_topk(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cent_vec"),
         norm(F.col(vec_col)).alias("centnrm"),
-    )
+    ).filter(F.col("centnrm") > 0)
     cand = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         norm(F.col(vec_col)).alias("cnrm"),
-    )
+    ).filter(F.col("cnrm") > 0)
     w_assign = Window.partitionBy("cand_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
     assigned = (
         cand.crossJoin(F.broadcast(cents))
@@ -465,7 +451,7 @@ def ivf_topk(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         norm(F.col(vec_col)).alias("pnrm"),
-    )
+    ).filter(F.col("pnrm") > 0)
     w_probe = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), F.asc("cent_id"))
     probe_lists = (
         pr.crossJoin(F.broadcast(cents))
@@ -487,17 +473,7 @@ def ivf_topk(
             / (F.col("pnrm") * F.col("cnrm")),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_select(scored, k)
 
 
 def near_dup_pairs(
@@ -522,7 +498,7 @@ def near_dup_pairs(
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
         norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
@@ -583,12 +559,13 @@ def int8_rerank_topk(
             norm(F.col("q")).alias("qnrm"),
             norm(F.col("cand_vec")).alias("cnrm"),
         )
+        .filter(F.col("cnrm") > 0)
     )
     pr = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         norm(F.col(vec_col)).alias("pnrm"),
-    )
+    ).filter(F.col("pnrm") > 0)
     approx = (
         cand.crossJoin(F.broadcast(pr))
         .filter(F.col("probe_id") != F.col("cand_id"))
@@ -605,17 +582,7 @@ def int8_rerank_topk(
         "cos",
         dot(F.col("probe_vec"), F.col("cand_vec")) / (F.col("pnrm") * F.col("cnrm")),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_select(rer, k)
 
 
 def pq_adc_topk(
@@ -660,7 +627,7 @@ def pq_adc_topk(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         norm(F.col(vec_col)).alias("cnrm"),
-    )
+    ).filter(F.col("cnrm") > 0)
     paired = cand.crossJoin(F.broadcast(cb))
     for s in range(n_sub):
         d = None
@@ -686,7 +653,7 @@ def pq_adc_topk(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         norm(F.col(vec_col)).alias("pnrm"),
-    )
+    ).filter(F.col("pnrm") > 0)
     lut = pr.crossJoin(F.broadcast(cb))
     for s in range(n_sub):
         v = None
@@ -718,14 +685,4 @@ def pq_adc_topk(
         "cos",
         dot(F.col("probe_vec"), F.col("cand_vec")) / (F.col("pnrm") * F.col("cnrm")),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round("cos", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_select(rer, k)

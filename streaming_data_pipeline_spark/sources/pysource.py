@@ -148,7 +148,16 @@ class _SynthReader(_SynthReaderBase):
         for f in filters:
             col = f.attribute[0] if isinstance(f.attribute, tuple) else f.attribute
             if isinstance(f, EqualTo) and col == "event_type":
-                self.event_type = f.value
+                if self.event_type is None or f.value == self.event_type:
+                    self.event_type = f.value
+                else:
+                    # A SECOND, conflicting equality: the reader scans on
+                    # the first one it consumed, so this one must go back
+                    # to Spark for post-scan re-application (the
+                    # conjunction is unsatisfiable -> correctly empty).
+                    # Consuming both and keeping only the last would
+                    # silently return the last type's rows instead.
+                    yield f
             elif isinstance(f, GreaterThanOrEqual) and col == "event_id":
                 self.lo = max(self.lo, int(f.value))
             elif isinstance(f, GreaterThan) and col == "event_id":

@@ -345,8 +345,15 @@ def vacuum(path: str, min_age_seconds: float = 0.0) -> dict:
         # exclusive lock so concurrent vacuums serialize on it too.
         tomb: dict[str, float] = {}
         if os.path.exists(tombstones):
-            with open(tombstones) as f:
-                tomb = json.load(f)
+            try:
+                with open(tombstones) as f:
+                    tomb = json.load(f)
+            except (ValueError, OSError):
+                # A corrupt/truncated sidecar (external edit, non-atomic
+                # backup restore) must not brick every future vacuum;
+                # treating it as empty only RESETS first-seen clocks,
+                # which errs toward retaining files longer — safe.
+                tomb = {}
         first_seen = {name: tomb.get(name, now) for name in candidates}
         data_deleted = data_retained = 0
         for name in candidates:
