@@ -123,6 +123,7 @@ _SWEEP_PRIORITY = [
     "semantic_dedup_keep_canonical",
     "udaf_median_mad_by_type",
     "small_file_compaction",
+    "heavy_hitter_bigrams",
     "distinct_mktsegments",
     "sql_cte_priority_revenue",
     "asof_last_login_value",

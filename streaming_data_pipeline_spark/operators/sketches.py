@@ -65,6 +65,42 @@ def _mg_candidates(items: DataFrame, k: int) -> DataFrame:
     return items.mapInPandas(summarize, "item string").distinct()
 
 
+def _mg_summaries(items: DataFrame, k: int) -> DataFrame:
+    """One pass emitting BOTH per-partition Misra-Gries candidates
+    (``rows`` NULL) and one per-partition row-count sentinel (``item``
+    NULL) — so :func:`heavy_hitters` derives candidates AND N from a
+    single scan of the (possibly expensive, e.g. exploded-ngram) input
+    instead of a separate count() pass."""
+
+    def summarize(batches):
+        counters: dict = {}
+        rows = 0
+        for pdf in batches:
+            col = pdf.iloc[:, 0]
+            rows += int(col.notna().sum())
+            for it in col.tolist():
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        cands = list(counters)
+        yield pd.DataFrame(
+            {"item": cands + [None], "rows": [None] * len(cands) + [rows]}
+        )
+
+    return items.mapInPandas(summarize, "item string, rows long")
+
+
 def heavy_hitters(
     items: DataFrame,
     item_col: str,
@@ -73,11 +109,23 @@ def heavy_hitters(
     """All items with frequency >= phi * N, exactly (two-pass MG).
 
     Returns (item, n, freq) with freq = n/N rounded to 6 places.
-    """
-    src = items.select(F.col(item_col).cast("string").alias("item"))
+
+    NULL items are excluded from BOTH the candidates and N: counting
+    them only in N (the old behavior) inflated the threshold for every
+    real item and silently dropped a heavy NULL group — neither a
+    'NULLs are a group' nor a 'NULLs don't exist' semantics. The
+    contract is now the latter (frequency among non-null items),
+    matching how a tokenizer-fed item stream is read."""
+    src = items.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     k = math.ceil(1.0 / phi)
-    cands = _mg_candidates(src, k)
-    total = src.count()
+    # ONE materialized summary pass yields both the candidate set and N
+    # (per-partition sentinels) — the input is scanned twice total
+    # (summaries + recount), not three times with a separate count().
+    summ = _mg_summaries(src, k).localCheckpoint(eager=True)
+    cands = summ.filter(F.col("item").isNotNull()).select("item").distinct()
+    total = summ.agg(F.sum("rows")).collect()[0][0] or 0
     threshold = phi * total
     return (
         src.join(F.broadcast(cands), "item", "left_semi")

@@ -120,14 +120,33 @@ def quality_filter(df: DataFrame, min_score: int = 50) -> DataFrame:
     return df.filter(F.col("data_quality_score") >= F.lit(min_score))
 
 
-def wire_pipeline(df: DataFrame, value_col: str = "value", as_of: str | None = None) -> DataFrame:
+def wire_pipeline(
+    df: DataFrame,
+    value_col: str = "value",
+    as_of: str | None = None,
+    observe_quality: str | None = None,
+) -> DataFrame:
     """The full reference chain over a wire-format (JSON text) stream/batch:
-    parse -> validate -> coerce -> enrich -> quality-filter -> 19-col select.
-    Works identically on ``spark.read.json`` batches and ``readStream``."""
+    parse -> validate -> coerce -> enrich -> [observe] -> quality-filter ->
+    19-col select. Works identically on ``spark.read.json`` batches and
+    ``readStream``.
+
+    ``observe_quality``: when set, attaches the health-check
+    ``observe()`` node (streaming/pipeline.py) under this metric name
+    BETWEEN enrich and the quality filter — the only placement where
+    ``low_quality_rows`` measures anything: attached downstream of the
+    filter the metric is structurally zero because every sub-50 row is
+    already gone."""
     df = parse_wire(df, value_col)
     df = validate_required(df)
     df = coerce_types(df, as_of=as_of)
     df = enrich(df)
+    if observe_quality:
+        from streaming_data_pipeline_spark.streaming.pipeline import (
+            with_quality_observation,
+        )
+
+        df = with_quality_observation(df, observe_quality)
     df = quality_filter(df)
     return df.select(*ENRICHED_COLUMNS)
 
@@ -140,6 +159,15 @@ def enrich_raw_events(df: DataFrame, as_of: str | None = None) -> DataFrame:
     JSON payload text doubles as the message body), user_id=str(user_id);
     the nine optional fields parse out of props (absent -> NULL, unknown
     keys like 'k' dropped — exercising T8/T9).
+
+    CONTRACT DIFFERENCE vs wire_pipeline: no validate_required stage.
+    The wire path validates required KEYS of an untrusted JSON payload;
+    the fixture table's columns are schema-typed and non-null by the
+    generator's invariant (FIXTURES.md), so there is nothing to
+    validate — but a fixture regeneration that introduced NULL ts/props
+    would surface here as rows the wire path drops (they score <=75 and
+    mostly survive the >=50 gate). If that invariant ever changes, add
+    the same null-drop to BOTH this chain and the ENRICHED_CTE oracle.
     """
     e = (
         df.withColumn("id", F.col("event_id").cast("string"))

@@ -56,7 +56,13 @@ WIRE_JSON_SCHEMA = T.StructType(
 ENRICHED_EVENT_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), nullable=False),
-        T.StructField("timestamp", T.TimestampNTZType(), nullable=False),
+        # NULLABLE by reference semantics (E2): a required-KEY check
+        # passes any non-null timestamp STRING, and an unparseable one
+        # (try_to_timestamp -> NULL) is KEPT with event_hour's
+        # 0-fallback, not dropped — so the typed column can be NULL and
+        # such rows land in the null date partition. Declaring it
+        # non-null here would misstate the wire contract.
+        T.StructField("timestamp", T.TimestampNTZType(), nullable=True),
         T.StructField("message", T.StringType()),
         T.StructField("user_id", T.StringType()),
         T.StructField("event_type", T.StringType()),

@@ -41,6 +41,21 @@ def _events_from_nanos(df: DataFrame) -> DataFrame:
     )
 
 
+def events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """Footer-only probe of events.parquet's timestamp unit — it VARIES
+    by fixture round (TESTDATA.md): under nanosAsLong a NANOS file
+    surfaces ``ts`` as bigint, a MICROS file as a timestamp type. The
+    ONE place the unit decision lives; both the batch reader and the
+    fixture stream (streaming/sources.py) consume it, so the two paths
+    cannot drift. Raises a clear error when the file is missing instead
+    of an opaque KeyError downstream."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"events fixture not found: {path}")
+    apply_runtime_confs(spark)
+    return dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with canonical types."""
     apply_runtime_confs(spark)

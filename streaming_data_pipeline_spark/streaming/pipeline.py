@@ -73,6 +73,11 @@ def with_quality_observation(df: DataFrame, name: str = "quality") -> DataFrame:
 
     Works identically on batch frames (metrics via DataFrame.observe +
     a QueryExecutionListener).
+
+    PLACEMENT: attach BEFORE the quality filter (wire_pipeline's
+    ``observe_quality`` hook does this) — attached after it,
+    ``low_quality_rows`` is structurally zero because every sub-50 row
+    has already been dropped, and the alerting probe can never fire.
     """
     return df.observe(
         name,

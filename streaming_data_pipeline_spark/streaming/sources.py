@@ -81,15 +81,14 @@ def events_fixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events.parquet through the micro-batch engine with the
     same canonical (ts -> TIMESTAMP_NTZ) conversion as the batch path."""
     apply_runtime_confs(spark)
-    # Probe the timestamp unit from the batch reader (footer metadata
-    # only, no data scan): under nanosAsLong a NANOS file surfaces ts as
-    # bigint, while a MICROS file surfaces a timestamp type directly.
-    probed = dict(
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .dtypes
-    )["ts"]
-    micros = F.expr("ts DIV 1000") if probed == "bigint" else F.col("ts")
+    # The unit decision is owned by sources/batch.py (one probe shared
+    # with load_table, clear error on a missing fixture). The stream
+    # schema reads ts as LONG either way; only the nanos case divides.
+    from streaming_data_pipeline_spark.sources.batch import events_ts_is_nanos
+
+    micros = (
+        F.expr("ts DIV 1000") if events_ts_is_nanos(spark, sf_dir) else F.col("ts")
+    )
     # the file-stream source wants a directory: point it at sf_dir and
     # glob-filter to the events file
     raw = (

@@ -17,9 +17,14 @@ from pyspark.sql import functions as F
 
 
 def _wm(events: DataFrame, ts_col: str, watermark: str) -> DataFrame:
-    """withWatermark needs TIMESTAMP (not NTZ). The session timeZone is
-    pinned UTC, so NTZ->TIMESTAMP is wall-clock-identical; window bounds
-    are cast back to NTZ on output for oracle parity."""
+    """withWatermark needs TIMESTAMP (not NTZ). NTZ->TIMESTAMP is
+    wall-clock-identical ONLY under a UTC session timezone, so this
+    helper pins it (same conf discipline as sources/batch.py's
+    apply_runtime_confs) instead of assuming the caller did — a
+    non-UTC session would silently shift every window boundary off
+    epoch alignment AND off the NTZ data/oracle. Window bounds are
+    cast back to NTZ on output for oracle parity."""
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     return events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
         ts_col, watermark
     )
@@ -97,5 +102,13 @@ def streaming_dedup(
     """Exactly-once-per-id within the watermark horizon:
     dropDuplicatesWithinWatermark bounds dedup state (old keys expire
     with the watermark instead of growing forever — the only sane
-    semantics for an unbounded stream)."""
-    return _wm(events, ts_col, watermark).dropDuplicatesWithinWatermark(list(id_cols))
+    semantics for an unbounded stream).
+
+    The timestamp column is cast back to TIMESTAMP_NTZ on output —
+    _wm re-types it to TIMESTAMP for the watermark, and unlike the
+    windowed siblings (whose outputs are fresh window bounds) this
+    helper returns the INPUT columns, so without the cast-back a caller
+    unioning with a batch NTZ frame or appending to an NTZ-typed sink
+    would hit a silent schema drift."""
+    out = _wm(events, ts_col, watermark).dropDuplicatesWithinWatermark(list(id_cols))
+    return out.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))

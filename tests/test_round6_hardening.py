@@ -206,3 +206,52 @@ def test_vacuum_tolerates_corrupt_tombstone_ledger(tmp_path):
     assert res["manifest_lines_after"] == 1
     # the rewritten ledger is valid JSON again
     json.load(open(os.path.join(path, "_tombstones")))
+
+
+# ------------------------------------------------------ heavy hitters --
+
+
+def test_heavy_hitters_null_items_excluded_from_n(spark):
+    """NULL items must not inflate the threshold: 6x'a' + 10xNULL +
+    4x'b' at phi=0.5 -> 'a' qualifies against the 10 NON-NULL rows
+    (6 >= 5); the old total-including-NULLs (20) returned nothing."""
+    from streaming_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 6 + [(None,)] * 10 + [("b",)] * 4
+    df = spark.createDataFrame(rows, "item string")
+    got = {r["item"]: r["n"] for r in heavy_hitters(df, "item", phi=0.5).collect()}
+    assert got == {"a": 6}
+
+
+def test_heavy_hitters_single_summary_pass(spark):
+    """The MG summary pass emits per-partition row-count sentinels, so
+    N comes from the (tiny) summary frame — the expensive input is
+    scanned twice (summaries + recount), never a third time."""
+    from streaming_data_pipeline_spark.operators.sketches import _mg_summaries
+
+    df = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "item string")
+    summ = _mg_summaries(df, k=4).toPandas()
+    assert int(summ["rows"].dropna().sum()) == 10
+    assert "x" in set(summ["item"].dropna())
+
+
+# -------------------------------------------------- streaming windows --
+
+
+def test_streaming_dedup_returns_ntz_timestamp(spark):
+    """streaming_dedup returns the INPUT columns, so the watermark's
+    NTZ->TIMESTAMP re-type must be cast back — otherwise unioning with
+    a batch NTZ frame or appending to an NTZ sink drifts schemas."""
+    from streaming_data_pipeline_spark.streaming.windows import streaming_dedup
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-15T10:00:00")], "id string, timestamp string"
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp_ntz"))
+    rs = spark.readStream.format("rate-micro-batch").option("rowsPerBatch", 1).load()
+    stream = rs.selectExpr(
+        "cast(value as string) AS id",
+        "cast(timestamp as timestamp_ntz) AS timestamp",
+    )
+    out = streaming_dedup(stream, id_cols=("id",))
+    assert dict(out.dtypes)["timestamp"] == "timestamp_ntz"
+    assert dict(df.dtypes)["timestamp"] == dict(out.dtypes)["timestamp"]

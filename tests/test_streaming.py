@@ -348,10 +348,18 @@ def test_observe_metrics_ride_the_stream(spark, tmpdirs):
         # score 50: empty message (+0), value 0 (+0), user (+25), ts (+25)
         {"id": "low1", "timestamp": "2024-01-15T10:00:40Z", "message": "",
          "user_id": "u2", "event_type": "click", "value": 0.0},
+        # score 25: only ts contributes — passes validate_required
+        # (empty string is non-null) but is DROPPED by the quality
+        # filter; the pre-filter observe node must still count it
+        {"id": "low2", "timestamp": "2024-01-15T10:00:50Z", "message": "",
+         "user_id": "", "event_type": "click", "value": 0.0},
     ]
     _write_messages(tmpdirs["in"], msgs, name="batch0.jsonl")
     stream = spark.readStream.format("text").load(tmpdirs["in"])
-    observed = with_quality_observation(wire_pipeline(stream, as_of=AS_OF))
+    # the observe node rides BETWEEN enrich and the quality filter —
+    # downstream of the filter low_quality_rows is structurally 0
+    observed = wire_pipeline(stream, as_of=AS_OF, observe_quality="quality")
+    assert with_quality_observation is not None  # placement doc lives there
     q = (
         observed.writeStream.format("parquet")
         .option("path", tmpdirs["out"])
@@ -367,10 +375,13 @@ def test_observe_metrics_ride_the_stream(spark, tmpdirs):
         if m:
             got["rows"] += m["rows"]
             got["low_quality_rows"] += m["low_quality_rows"]
-    # the empty-message event scores exactly 50 -> passes the filter,
-    # low_quality (<50) count is 0; all 5 rows observed
-    assert got["rows"] == 5
-    assert got["low_quality_rows"] == 0
+    # all 6 validated rows are observed PRE-filter; the score-25 row is
+    # counted low-quality AND absent from the sink (score-50 passes)
+    assert got["rows"] == 6
+    assert got["low_quality_rows"] == 1
+    sunk = spark.read.parquet(tmpdirs["out"])
+    assert sunk.count() == 5
+    assert sunk.filter(F.col("id") == "low2").count() == 0
 
 
 def test_stateful_op_on_rocksdb_state_store(spark):
