@@ -124,6 +124,9 @@ _SWEEP_PRIORITY = [
     "udaf_median_mad_by_type",
     "small_file_compaction",
     "heavy_hitter_bigrams",
+    "pmi_collocations",
+    "daily_volume_anomaly",
+    "bpe_train_merges",
     "distinct_mktsegments",
     "sql_cte_priority_revenue",
     "asof_last_login_value",

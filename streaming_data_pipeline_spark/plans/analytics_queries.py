@@ -789,17 +789,22 @@ def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("x")
     )
     w = Window.partitionBy("event_type")
+    # DECIMAL(38) per the file's exactness protocol: x*x and the
+    # cross-multiplied 2-sigma test wrap int64 near 3e9 events/day
+    # (non-ANSI wraps silently, ANSI throws); DuckDB's HUGEINT stays
+    # exact, so raw longs diverge exactly at the 100 TB posture this
+    # query advertises.
+    dec = "decimal(38,0)"
     stats = daily.select(
         "event_type",
         "event_date",
         "x",
-        F.sum("x").over(w).alias("s"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
-        F.count("*").over(w).alias("d"),
+        F.sum("x").over(w).cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(w).cast(dec).alias("q"),
+        F.count("*").over(w).cast(dec).alias("d"),
     )
-    lhs = (F.col("x") * F.col("d") - F.col("s")) * (
-        F.col("x") * F.col("d") - F.col("s")
-    )
+    dev = F.col("x").cast(dec) * F.col("d") - F.col("s")
+    lhs = dev * dev
     rhs = 4 * (F.col("q") * F.col("d") - F.col("s") * F.col("s"))
     return stats.select(
         "event_type",
@@ -817,8 +822,8 @@ WITH daily AS (
   FROM events GROUP BY 1, 2),
 stats AS (
   SELECT event_type, event_date, x,
-         SUM(x) OVER (PARTITION BY event_type) AS s,
-         SUM(x * x) OVER (PARTITION BY event_type) AS q,
+         SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type) AS s,
+         SUM(CAST(x AS HUGEINT) * x) OVER (PARTITION BY event_type) AS q,
          COUNT(*) OVER (PARTITION BY event_type) AS d
   FROM daily)
 SELECT event_type, CAST(event_date AS TIMESTAMP) AS event_date,
@@ -1632,9 +1637,14 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # MICROSECOND epos, not truncated seconds: a long cast floors the
+    # sub-second part while DuckDB's epoch() keeps it fractional, so a
+    # true gap in (1800, 1801) s could open a session in one engine and
+    # not the other. unix_micros/epoch_us is the integer-exact protocol
+    # interarrival_gap_stats already uses.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     numbered = ev.withColumn(
         "session_id",
         F.sum(new_session).over(
@@ -1675,8 +1685,8 @@ QUERIES["first_touch_attribution"] = first_touch_attribution
 ORACLE["first_touch_attribution"] = """
 WITH ordered AS (
   SELECT user_id, event_id, event_type, ts, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -1745,7 +1755,10 @@ def pmi_collocations(spark: SparkSession, sf_dir: str, k: int = 20, min_c: int =
             "w1",
             "w2",
             F.col("c12").cast("long").alias("c12"),
-            F.expr("c12 * n * 1000000 div (c1 * c2)").alias("pmi_ppm"),
+            F.expr(
+                "cast(c12 as decimal(38,0)) * n * 1000000"
+                " div (cast(c1 as decimal(38,0)) * c2)"
+            ).alias("pmi_ppm"),
         )
     )
     from pyspark.sql import Window
@@ -1773,7 +1786,8 @@ c2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY 1),
 n AS (SELECT COUNT(*) AS n FROM big),
 scored AS (
   SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-         c12 * n * 1000000 // (c1 * c2) AS pmi_ppm
+         CAST(c12 AS HUGEINT) * n * 1000000
+           // (CAST(c1 AS HUGEINT) * c2) AS pmi_ppm
   FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
   WHERE c12 >= 5),
 top AS (SELECT * FROM scored ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20)
@@ -1926,7 +1940,10 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
             "type_a",
             "type_b",
             F.col("c_ab").cast("long").alias("c_ab"),
-            F.expr("c_ab * n * 1000000 div (c_a * c_b)").cast("long").alias(
+            F.expr(
+                "cast(c_ab as decimal(38,0)) * n * 1000000"
+                " div (cast(c_a as decimal(38,0)) * c_b)"
+            ).cast("long").alias(
                 "lift_ppm"
             ),
         )
@@ -1954,7 +1971,8 @@ pairs AS (
   GROUP BY 1, 2),
 scored AS (
   SELECT type_a, type_b, CAST(c_ab AS BIGINT) AS c_ab,
-         c_ab * n * 1000000 // (ma.c * mb.c) AS lift_ppm
+         CAST(c_ab AS HUGEINT) * n * 1000000
+           // (CAST(ma.c AS HUGEINT) * mb.c) AS lift_ppm
   FROM pairs
   JOIN margins ma ON ma.event_type = type_a
   JOIN margins mb ON mb.event_type = type_b, n),
@@ -2331,7 +2349,9 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_customers",
             "decile_cents",
-            F.expr("cast(cum_cents * 1000000 div tot as long)").alias(
+            F.expr(
+                "cast(cast(cum_cents as decimal(38,0)) * 1000000 div tot as long)"
+            ).alias(
                 "cum_share_ppm"
             ),
         )
@@ -2484,13 +2504,18 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = a.agg(F.count("*").alias("na"))
     nb = b.agg(F.count("*").alias("nb"))
+    # fa*nb in DECIMAL(38): the cumulative counts scale with the fact
+    # table, so the raw long product wraps past ~3e9 rows per side
+    # (DuckDB's SUM already promotes to HUGEINT — raw longs here would
+    # diverge engines exactly at scale).
     scored = cum.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).select(
         "na",
         "nb",
         F.struct(
-            F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na")).alias(
-                "gap"
-            ),
+            F.abs(
+                F.col("fa").cast("decimal(38,0)") * F.col("nb")
+                - F.col("fb").cast("decimal(38,0)") * F.col("na")
+            ).alias("gap"),
             (-F.col("cents")).alias("nc"),
         ).alias("st"),
     )

@@ -50,6 +50,7 @@ from streaming_data_pipeline_spark.operators.similarity import (
     multiprobe_lsh_topk,
     multitable_lsh_topk,
     near_dup_pairs,
+    pq_adc_topk,
 )
 from streaming_data_pipeline_spark.sources.batch import load_table, spread_small_scan
 
@@ -528,10 +529,7 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multitable_recall": multitable_lsh_topk(emb, probes),
         "ivf_recall": ivf_topk(emb, probes),
         "int8_rerank_recall": int8_rerank_topk(emb, probes),
-        "pq_adc_recall": __import__(
-            "streaming_data_pipeline_spark.operators.similarity",
-            fromlist=["pq_adc_topk"],
-        ).pq_adc_topk(emb, probes),
+        "pq_adc_recall": pq_adc_topk(emb, probes),
     }
     out = bf
     for name, df in approx.items():
@@ -2566,25 +2564,33 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, steps: int = 5) -> DataFr
 
 
 def _sql_bpe_oracle(steps: int = 5) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # s{i}/t{i} is referenced twice (by p{i+1} and s{i+1}), so inlining
+    # re-evaluates the vocabulary-sized explode chain ~2^steps times —
+    # the same blow-up already diagnosed (and fixed) in
+    # _sql_bpe_apply_oracle and the k-core oracle.
     ctes = [
-        f"wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM "
+        f"wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM "
         f"(SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w)",
-        "s0 AS (SELECT n, ' ' || array_to_string(string_split(w, ''), ' ')"
+        "s0 AS MATERIALIZED (SELECT n, ' ' || array_to_string(string_split(w, ''), ' ')"
         " || ' ' AS s FROM wf)",
     ]
     finals = []
     for i in range(1, steps + 1):
         prev = f"s{i - 1}"
         ctes.append(
-            f"p{i} AS (SELECT syms[CAST(j.j AS INT)] || ' ' || "
+            f"p{i} AS MATERIALIZED (SELECT syms[CAST(j.j AS INT)] || ' ' || "
             f"syms[CAST(j.j AS INT) + 1] AS pair, CAST(SUM(n) AS BIGINT) AS c "
             f"FROM (SELECT n, list_filter(string_split(trim(s), ' '), "
             f"x -> x <> '') AS syms FROM {prev}) t, "
             f"UNNEST(range(1, len(syms))) AS j(j) GROUP BY 1)"
         )
-        ctes.append(f"t{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1)")
         ctes.append(
-            f"s{i} AS (SELECT n, replace(s, "
+            f"t{i} AS MATERIALIZED "
+            f"(SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT n, replace(s, "
             f"' ' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || ' ', "
             f"' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s "
             f"FROM {prev}, t{i})"
