@@ -127,6 +127,10 @@ _SWEEP_PRIORITY = [
     "pmi_collocations",
     "daily_volume_anomaly",
     "bpe_train_merges",
+    "skew_salted_join",
+    "boilerplate_chunk_removal",
+    "within_doc_dedup",
+    "embedding_random_projection",
     "distinct_mktsegments",
     "sql_cte_priority_revenue",
     "asof_last_login_value",

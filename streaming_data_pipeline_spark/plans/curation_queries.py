@@ -173,17 +173,21 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK)).cast("int")
+    # Zero-token guard (same as training_queries' chunk_dup_stats): for
+    # an empty/whitespace-only doc, sequence(0, -1) is [0, -1] — TWO
+    # phantom ''-chunks the oracle's range(0) never produces.
+    chunk_arr = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * _CHUNK + 1, _CHUNK), " "),
+        )
+    )
     chunks = docs.select(
         "doc_id",
         "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice(toks, i * _CHUNK + 1, _CHUNK), " "
-                ),
-            )
-        ).alias("pos", "chunk"),
+        F.posexplode(chunk_arr).alias("pos", "chunk"),
     )
     boiler = (
         chunks.groupBy("chunk")
@@ -202,16 +206,15 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.filter(
-                            F.sort_array(
-                                F.collect_list(
-                                    F.when(
-                                        F.col("is_boiler").isNull(),
-                                        F.struct("pos", "chunk"),
-                                    )
+                        # collect_list drops the when()'s NULLs, so the
+                        # sorted array is null-free by construction
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_boiler").isNull(),
+                                    F.struct("pos", "chunk"),
                                 )
-                            ),
-                            lambda s: s.isNotNull(),
+                            )
                         ),
                         lambda s: s.chunk,
                     ),
@@ -1015,7 +1018,9 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> 
     optimal-allocation idea, Neyman 1934 — public; allocation here is
     proportional to each stratum's exact integer variance numerator
     n*Σx²-(Σx)² over event value cents, avoiding the irrational sqrt
-    so both engines stay in BIGINT): k=100 samples are apportioned
+    so both engines stay in exact integers — DECIMAL(38) here, HUGEINT
+    in DuckDB, since the numerator wraps int64 near sf1): k=100
+    samples are apportioned
     across event-type strata by the largest-remainder (Hamilton)
     method — base = k*V_h div V_tot, leftovers to the largest
     remainders — then each stratum draws its quota deterministically
@@ -1035,14 +1040,23 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> 
         "event_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
     )
+    # DECIMAL(38) per the exactness protocol: v = n*sxx - sx^2 over
+    # value cents reaches ~1e16 at sf0.1 and grows ~100x per 10x sf, so
+    # k*v (and sx*sx one step later) wraps int64 near sf1 — ANSI Spark
+    # throws, non-ANSI wraps silently, while DuckDB's HUGEINT SUM stays
+    # exact. The docstring's old 'both engines stay in BIGINT' claim
+    # was wrong at exactly the scale this query advertises.
+    dec = "decimal(38,0)"
     strata = ev.groupBy("event_type").agg(
         F.count("*").alias("n_h"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
     ).select(
         "event_type",
         "n_h",
-        (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("v"),
+        (F.col("n_h").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast(dec)
+        .alias("v"),
     )
     tot = strata.agg(F.sum("v").alias("vt"))
     quota = strata.crossJoin(F.broadcast(tot)).select(
@@ -1151,14 +1165,19 @@ def within_doc_dedup(spark: SparkSession, sf_dir: str, chunk: int = 2) -> DataFr
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    # Zero-token guard: sequence(0, -1) would manufacture two phantom
+    # ''-chunks for an empty doc (see boilerplate_chunk_removal).
+    chunk_arr = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+        )
+    )
     chunks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
-            )
-        ).alias("pos", "chunk"),
+        F.posexplode(chunk_arr).alias("pos", "chunk"),
     )
     firsts = chunks.groupBy("doc_id", "chunk").agg(F.min("pos").alias("pos"))
     return (

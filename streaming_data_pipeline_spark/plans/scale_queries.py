@@ -222,9 +222,15 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # Integer MICROSECONDS, not seconds: a long cast of the timestamp
+    # floors the sub-second part while DuckDB's epoch() keeps it
+    # fractional AND its BIGINT cast ROUNDS — a gap near the 1800 s
+    # boundary could split sessions differently per engine. micros is
+    # exact in both (unix_micros / epoch_us), the same protocol as
+    # first_touch_attribution (which promises these exact boundaries).
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     numbered = ev.withColumn(
         "session_id",
         F.sum(new_session).over(
@@ -253,9 +259,17 @@ def skew_salted_join(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFra
     aggregate is salt-invariant, so output == unsalted join (the oracle).
     """
     ev = load_table(spark, sf_dir, "events")
-    dim = (
-        ev.groupBy(F.col("event_type").alias("d_type"))
-        .agg(F.avg(F.col("value")).alias("type_avg"))
+    # The dim carries the integer-exact mean ingredients (cents sum +
+    # count), NOT a double average: `value > type_avg` on a raw double
+    # avg is order-of-summation-sensitive at the ulp level, so a value
+    # within 1 ulp of its group mean could flip above_avg_count on one
+    # engine only. cents*n > sum*n-style cross-multiplication is exact.
+    dim = ev.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.avg(F.col("value")).alias("type_avg"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("type_cents"),
+        F.count("*").cast("decimal(38,0)").alias("type_n"),
     )
     salted_dim = dim.withColumn(
         "d_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -276,7 +290,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFra
                 "avg_delta"
             ),
             F.sum(
-                F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+                F.when(
+                    (F.col("value").cast("decimal(18,2)") * 100).cast(
+                        "decimal(38,0)"
+                    )
+                    * F.col("type_n")
+                    > F.col("type_cents"),
+                    1,
+                ).otherwise(0)
             ).alias("above_avg_count"),
         )
         .orderBy("event_type")
@@ -337,15 +358,16 @@ ORACLE = {
     "sessionize_events_batch": """
     WITH numbered AS (
       SELECT user_id, event_id, ts, value,
-             SUM(CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > 1800
+             SUM(CASE WHEN prev_epoch IS NULL
+                      OR epoch - prev_epoch > 1800 * 1000000
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM (
         SELECT user_id, event_id, ts, value,
-               CAST(epoch(ts) AS BIGINT) AS epoch,
-               lag(CAST(epoch(ts) AS BIGINT))
+               epoch_us(ts) AS epoch,
+               lag(epoch_us(ts))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch
         FROM events
       )
@@ -361,13 +383,18 @@ ORACLE = {
     """,
     "skew_salted_join": """
     WITH dim AS (
-      SELECT event_type AS d_type, AVG(value) AS type_avg
+      SELECT event_type AS d_type, AVG(value) AS type_avg,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS type_cents,
+             COUNT(*) AS type_n
       FROM events GROUP BY event_type
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            round(AVG(value - type_avg), 4) + 0.0 AS avg_delta,
-           CAST(SUM(CASE WHEN value > type_avg THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS HUGEINT) * type_n > type_cents
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS above_avg_count
     FROM events JOIN dim ON event_type = d_type
     GROUP BY event_type

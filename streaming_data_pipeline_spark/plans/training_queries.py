@@ -117,7 +117,18 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort bought nothing).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    # Plan-build-time dimension probe. Contract: the embedding column is
+    # uniform-dimension (fixture schema guarantee) — a ragged shorter
+    # row would NULL-pad zip_with and emit NULL projections rather than
+    # erroring. An empty table must fail loudly here, not with a
+    # TypeError on the None row.
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError(
+            "embeddings table is empty - cannot infer the projection "
+            "dimension for the random-projection weight matrix"
+        )
+    dim = first["d"]
     w_lit = F.array(
         *[
             F.array(*[F.lit(float(v)) for v in row])
