@@ -56,15 +56,26 @@ def _recover_crashed_compactions(base: str, partition_col: str) -> None:
     it. A crash between the two swap renames leaves the partition
     ABSENT with its data in ``.compact_old`` → restore it; a crash
     after the swap leaves a fully superseded ``.compact_old`` → drop
-    it; an aborted rewrite leaves ``.compact_tmp`` → drop it."""
+    it; an aborted rewrite leaves ``.compact_tmp`` → drop it.
+
+    Upgrade safety: a pre-dot-prefix release named its scratch dirs
+    BARE (``date=X.compact_old``), and a crash under that naming
+    leaves dirs that DO match :func:`_partition_dirs` and Spark's
+    partition discovery — read back as a bogus partition value, every
+    row in them duplicated. Sweep those legacy names with the same
+    restore/drop rules before any partition listing happens."""
     for d in os.listdir(base):
-        if not d.startswith(f".{partition_col}="):
+        legacy = d.startswith(f"{partition_col}=") and (
+            d.endswith(".compact_old") or d.endswith(".compact_tmp")
+        )
+        if not d.startswith(f".{partition_col}=") and not legacy:
             continue
         full = os.path.join(base, d)
         if not os.path.isdir(full):
             continue
         if d.endswith(".compact_old"):
-            pdir = os.path.join(base, d[1 : -len(".compact_old")])
+            stem = d[1:] if d.startswith(".") else d
+            pdir = os.path.join(base, stem[: -len(".compact_old")])
             if os.path.isdir(pdir):
                 shutil.rmtree(full)
             else:
@@ -118,8 +129,13 @@ def compact_partitioned_sink(
         # Two renames cannot be one atomic exchange on POSIX; the crash
         # window between them leaves the partition absent with its data
         # intact in the dot-prefixed old dir, which the recovery pre-pass
-        # above restores on the next run (readers racing the swap itself
-        # see either copy — both hold the full partition).
+        # above restores on the next run. A reader racing the swap sees
+        # the old copy, the new copy, or — between the two renames — NO
+        # partition at all (the old copy is dot-hidden by then); callers
+        # needing read-during-compact isolation must retry an absent
+        # partition or schedule compaction off-peak. A true atomic
+        # exchange needs renameat2(RENAME_EXCHANGE), not exposed by
+        # os.rename.
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old)

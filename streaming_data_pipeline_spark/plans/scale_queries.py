@@ -266,7 +266,11 @@ def skew_salted_join(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFra
     # engine only. cents*n > sum*n-style cross-multiplication is exact.
     dim = ev.groupBy(F.col("event_type").alias("d_type")).agg(
         F.avg(F.col("value")).alias("type_avg"),
-        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        # cents cast to decimal(38,0) BEFORE the sum (the file's exactness
+        # protocol): summing in int64 first would throw under ANSI near
+        # int64 at real scale while DuckDB's SUM(BIGINT) auto-promotes to
+        # HUGEINT — the exact cross-engine divergence class this avoids.
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("type_cents"),
         F.count("*").cast("decimal(38,0)").alias("type_n"),

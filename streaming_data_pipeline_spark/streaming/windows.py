@@ -23,8 +23,27 @@ def _wm(events: DataFrame, ts_col: str, watermark: str) -> DataFrame:
     apply_runtime_confs) instead of assuming the caller did — a
     non-UTC session would silently shift every window boundary off
     epoch alignment AND off the NTZ data/oracle. Window bounds are
-    cast back to NTZ on output for oracle parity."""
-    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    cast back to NTZ on output for oracle parity.
+
+    NOTE: this mutates SESSION-level conf — it affects every
+    timestamp expression compiled in the same session afterwards, not
+    just this plan. That is deliberate (mixed-timezone plans in one
+    session are incoherent for this engine), but it must not be
+    SILENT: if the session carries an explicit non-UTC timezone we
+    warn before overwriting so the caller can see their setting was
+    overridden rather than debugging shifted windows."""
+    sess = events.sparkSession
+    current = sess.conf.get("spark.sql.session.timeZone", None)
+    if current not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        import warnings
+
+        warnings.warn(
+            "streaming windows pin spark.sql.session.timeZone=UTC for the "
+            f"whole session (was {current!r}); window/watermark semantics "
+            "are defined against UTC wall-clock over TIMESTAMP_NTZ data",
+            stacklevel=3,
+        )
+    sess.conf.set("spark.sql.session.timeZone", "UTC")
     return events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
         ts_col, watermark
     )
