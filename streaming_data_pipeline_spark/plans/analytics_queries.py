@@ -413,7 +413,8 @@ QUERIES = {
     "user_event_transitions": user_event_transitions,
 }
 
-_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# single-copy DuckDB tokenizer (plans/oracle_text.py)
+from streaming_data_pipeline_spark.plans.oracle_text import DUCK_TOKS as _TOKS
 
 ORACLE = {
     "event_funnel_conversion": """

@@ -27,6 +27,11 @@ from streaming_data_pipeline_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from streaming_data_pipeline_spark.functions.quality_rules import (
+    gopher_flag_cols,
+    gopher_report_aggs,
+    gopher_rule_pass,
+)
 from streaming_data_pipeline_spark.sources.batch import load_table
 
 # --------------------------------------------------------------------------
@@ -530,7 +535,14 @@ _EMAIL_RE = PII_PATTERNS["email"].replace("'", "''")
 _IP_RE = PII_PATTERNS["ipv4"]
 _PHONE_RE = PII_PATTERNS["phone"]
 
-_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# single-copy DuckDB tokenizer (plans/oracle_text.py) — the Spark twin
+# is functions.text.tokens
+from streaming_data_pipeline_spark.plans.oracle_text import (
+    DUCK_TOKS as _TOKS,
+    sql_gopher_flag_cases,
+    sql_gopher_report_select,
+    sql_gopher_rule_pass,
+)
 
 ORACLE = {
     # The corruption is deterministic on event_id and the fixture has no
@@ -837,33 +849,12 @@ def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chars").alias("chars"),
         F.max("c").alias("mx"),
     )
-    flagged = per_doc.select(
-        "source",
-        (~F.col("n_words").between(25, 90)).cast("int").alias("f_wc"),
-        (
-            (7 * F.col("n_words") > 2 * F.col("chars"))
-            | (4 * F.col("chars") > 19 * F.col("n_words"))
-        ).cast("int").alias("f_mwl"),
-        (3 * F.col("n_types") < F.col("n_words")).cast("int").alias("f_ttr"),
-        (8 * F.col("mx") > F.col("n_words")).cast("int").alias("f_dom"),
-    )
-    return (
-        flagged.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("f_wc").cast("long").alias("fail_word_count"),
-            F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
-            F.sum("f_ttr").cast("long").alias("fail_ttr"),
-            F.sum("f_dom").cast("long").alias("fail_dominance"),
-            F.sum(
-                F.when(
-                    (F.col("f_wc") + F.col("f_mwl") + F.col("f_ttr") + F.col("f_dom")) == 0,
-                    1,
-                ).otherwise(0)
-            ).cast("long").alias("pass_all"),
-        )
-        .orderBy("source")
-    )
+    # rule predicates + rollup are the single shared copy
+    # (functions/quality_rules.py) — also used by the streaming parity
+    # query and the linear-model gate, so a threshold fix cannot
+    # half-land across the three plans.
+    flagged = per_doc.select("source", *gopher_flag_cols())
+    return flagged.groupBy("source").agg(*gopher_report_aggs()).orderBy("source")
 
 
 QUERIES["gopher_rules_filter"] = gopher_rules_filter
@@ -878,21 +869,9 @@ per_doc AS (
   FROM per_token GROUP BY doc_id, source),
 flagged AS (
   SELECT source,
-         CASE WHEN n_words BETWEEN 25 AND 90 THEN 0 ELSE 1 END AS f_wc,
-         CASE WHEN 7 * n_words > 2 * chars
-               OR 4 * chars > 19 * n_words THEN 1 ELSE 0 END AS f_mwl,
-         CASE WHEN 3 * n_types < n_words THEN 1 ELSE 0 END AS f_ttr,
-         CASE WHEN 8 * mx > n_words THEN 1 ELSE 0 END AS f_dom
+         {sql_gopher_flag_cases()}
   FROM per_doc)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
-       CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
-       CAST(SUM(f_ttr) AS BIGINT) AS fail_ttr,
-       CAST(SUM(f_dom) AS BIGINT) AS fail_dominance,
-       CAST(SUM(CASE WHEN f_wc + f_mwl + f_ttr + f_dom = 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
-FROM flagged GROUP BY source ORDER BY source
+{sql_gopher_report_select()}
 """
 
 
@@ -1449,14 +1428,9 @@ def linear_model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         F.expr("n_types * 1000000 div n_words").alias("ttr_ppm"),
         F.expr("mx * 1000000 div n_words").alias("dom_ppm"),
-        # rule-gate verdict (same thresholds as gopher_rules_filter)
-        (
-            F.col("n_words").between(25, 90)
-            & (7 * F.col("n_words") <= 2 * F.col("chars"))
-            & (4 * F.col("chars") <= 19 * F.col("n_words"))
-            & (3 * F.col("n_types") >= F.col("n_words"))
-            & (8 * F.col("mx") <= F.col("n_words"))
-        ).alias("rule_pass"),
+        # rule-gate verdict — the shared PASS conjunction (same
+        # single-copy thresholds as gopher_rules_filter)
+        gopher_rule_pass().alias("rule_pass"),
     )
     scored = feats.withColumn(
         "model_pass",
@@ -1504,11 +1478,7 @@ feats AS (
   SELECT source, n_words,
          n_types * 1000000 // n_words AS ttr_ppm,
          mx * 1000000 // n_words AS dom_ppm,
-         (n_words BETWEEN 25 AND 90
-          AND 7 * n_words <= 2 * chars
-          AND 4 * chars <= 19 * n_words
-          AND 3 * n_types >= n_words
-          AND 8 * mx <= n_words) AS rule_pass
+         {sql_gopher_rule_pass()} AS rule_pass
   FROM per_doc),
 scored AS (
   SELECT source, rule_pass,

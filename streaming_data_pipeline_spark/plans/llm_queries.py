@@ -637,7 +637,14 @@ QUERIES = {
 # DuckDB oracle SQL (generated where the expression is dimension- or
 # hash-family-parameterized, so both engines share one source of truth)
 # --------------------------------------------------------------------------
-_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# single-copy DuckDB tokenizer + banding SQL (plans/oracle_text.py)
+from streaming_data_pipeline_spark.plans.oracle_text import (
+    DUCK_TOKS as _TOKS,
+    sql_minhash_banding_ctes,
+    sql_minhash_pair_oracle,
+    sql_minhash_sig as _sql_minhash_sig,
+)
+
 _DTOKS = f"list_distinct({_TOKS})"
 _STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 # word-3-gram shingle set (mirrors functions.text.word_shingles: 1-based
@@ -715,19 +722,9 @@ def _sql_table_code_list(
     return "[" + ", ".join(codes) + "]"
 
 
-def _sql_minhash_sig(k: int = 16) -> str:
-    """Multiply-shift MinHash signature, mirroring
-    operators/dedup.minhash_lsh_pairs: x = first-7-hex-chars of
-    md5(token) as BIGINT; h_j = (A[j]*x + B[j]) // 2^31."""
-    from streaming_data_pipeline_spark.functions.text import MINHASH_A, MINHASH_B
-
-    x = "CAST('0x' || substring(md5(t), 1, 7) AS BIGINT)"
-    elems = ", ".join(
-        f"list_min(list_transform(ts, t -> "
-        f"({MINHASH_A[j]} * {x} + {MINHASH_B[j]}) // 2147483648))"
-        for j in range(k)
-    )
-    return f"[{elems}]"
+# _sql_minhash_sig is the shared plans/oracle_text.sql_minhash_sig
+# (imported above): one copy of the signature SQL for every MinHash
+# oracle in the repo.
 
 
 def _sql_simhash_bits() -> str:
@@ -827,55 +824,15 @@ ORACLE = {
            CAST(COUNT(*) AS BIGINT) AS dup_count
     FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp
     """,
-    "dedup_near_minhash_lsh": f"""
-    WITH toks AS (SELECT doc_id AS id, {_DTOKS} AS ts FROM documents),
-    sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
-    banded AS (
-      SELECT id, ts,
-             md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*4+1] AS VARCHAR) || '|'
-                 || CAST(sig[b*4+2] AS VARCHAR) || '|' || CAST(sig[b*4+3] AS VARCHAR)
-                 || '|' || CAST(sig[b*4+4] AS VARCHAR)) AS bucket
-      FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
-    )
-    SELECT id_a, id_b,
-           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
-    FROM cand JOIN toks ta ON cand.id_a = ta.id JOIN toks tb ON cand.id_b = tb.id
-    WHERE round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) >= 0.8
-    ORDER BY id_a, id_b
-    """,
+    # one parameterized banding oracle (plans/oracle_text.py) serves
+    # both LSH pair queries — only the token-set expression differs
+    "dedup_near_minhash_lsh": sql_minhash_pair_oracle(_DTOKS, threshold=0.8),
     "simhash_signatures": f"""
     WITH h AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents)
     SELECT doc_id, {_sql_simhash_bits()} AS simhash
     FROM h ORDER BY doc_id
     """,
-    "dedup_ngram_jaccard": f"""
-    WITH toks AS (SELECT doc_id AS id, {_SHINGLES} AS ts FROM documents),
-    sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
-    banded AS (
-      SELECT id, ts,
-             md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*4+1] AS VARCHAR) || '|'
-                 || CAST(sig[b*4+2] AS VARCHAR) || '|' || CAST(sig[b*4+3] AS VARCHAR)
-                 || '|' || CAST(sig[b*4+4] AS VARCHAR)) AS bucket
-      FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
-    )
-    SELECT id_a, id_b,
-           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
-    FROM cand JOIN toks ta ON cand.id_a = ta.id JOIN toks tb ON cand.id_b = tb.id
-    WHERE round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) >= 0.8
-    ORDER BY id_a, id_b
-    """,
+    "dedup_ngram_jaccard": sql_minhash_pair_oracle(_SHINGLES, threshold=0.8),
     "simhash_near_dup": f"""
     WITH hs AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents),
     h AS (SELECT doc_id AS id, {_sql_simhash_bits()} AS simhash FROM hs),
@@ -1896,18 +1853,7 @@ ORACLE["dedup_minhash_estimate_error"] = f"""
 WITH toks AS (
   SELECT doc_id AS id, {_DTOKS} AS ts FROM documents
   WHERE doc_id % 10 = 0 AND len({_DTOKS}) > 0),
-sigs AS (SELECT id, ts, {_sql_minhash_sig(32)} AS sig FROM toks),
-banded AS (
-  SELECT id,
-         md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*4+1] AS VARCHAR) || '|'
-             || CAST(sig[b*4+2] AS VARCHAR) || '|' || CAST(sig[b*4+3] AS VARCHAR)
-             || '|' || CAST(sig[b*4+4] AS VARCHAR)) AS bucket
-  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
-),
+{sql_minhash_banding_ctes(32, 8)},
 scored AS (
   SELECT id_a, id_b,
          CAST(list_sum(list_transform(range(32),

@@ -1282,29 +1282,17 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" t -> size(filter({toks}, x -> x = t))))"
         ).alias("mx"),
     ).filter(F.col("n_words") > 0)
-    flagged = stats.select(
-        "source",
-        (~F.col("n_words").between(25, 90)).cast("int").alias("f_wc"),
-        (
-            (7 * F.col("n_words") > 2 * F.col("chars"))
-            | (4 * F.col("chars") > 19 * F.col("n_words"))
-        ).cast("int").alias("f_mwl"),
-        (3 * F.col("n_types") < F.col("n_words")).cast("int").alias("f_ttr"),
-        (8 * F.col("mx") > F.col("n_words")).cast("int").alias("f_dom"),
+    # rule predicates + rollup are the single shared copy
+    # (functions/quality_rules.py) — identical by construction to the
+    # batch gopher_rules_filter, which is what makes the shared oracle
+    # a genuine batch/stream parity proof.
+    from streaming_data_pipeline_spark.functions.quality_rules import (
+        gopher_flag_cols,
+        gopher_report_aggs,
     )
-    agg = flagged.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("f_wc").cast("long").alias("fail_word_count"),
-        F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
-        F.sum("f_ttr").cast("long").alias("fail_ttr"),
-        F.sum("f_dom").cast("long").alias("fail_dominance"),
-        F.sum(
-            F.when(
-                (F.col("f_wc") + F.col("f_mwl") + F.col("f_ttr") + F.col("f_dom")) == 0,
-                1,
-            ).otherwise(0)
-        ).cast("long").alias("pass_all"),
-    )
+
+    flagged = stats.select("source", *gopher_flag_cols())
+    agg = flagged.groupBy("source").agg(*gopher_report_aggs())
     return _drain_complete(agg, spark).orderBy("source")
 
 

@@ -439,7 +439,8 @@ QUERIES = {
     "udtf_chunk_split": udtf_chunk_split,
 }
 
-_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# single-copy DuckDB tokenizer (plans/oracle_text.py)
+from streaming_data_pipeline_spark.plans.oracle_text import DUCK_TOKS as _TOKS
 
 ORACLE = {
     "cdc_chunk_dedup": """
