@@ -43,79 +43,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else. More names than the 50 budget: overflow rolls to
 # the next round's window.
 _SWEEP_PRIORITY = [
-    # ---- round-6 window (driver budget: first 50) -------------------
-    # Retires the driver-evidence backlog to ZERO (r5 verdict task 1):
-    # first the 3 queries whose plans changed THIS round (edit-distance
-    # broadcast restricted to block canonicals, JPEG dequant sums from
-    # the payload's own DQT, wire-sink commits under the manifest
-    # flock), then the 11 dedup/multimodal queries whose plans gained
-    # spread_small_scan in r5 after their last first-party row, then
-    # the 25 never-driver-checked statistics/analytics queries plus
-    # similarity_recall_at_k (stalest ANN evidence, r3), then 10 of the
-    # r1-stale tranche. Query count frozen at 242 — no additions.
-    "dedup_edit_distance_pairs",
-    "multimodal_jpeg_decode",
-    "wire_sink_roundtrip",
+    # ---- round-7 window (driver budget: first 50) -------------------
+    # FIRST: the 12 queries whose plans/oracles changed THIS round —
+    # the de-triplication refactor (Gopher rules + banding SQL now
+    # single-sourced in functions/quality_rules.py + plans/
+    # oracle_text.py), the simhash/phash option work in operators/
+    # dedup.py (simhash_sig width param, phash emit='star'), and the
+    # streaming _wm timezone-warning change (windowed_counts_60s is
+    # the one windowed query with an r6-fresh row to re-stamp). All
+    # re-verified green in this round's scoped + full sf0.01 sweeps;
+    # the window gives them fresh first-party driver rows.
+    "gopher_rules_filter",
+    "streaming_quality_gate",
+    "linear_model_quality_gate",
     "dedup_near_minhash_lsh",
-    "simhash_near_dup",
     "dedup_ngram_jaccard",
     "dedup_minhash_estimate_error",
     "dedup_cluster_components",
     "dedup_keep_canonical",
-    "dedup_keep_best_quality",
+    "simhash_near_dup",
+    "simhash_signatures",
     "image_phash_near_dup",
-    "multimodal_png_decode",
-    "multimodal_png_resize",
-    "multimodal_wav_decode",
-    "k_anonymity_audit",
-    "dup_cluster_size_histogram",
-    "similarity_recall_at_k",
-    "ewma_user_value",
-    "cumulative_unique_users_by_day",
-    "first_touch_attribution",
-    "winsorized_price_stats",
-    "basket_lift_pairs",
-    "interarrival_gap_stats",
-    "seasonal_residual_anomaly",
-    "top_event_paths",
-    "mann_kendall_trend",
-    "revenue_gini",
-    "lorenz_curve_deciles",
-    "theil_sen_slope",
-    "ks_two_sample",
-    "cusum_changepoint",
-    "mann_whitney_u",
-    "acf_lag_profile",
-    "spearman_rank_correlation",
-    "kaplan_meier_table",
-    "neyman_allocation_sample",
-    "median_imputation_audit",
-    "benford_first_digit_audit",
-    "linear_model_quality_gate",
-    "dataset_datasheet",
-    "top5_latest",
     "windowed_counts_60s",
-    "revenue_by_region",
-    "customers_with_orders",
-    "customers_without_orders",
-    "top_order_per_customer",
-    "monthly_revenue_momentum",
-    "nation_key_set_ops",
-    "rollup_order_status",
-    "cube_returnflag_status",
-    # ---- round-7 queue ----------------------------------------------
-    # FIRST: queries whose plans changed in the round-6 hardening pass
-    # AFTER the r6 window was frozen (zero-norm exclusion + shared
-    # top-k tail in operators/similarity.py; NULL-skipping medians in
-    # functions/udafs.py; crash-safe compaction swap in operators/
-    # maintenance.py — all re-verified green in this round's full
-    # sf0.01 sweeps, but their first-party rows predate the change).
-    # Then stalest-first: the remaining 11 r1-stale rows, the 3
-    # pysource queries (sources/pysource.py gained the frontier
-    # tmp-cleanup + conflicting-pushdown fix in r6), then the r2-stale
-    # tranche. Overflow past the 50 budget rolls to r8; everything not
-    # named here follows in declaration order (r3-r5 evidence,
-    # freshest last).
+    # THEN the pre-staged r7 queue from the r6 verdict: the 8 rows
+    # whose plans changed in the r6 hardening pass after the r6 window
+    # froze, the pysource trio, the 11 remaining r1-stale rows.
     "similarity_pq_adc",
     "similarity_multiprobe_lsh",
     "similarity_multitable_lsh",
@@ -145,6 +97,7 @@ _SWEEP_PRIORITY = [
     "pysource_batch_rollup",
     "pysource_pushdown_purchases",
     "pysource_stream_rollup",
+    # THEN as much of the r2-stale tranche as fits the 50 budget.
     "text_stats_by_lang",
     "token_counts_by_source",
     "lang_id_heuristic",
@@ -152,9 +105,15 @@ _SWEEP_PRIORITY = [
     "doc_quality_by_source",
     "dedup_exact_text",
     "dedup_token_set",
-    "simhash_signatures",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
+    # ---- round-8 queue (overflow past the 50 budget) ----------------
+    # The 12 head insertions pushed these 12 pre-staged names out of
+    # the r7 window; they lead r8, followed by the rest of the r2-stale
+    # tranche, then the freshest (r6-window) rows rotate last. The
+    # final r8 ordering is regenerated mechanically at round end by
+    # tools/evidence_age.py (fingerprint baseline recorded after the
+    # closing full sweep).
     "similarity_ivf",
     "embedding_near_dup_pairs",
     "multimodal_decode_fake",
@@ -189,6 +148,48 @@ _SWEEP_PRIORITY = [
     "recent_count",
     "global_mean",
     "schema_introspection",
+    # r6-window rows (freshest evidence, rotate last)
+    "dedup_edit_distance_pairs",
+    "multimodal_jpeg_decode",
+    "wire_sink_roundtrip",
+    "dedup_keep_best_quality",
+    "multimodal_png_decode",
+    "multimodal_png_resize",
+    "multimodal_wav_decode",
+    "k_anonymity_audit",
+    "dup_cluster_size_histogram",
+    "similarity_recall_at_k",
+    "ewma_user_value",
+    "cumulative_unique_users_by_day",
+    "first_touch_attribution",
+    "winsorized_price_stats",
+    "basket_lift_pairs",
+    "interarrival_gap_stats",
+    "seasonal_residual_anomaly",
+    "top_event_paths",
+    "mann_kendall_trend",
+    "revenue_gini",
+    "lorenz_curve_deciles",
+    "theil_sen_slope",
+    "ks_two_sample",
+    "cusum_changepoint",
+    "mann_whitney_u",
+    "acf_lag_profile",
+    "spearman_rank_correlation",
+    "kaplan_meier_table",
+    "neyman_allocation_sample",
+    "median_imputation_audit",
+    "benford_first_digit_audit",
+    "dataset_datasheet",
+    "top5_latest",
+    "revenue_by_region",
+    "customers_with_orders",
+    "customers_without_orders",
+    "top_order_per_customer",
+    "monthly_revenue_momentum",
+    "nation_key_set_ops",
+    "rollup_order_status",
+    "cube_returnflag_status",
 ]
 
 

@@ -197,6 +197,16 @@ def _force(df) -> None:
 # fixed point that makes normalized subtotals comparable across rounds.
 _CALIBRATION_REF_R5 = 0.6668
 
+# Frozen round-6 comparison reference for the full 120-query headline
+# set (r6 verdict task 7): the driver's BENCH_r06 steal-normalized
+# total. r7+ deltas are then mechanical: compare this run's
+# headline_total_normalized against headline_total_r6_ref — both are
+# normalized through the same frozen r5 calibration probe, so the
+# ratio is code, not host. (The judge's r6 quiet-box steady total was
+# 119.3 s at steal 0.96 — i.e. ~124 normalized — consistent with this
+# constant within the documented 4% probe agreement.)
+_HEADLINE_TOTAL_R6_REF = 128.7
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -293,6 +303,8 @@ def main() -> None:
                 "headline_total_r5_subset_normalized": norm(r5_subset),
                 "headline_total_normalized": norm(total),
                 "calibration_sec": calib,
+                "headline_total_r6_ref": _HEADLINE_TOTAL_R6_REF,
+                "headline_vs_r6_ref": round(norm(total) / _HEADLINE_TOTAL_R6_REF, 4),
                 "calibration_ref_r5_sec": _CALIBRATION_REF_R5,
                 "steal_factor": round(steal, 4),
                 "sf": sf_val,

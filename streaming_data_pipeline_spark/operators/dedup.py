@@ -364,6 +364,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     chunks: int = 4,
     max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of
     ``chunks`` equal-width signature chunks (pigeonhole: any pair within
@@ -374,6 +375,14 @@ def simhash_near_dup_pairs(
     signature groups first (signature depends only on the token set), the
     chunk join and Hamming verification run group-level, and verified
     group pairs expand back to doc pairs. Returns (id_a, id_b, hamming).
+
+    ``bits=128`` is the >10^6-distinct-signature scale option the
+    round-6 audit documented: per-chunk bucket space goes 2^16 -> 2^32
+    (4 chunks), so the birthday term — unrelated signatures colliding
+    in a 16-bit chunk purely by bucket-space exhaustion — collapses and
+    candidate growth returns to ~linear in corpus size. The Hamming
+    semantics change with the width (128 sign-bits instead of 64), so
+    the 64-bit form stays the oracle-checked default and 128 is opt-in.
     """
     if max_hamming > chunks - 1:
         raise ValueError(
@@ -382,19 +391,25 @@ def simhash_near_dup_pairs(
             f"max_hamming={max_hamming} — raise `chunks` to at least "
             f"max_hamming + 1"
         )
-    if 64 % chunks:
+    if bits % chunks:
         raise ValueError(
-            f"chunks={chunks} does not divide the 64-bit signature: the "
-            f"trailing {64 - chunks * (64 // chunks)} bits would be "
+            f"chunks={chunks} does not divide the {bits}-bit signature: the "
+            f"trailing {bits - chunks * (bits // chunks)} bits would be "
             "silently excluded from BOTH the candidate join and the "
             "Hamming verification (undercounted distances, phantom "
-            "duplicates differing only in the uncovered bits) — use a "
-            "divisor of 64"
+            f"duplicates differing only in the uncovered bits) — use a "
+            f"divisor of {bits}"
         )
-    width = 64 // chunks
+    width = bits // chunks
+    if width > 62:
+        raise ValueError(
+            f"chunk width {width} exceeds 62 bits: the per-chunk conv() "
+            "decode must fit a signed long for the xor+popcount Hamming "
+            "path — use at least " f"{-(-bits // 62)} chunks"
+        )
     _release_caches()
     members = _cached(
-        simhash64(df, text_col, id_col).select(
+        simhash_sig(df, text_col, id_col, bits=bits).select(
             F.col("doc_id").alias("id"), "simhash"
         )
     )
@@ -478,22 +493,39 @@ def simhash_near_dup_pairs(
     return cross.unionByName(within)
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document as a 64-char bit string.
+def simhash_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """``bits``-wide SimHash per document as a bit string (64 or 128).
 
     bit_b = sign of sum over distinct tokens of (2*h_b(token) - 1) where
-    h_b is bit b of md5(token): bit (3 - b%4) of hex nibble b//4.
-    Integer-only math + md5 => identical in the DuckDB oracle (which
-    extracts the nibble value via position() instead of conv — same
-    values, engine-native syntax).
+    h_b is bit b of md5(token): bit (3 - b%4) of hex nibble b//4. md5
+    yields 128 bits, so both widths come from ONE hash per token; 64 is
+    the default (and the oracle-checked query surface), 128 is the
+    scale option — with 4 chunks the per-chunk bucket space grows from
+    2^16 to 2^32, collapsing the birthday-collision candidate term the
+    round-6 scale audit quantified (~10^6 distinct signatures is where
+    2^16 buckets start pairing unrelated docs; 2^32 pushes that to
+    ~10^14). Integer-only math + md5 => identical in the DuckDB oracle
+    (which extracts the nibble value via position() instead of conv —
+    same values, engine-native syntax).
 
-    All 64 bit-sums run in ONE whole-stage-codegen hash aggregate over
+    All bit-sums run in ONE whole-stage-codegen hash aggregate over
     exploded tokens (md5 computed once per token, nibble decoded once,
-    64 integer sum() columns). The aggregate()-HOF formulation — 64
-    interpreted lambda passes over the token array per document — was
-    ~20x slower at sf0.1. explode_outer keeps empty/null-token documents
-    as all-zero-contribution rows, so they still get the all-'0' hash.
+    ``bits`` integer sum() columns). The aggregate()-HOF formulation —
+    64 interpreted lambda passes over the token array per document —
+    was ~20x slower at sf0.1. explode_outer keeps empty/null-token
+    documents as all-zero-contribution rows, so they still get the
+    all-'0' hash.
     """
+    if bits not in (64, 128):
+        raise ValueError(
+            f"simhash width must be 64 or 128 (md5 supplies 128 bits per "
+            f"token — wider would need a second hash family); got {bits}"
+        )
     # Repartition before the token explode + per-token md5: the scan is
     # one split at small SF and the amplified hash work must not run in
     # a single task (the map-side combine of the 64-sum aggregate then
@@ -508,7 +540,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
     nibs = [
         F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"nib{i}")
-        for i in range(16)
+        for i in range(bits // 4)
     ]
     nibbled = tok.select("doc_id", *nibs)
 
@@ -521,13 +553,18 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         return F.coalesce(bit, F.lit(0))
 
     sums = nibbled.groupBy("doc_id").agg(
-        *[F.sum(contrib(b)).alias(f"s{b}") for b in range(64)]
+        *[F.sum(contrib(b)).alias(f"s{b}") for b in range(bits)]
     )
     bit_chars = [
         F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(64)
+        for b in range(bits)
     ]
     return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (the oracle-checked default width)."""
+    return simhash_sig(df, text_col, id_col, bits=64)
 
 
 def _unionfind_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -769,7 +806,7 @@ def minhash_cluster_labels(
 
 
 def phash_near_dup_pairs(
-    sig: DataFrame, max_hamming: int = 3
+    sig: DataFrame, max_hamming: int = 3, emit: str = "pairs"
 ) -> DataFrame:
     """Image near-duplicate pairs over a perceptual-hash frame
     ``(doc_id, h_lo, h_hi)`` (two uint32-valued longs = one 64-bit
@@ -780,7 +817,24 @@ def phash_near_dup_pairs(
     never all-pairs), verification is exact ``bit_count(xor)`` on the
     packed longs, and verified group pairs expand back to doc pairs
     (plus hamming-0 pairs within identical-hash groups). Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming).
+
+    ``emit`` picks the output topology:
+
+    - ``"pairs"`` (default, the oracle-checked demo surface): every
+      qualifying pair — C(n,2) within an identical-hash group. The
+      round-6 scale audit measured e(out)=2.0 here; a corpus of 10^6
+      identical thumbnails would emit 5*10^11 rows. Inherent to a
+      pairs LISTING, fine for diagnostics, a trap as a pipeline stage.
+    - ``"star"``: canonical->member edges — within each identical-hash
+      group the min-id member is canonical and every other member gets
+      ONE edge to it; cross-group verified pairs are emitted once
+      between the two groups' canonicals. Same connected components,
+      O(members + distinct-hash pairs) output (e(out)~1) — the shape
+      the edit-distance and keep-canonical paths already use, and the
+      only sane topology at 100 TB."""
+    if emit not in ("pairs", "star"):
+        raise ValueError(f"emit must be 'pairs' or 'star', got {emit!r}")
     if max_hamming >= 4:
         raise ValueError(
             "phash_near_dup_pairs uses a 4-chunk pigeonhole band join, "
@@ -789,7 +843,11 @@ def phash_near_dup_pairs(
         )
     _release_caches()
     members = _cached(sig.select(F.col("doc_id").alias("id"), "h_lo", "h_hi"))
-    groups = _cached(members.groupBy("h_lo", "h_hi").agg(F.count("*").alias("cnt")))
+    groups = _cached(
+        members.groupBy("h_lo", "h_hi").agg(
+            F.count("*").alias("cnt"), F.min("id").alias("canon_id")
+        )
+    )
 
     def _chunk(p):
         src = F.col("h_lo") if p < 2 else F.col("h_hi")
@@ -834,6 +892,39 @@ def phash_near_dup_pairs(
     verified = cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= F.lit(max_hamming)
     )
+    if emit == "star":
+        # ONE row per member (to its group canonical) + ONE row per
+        # verified distinct-hash pair (between the two canonicals):
+        # output is O(members + distinct pairs), never C(n,2).
+        c_a = groups.select(
+            F.col("h_lo").alias("lo_a"), F.col("h_hi").alias("hi_a"),
+            F.col("canon_id").alias("ida"),
+        )
+        c_b = groups.select(
+            F.col("h_lo").alias("lo_b"), F.col("h_hi").alias("hi_b"),
+            F.col("canon_id").alias("idb"),
+        )
+        cross = (
+            verified.join(c_a, ["lo_a", "hi_a"])
+            .join(c_b, ["lo_b", "hi_b"])
+            .select(
+                F.least("ida", "idb").alias("id_a"),
+                F.greatest("ida", "idb").alias("id_b"),
+                "hamming",
+            )
+        )
+        within = (
+            groups.filter(F.col("cnt") > 1)
+            .join(members, ["h_lo", "h_hi"])
+            .filter(F.col("id") != F.col("canon_id"))
+            .select(
+                F.col("canon_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+        return cross.unionByName(within)
+
     m_a = members.select(
         F.col("h_lo").alias("lo_a"), F.col("h_hi").alias("hi_a"),
         F.col("id").alias("ida"),

@@ -1,0 +1,200 @@
+"""Automated evidence-age accounting (r6 verdict task 6).
+
+The driver's 50-query window means each query's correctness row ages
+while its implementing code keeps moving. Five rounds of hand-written
+`_SWEEP_PRIORITY` queue comments were right by care alone; this makes
+the accounting MECHANICAL and exact at QUERY granularity (file
+timestamps were tried first and rejected: one edit to a 3000-line plan
+module stales every query in the file, which hides the real changes in
+noise).
+
+Mechanism — content fingerprints, not timestamps:
+
+- A query's fingerprint hashes its function source, its oracle SQL
+  text, and the sources of every package object its body references,
+  transitively through package callables (plus the reprs of plain-data
+  module globals it uses — thresholds, hash constants, weight tables).
+  An edit anywhere in that closure changes the fingerprint; an edit
+  elsewhere in the same file does not.
+- `--record` stores the current fingerprint of every query in
+  tools/evidence_fp.json, to be run IMMEDIATELY AFTER a full green
+  sweep over the same tree: "this exact code was verified". The file
+  is committed, so the baseline travels with the repo.
+- A later run reports each query as FRESH (fingerprint unchanged since
+  the recorded verification) or STALE (code drifted since last
+  verified), joined with the newest CORRECTNESS_r*.json round that
+  carries the query's green row (evidence age, for queue ordering).
+
+Output: JSON — {"stale": [...], "never_checked": [...], "fresh":
+[...], "queue": [...]} where "queue" is the suggested next-round
+`_SWEEP_PRIORITY` head: never-checked first, then stale (oldest
+evidence round first), then fresh (oldest evidence round first).
+
+Usage:
+    python tools/evidence_age.py [--json out.json]   # report
+    python tools/evidence_age.py --record            # set baseline
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+import textwrap
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "streaming_data_pipeline_spark"
+FP_PATH = os.path.join(REPO, "tools", "evidence_fp.json")
+_DATA_TYPES = (str, int, float, bool, bytes, list, tuple, dict, set, frozenset)
+
+
+def _referenced_names(src: str) -> set[str]:
+    names: set[str] = set()
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return names
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                names.add(a.asname or a.name)
+    return names
+
+
+def _collect(obj, parts: list[str], seen: set, depth: int = 0) -> None:
+    """Append fingerprint material for one referenced object and
+    recurse through package callables (bounded depth — the engine call
+    graph is shallow; 6 covers every plans -> operators -> functions
+    chain with room)."""
+    key = id(obj)
+    if key in seen or depth > 6:
+        return
+    seen.add(key)
+    if isinstance(obj, types.ModuleType):
+        if obj.__name__.startswith(PKG) and getattr(obj, "__file__", None):
+            try:
+                parts.append(open(obj.__file__).read())
+            except OSError:
+                pass
+        return
+    mod = getattr(obj, "__module__", None)
+    if not (mod and str(mod).startswith(PKG)):
+        return
+    try:
+        src = inspect.getsource(obj)
+    except (OSError, TypeError):
+        return
+    parts.append(src)
+    g = getattr(obj, "__globals__", None)
+    if g is None:  # class: fingerprint methods' referenced globals too
+        g = vars(sys.modules.get(mod, types.ModuleType("_"))) if mod in sys.modules else {}
+    for name in sorted(_referenced_names(src)):
+        if name not in g:
+            continue
+        ref = g[name]
+        if isinstance(ref, types.ModuleType) or callable(ref):
+            _collect(ref, parts, seen, depth + 1)
+        elif isinstance(ref, _DATA_TYPES):
+            try:
+                if isinstance(ref, (set, frozenset)):
+                    # set repr order follows per-process string hashing —
+                    # sort for a process-stable fingerprint
+                    parts.append(f"{name}={sorted(map(repr, ref))!r}")
+                else:
+                    parts.append(f"{name}={ref!r}")
+            except Exception:
+                pass
+
+
+def query_fingerprint(name: str, fn, oracle: str | None) -> str:
+    parts: list[str] = [name, oracle or "<rows-only>"]
+    seen: set = set()
+    _collect(fn, parts, seen)
+    return hashlib.sha256("\n\x00".join(parts).encode()).hexdigest()
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+
+
+def evidence_rounds() -> dict[str, int]:
+    """Newest round with a green driver row, per query."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            ok = bool(row.get("hash_match") or row.get("rows_match")) and not row.get("err")
+            if ok and rnd >= out.get(name, -1):
+                out[name] = rnd
+    return out
+
+
+def compute() -> dict:
+    import __spark_entry__ as entry
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    baseline = json.load(open(FP_PATH)) if os.path.exists(FP_PATH) else {}
+    ev = evidence_rounds()
+    report: dict = {"stale": [], "never_checked": [], "fresh": []}
+    fps: dict[str, str] = {}
+    for name, fn in qs.items():
+        fp = query_fingerprint(name, fn, osql.get(name))
+        fps[name] = fp
+        rnd = ev.get(name)
+        if rnd is None:
+            report["never_checked"].append({"query": name})
+            continue
+        rec = {"query": name, "evidence_round": rnd}
+        base = baseline.get(name)
+        if base is None or base.get("fp") != fp:
+            rec["verified_at"] = base.get("verified") if base else None
+            report["stale"].append(rec)
+        else:
+            rec["verified_at"] = base.get("verified")
+            report["fresh"].append(rec)
+    report["stale"].sort(key=lambda r: (r["evidence_round"], r["query"]))
+    report["fresh"].sort(key=lambda r: (r["evidence_round"], r["query"]))
+    report["queue"] = (
+        [r["query"] for r in report["never_checked"]]
+        + [r["query"] for r in report["stale"]]
+        + [r["query"] for r in report["fresh"]]
+    )
+    report["_fps"] = fps
+    return report
+
+
+def main() -> None:
+    report = compute()
+    fps = report.pop("_fps")
+    if "--record" in sys.argv:
+        label = f"full-sweep@{_git('rev-parse', '--short', 'HEAD')}"
+        for i, a in enumerate(sys.argv):
+            if a == "--label":
+                label = sys.argv[i + 1]
+        data = {name: {"fp": fp, "verified": label} for name, fp in fps.items()}
+        with open(FP_PATH, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        print(f"recorded {len(data)} fingerprints -> {FP_PATH} ({label})")
+        return
+    text = json.dumps(report, indent=2)
+    if "--json" in sys.argv:
+        with open(sys.argv[sys.argv.index("--json") + 1], "w") as f:
+            f.write(text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,11 +47,61 @@ sys.path.insert(0, REPO)
 SF01 = "/root/testdata/sf0.1"
 TENX_DIR = "/tmp/scaling_audit_sf1x10"
 
+def _simhash128(spark, sf_dir):
+    """The >10^6-signature scale option (r6 verdict task 3): 128-bit
+    signatures in 4x32-bit chunks — per-chunk bucket space 2^32, so the
+    2^16 birthday term the r6 audit quantified for the 64-bit default
+    should collapse (candidate growth back to ~linear)."""
+    from streaming_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+    from streaming_data_pipeline_spark.sources.batch import load_table
+
+    return simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), bits=128, chunks=4, max_hamming=3
+    )
+
+
+def _phash_star(spark, sf_dir):
+    """Star-topology phash emission (r6 verdict task 5): same candidate
+    stage as the pairs query, but canonical->member output — e(out)
+    should drop from the measured 2.0 to ~1."""
+    from streaming_data_pipeline_spark.operators.dedup import phash_near_dup_pairs
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        dhash_png,
+        synth_png_payloads,
+    )
+    from streaming_data_pipeline_spark.sources.batch import load_table, spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    return phash_near_dup_pairs(dhash_png(synth_png_payloads(docs)), emit="star")
+
+
+def _simhash_false_cands(cand_frames, max_hamming: int = 3) -> dict:
+    """FALSE candidate pairs (exact Hamming > max_hamming) among the
+    observed candidates — the direct measure of the birthday term: a
+    bucket collision between unrelated signatures survives the chunk
+    join but dies at verification, so false candidates ARE the wasted
+    work the 2^16 bucket space creates and the 2^32 space should kill."""
+    from pyspark.sql import functions as F
+
+    total = 0
+    for cand in cand_frames:
+        ham = F.expr(
+            "size(filter(zip_with(split(sh_a, ''), split(sh_b, ''),"
+            " (x, y) -> x <> y), b -> b))"
+        )
+        total += cand.filter(ham > max_hamming).count()
+    return {"false_candidate_pairs": total}
+
+
+# (label, observer family key, queries() name OR callable(spark, sf_dir),
+#  optional analyzer(captured candidate frames) -> extra metrics)
 FAMILIES = [
-    ("minhash", "dedup_near_minhash_lsh"),
-    ("simhash", "simhash_near_dup"),
-    ("containment", "dedup_containment_pairs"),
-    ("phash", "image_phash_near_dup"),
+    ("minhash", "minhash", "dedup_near_minhash_lsh", None),
+    ("simhash", "simhash", "simhash_near_dup", _simhash_false_cands),
+    ("simhash128", "simhash", _simhash128, _simhash_false_cands),
+    ("containment", "containment", "dedup_containment_pairs", None),
+    ("phash", "phash", "image_phash_near_dup", None),
+    ("phash_star", "phash", _phash_star, None),
 ]
 
 
@@ -109,34 +159,45 @@ def _shuffle_bytes(spark) -> int | None:
         return None
 
 
-def run_family(spark, qname: str, family: str, sf_dir: str) -> dict:
+def run_family(spark, runner, family: str, sf_dir: str, analyzer=None) -> dict:
     from streaming_data_pipeline_spark.operators import dedup
 
     import __spark_entry__ as entrymod
 
-    captured: dict[str, object] = {}
+    # Accumulate EVERY observer invocation per family: a plan that
+    # routes through its candidate stage more than once (e.g. a future
+    # multi-stage minhash) must sum, not keep-last — keep-last would
+    # silently undercount candidate_pairs. invocations is reported so
+    # a surprising multi-fire is visible in the audit output.
+    captured: dict[str, list[object]] = {}
 
     def observer(fam, cand):
-        captured[fam] = cand
+        captured.setdefault(fam, []).append(cand)
         return cand
 
     dedup.CANDIDATE_OBSERVER = observer
     try:
-        df = entrymod.queries()[qname](spark, sf_dir)
+        fn = entrymod.queries()[runner] if isinstance(runner, str) else runner
+        df = fn(spark, sf_dir)
         s0 = _shuffle_bytes(spark)
         t0 = time.perf_counter()
         out_pairs = df.count()
         wall = round(time.perf_counter() - t0, 2)
         s1 = _shuffle_bytes(spark)
-        cand_df = captured.get(family)
-        cand_pairs = cand_df.count() if cand_df is not None else None
+        cand_frames = captured.get(family, [])
+        cand_pairs = (
+            sum(f.count() for f in cand_frames) if cand_frames else None
+        )
+        extra = analyzer(cand_frames) if (analyzer and cand_frames) else {}
     finally:
         dedup.CANDIDATE_OBSERVER = None
     return {
         "candidate_pairs": cand_pairs,
+        "observer_invocations": len(cand_frames),
         "output_pairs": out_pairs,
         "shuffle_bytes": (s1 - s0) if (s0 is not None and s1 is not None) else None,
         "wall_sec": wall,
+        **extra,
     }
 
 
@@ -169,15 +230,22 @@ def main() -> None:
         scales = [("sf0.1", SF01), ("sf0.1x10", TENX_DIR)]
 
     result: dict = {"scales": [s[0] for s in scales], "families": {}}
-    for family, qname in FAMILIES:
+    for family, obs_key, runner, analyzer in FAMILIES:
         rows = {}
         for label, sf_dir in scales:
-            rows[label] = run_family(spark, qname, family, sf_dir)
+            rows[label] = run_family(spark, runner, obs_key, sf_dir, analyzer)
             print(f"{family:12s} {label:9s} {rows[label]}", flush=True)
         lo, hi = rows[scales[0][0]], rows[scales[1][0]]
         rows["growth_exponent"] = {
             k: growth(lo.get(k), hi.get(k))
-            for k in ("candidate_pairs", "output_pairs", "shuffle_bytes", "wall_sec")
+            for k in (
+                "candidate_pairs",
+                "output_pairs",
+                "shuffle_bytes",
+                "wall_sec",
+                "false_candidate_pairs",
+            )
+            if k in lo
         }
         result["families"][family] = rows
     with open(out_path, "w") as f:
