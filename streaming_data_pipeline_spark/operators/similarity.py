@@ -22,14 +22,23 @@ so the stored table is never shuffled for a query.
 
 TIER SELECTION — measured recall@10 on the near-isotropic fixture
 (``similarity_recall_at_k``, sf0.01 means) vs fraction of the table
-scanned, and when each tier is the WRONG choice:
+scanned, and when each tier is the WRONG choice. The isotropic fixture
+is the WORST case for sign-hash LSH (true-neighbor cosine ~0.25-0.3 →
+per-plane p ~0.6); the second recall figure in brackets is the same
+tier on a clustered mixture-of-Gaussians corpus (tests/
+test_round7_hardening.py::test_ann_tiers_at_clustered_operating_point,
+8 tight clusters: p ~0.95), the realistic operating point — read the
+pair as the tier's recall RANGE over corpus geometry:
 
 ===================  ========  ============  ==============================
 tier                 recall    scan frac     wrong when
+                     [clust.]
 ===================  ========  ============  ==============================
 brute force          1.00      100%          the table is large and probes
+                     [1.00]
                                              are many — O(n*d) per probe
 single-table LSH     ~0.02     ~1/2^8        ALMOST ALWAYS wrong as a
+                     [~0.56]
                                              retrieval tier on unclustered
                                              data: one 8-bit sign bucket
                                              has near-zero collision odds
@@ -43,6 +52,7 @@ single-table LSH     ~0.02     ~1/2^8        ALMOST ALWAYS wrong as a
                                              GENERATION feeding a verify
                                              stage, never final retrieval)
 multiprobe (8+1)     ~0.22     ~9/2^8        wrong whenever recall matters
+                     [~0.96]
                                              more than scan budget: probing
                                              Hamming-1 neighbors of ONE
                                              table can't beat independent
@@ -50,12 +60,14 @@ multiprobe (8+1)     ~0.22     ~9/2^8        wrong whenever recall matters
                                              strict per-probe I/O cap rules
                                              out multi-table storage
 multi-table L16xb6   ~0.55     ~L/2^b=25%    wrong below ~0.5M rows (just
+                     [~1.0]
                                              brute-force it) or when 25%
                                              scan is too expensive; the
                                              floor tier for UNclustered
                                              data, recall raised by adding
                                              tables (1-(1-p^b)^L)
 IVF nprobe=4/32      ~0.94     ~12%          wrong only when the corpus has
+                     [~1.0]
                                              NO cluster structure for
                                              k-means to exploit (recall
                                              then degrades toward the

@@ -75,30 +75,88 @@ def _phash_star(spark, sf_dir):
     return phash_near_dup_pairs(dhash_png(synth_png_payloads(docs)), emit="star")
 
 
-def _simhash_false_cands(cand_frames, max_hamming: int = 3) -> dict:
-    """FALSE candidate pairs (exact Hamming > max_hamming) among the
-    observed candidates — the direct measure of the birthday term: a
-    bucket collision between unrelated signatures survives the chunk
-    join but dies at verification, so false candidates ARE the wasted
-    work the 2^16 bucket space creates and the 2^32 space should kill."""
-    from pyspark.sql import functions as F
+def _simhash_analyzer(bits: int, max_hamming: int = 3):
+    """Per-family analyzer: FALSE candidate pairs (exact Hamming >
+    max_hamming) among the observed candidates, and — on the copy-
+    structured 10x corpus — their attribution to CROSS-COPY (pure
+    bucket-exhaustion/birthday collisions: rotated copies share no
+    tokens, so cross-copy signatures are independent) vs WITHIN-COPY
+    (correlated signatures from the copy's shared vocabulary). The
+    birthday term is exactly the cross-copy count; r7 measured it at
+    166,606 pairs for 64-bit chunks and ZERO for 128-bit on the same
+    50k-doc corpus — the direct proof the 2^32 bucket space kills it
+    (the growth EXPONENT alone is uninformative here: within-copy
+    false-candidate counts are heavy-tailed across isomorphic copies,
+    measured 16k-201k, so a two-point exponent mostly samples that
+    dispersion)."""
 
-    total = 0
-    for cand in cand_frames:
-        ham = F.expr(
-            "size(filter(zip_with(split(sh_a, ''), split(sh_b, ''),"
-            " (x, y) -> x <> y), b -> b))"
+    def analyze(spark, sf_dir, cand_frames) -> dict:
+        from pyspark.sql import functions as F
+
+        from streaming_data_pipeline_spark.operators.dedup import simhash_sig
+
+        width = bits // 4
+        ints = lambda c, p: (  # noqa: E731
+            F.conv(F.substring(c, p * width + 1, width), 2, 10).cast("long")
         )
-        total += cand.filter(ham > max_hamming).count()
-    return {"false_candidate_pairs": total}
+        ham = sum(
+            F.bit_count(ints("sh_a", p).bitwiseXOR(ints("sh_b", p)))
+            for p in range(4)
+        )
+        out: dict = {"false_candidate_pairs": 0}
+        tenx = "x10" in os.path.basename(sf_dir.rstrip("/"))
+        sig_copy = None
+        if tenx:
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            per_copy = docs.count() // 10
+            sig_copy = (
+                simhash_sig(docs, bits=bits)
+                .select(
+                    (F.col("doc_id") / per_copy).cast("int").alias("copy"),
+                    "simhash",
+                )
+                .groupBy("simhash")
+                .agg(F.min("copy").alias("copy"))
+                .localCheckpoint(eager=True)
+            )
+            out["false_cross_copy"] = out["false_within_copy"] = 0
+        for cand in cand_frames:
+            fc = cand.filter(ham > max_hamming)
+            if sig_copy is None:
+                out["false_candidate_pairs"] += fc.count()
+                continue
+            j = fc.join(
+                sig_copy.select(
+                    F.col("simhash").alias("sh_a"), F.col("copy").alias("ca")
+                ),
+                "sh_a",
+            ).join(
+                sig_copy.select(
+                    F.col("simhash").alias("sh_b"), F.col("copy").alias("cb")
+                ),
+                "sh_b",
+            )
+            counts = {
+                bool(r["same"]): r["count"]
+                for r in j.select((F.col("ca") == F.col("cb")).alias("same"))
+                .groupBy("same")
+                .count()
+                .collect()
+            }
+            out["false_cross_copy"] += counts.get(False, 0)
+            out["false_within_copy"] += counts.get(True, 0)
+            out["false_candidate_pairs"] += sum(counts.values())
+        return out
+
+    return analyze
 
 
 # (label, observer family key, queries() name OR callable(spark, sf_dir),
 #  optional analyzer(captured candidate frames) -> extra metrics)
 FAMILIES = [
     ("minhash", "minhash", "dedup_near_minhash_lsh", None),
-    ("simhash", "simhash", "simhash_near_dup", _simhash_false_cands),
-    ("simhash128", "simhash", _simhash128, _simhash_false_cands),
+    ("simhash", "simhash", "simhash_near_dup", _simhash_analyzer(64)),
+    ("simhash128", "simhash", _simhash128, _simhash_analyzer(128)),
     ("containment", "containment", "dedup_containment_pairs", None),
     ("phash", "phash", "image_phash_near_dup", None),
     ("phash_star", "phash", _phash_star, None),
@@ -188,7 +246,7 @@ def run_family(spark, runner, family: str, sf_dir: str, analyzer=None) -> dict:
         cand_pairs = (
             sum(f.count() for f in cand_frames) if cand_frames else None
         )
-        extra = analyzer(cand_frames) if (analyzer and cand_frames) else {}
+        extra = analyzer(spark, sf_dir, cand_frames) if (analyzer and cand_frames) else {}
     finally:
         dedup.CANDIDATE_OBSERVER = None
     return {
@@ -244,6 +302,8 @@ def main() -> None:
                 "shuffle_bytes",
                 "wall_sec",
                 "false_candidate_pairs",
+                "false_cross_copy",
+                "false_within_copy",
             )
             if k in lo
         }
