@@ -109,6 +109,15 @@ def pysource_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.time() + 120
         while spark.table(name).count() < n:
+            if not q.isActive:
+                # fail FAST with the root cause: without this check a
+                # dead stream stalls the poll for the full deadline and
+                # the real exception only surfaces from the finally
+                # block's awaitTermination
+                q.awaitTermination()  # raises the StreamingQueryException
+                raise RuntimeError(
+                    "pysource stream terminated before reaching %d rows" % n
+                )
             if time.time() > deadline:
                 raise TimeoutError("pysource stream did not reach %d rows" % n)
             time.sleep(0.2)

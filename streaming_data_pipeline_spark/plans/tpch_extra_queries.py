@@ -24,26 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_pipeline_spark.sources.batch import load_table
-
-_D6 = "decimal(18,6)"
-
-
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
-
-
-def _disc_price():
-    return F.col("l_extendedprice").cast(_D6) * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(8,6)")
-
-
-_SQL_DISC_PRICE = (
-    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(8,6))"
+# single shared copy of the exact-decimal protocol (plans/tpch_shared.py)
+from streaming_data_pipeline_spark.plans.tpch_shared import (
+    D6 as _D6,
+    SQL_DISC_PRICE as _SQL_DISC_PRICE,
+    d38_double as _D38_DOUBLE,
+    disc_price as _disc_price,
+    t as _t,
 )
-
-_D38_DOUBLE = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,34 +30,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streaming_data_pipeline_spark.sources.batch import load_table
-
-
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
-
-
-# exact-decimal building blocks (see module docstring); lazy because
-# Column construction needs an active SparkContext
-_D6 = "decimal(18,6)"
-
-
-def _disc_price():
-    return F.col("l_extendedprice").cast(_D6) * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(8,6)")
-
-
-def _charge():
-    return _disc_price().cast("decimal(24,8)") * (
-        F.lit(1.0) + F.col("l_tax")
-    ).cast("decimal(8,6)")
-
-_SQL_DISC_PRICE = (
-    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(8,6))"
-)
-_SQL_CHARGE = (
-    f"CAST({_SQL_DISC_PRICE} AS DECIMAL(24,8)) * CAST(1.0 + l_tax AS DECIMAL(8,6))"
+# exact-decimal building blocks: single shared copy (plans/
+# tpch_shared.py) — these constants define the cross-engine float
+# protocol, so they must not fork between the three TPC-H modules
+from streaming_data_pipeline_spark.plans.tpch_shared import (
+    D6 as _D6,
+    SQL_CHARGE as _SQL_CHARGE,
+    SQL_DISC_PRICE as _SQL_DISC_PRICE,
+    charge as _charge,
+    disc_price as _disc_price,
+    t as _t,
 )
 
 

@@ -28,29 +28,17 @@ part of the engine's relational-completeness surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_pipeline_spark.sources.batch import load_table
-
-_D6 = "decimal(18,6)"
-
-
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
-
-
-def _disc_price():
-    return F.col("l_extendedprice").cast(_D6) * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(8,6)")
-
-
-_SQL_DISC_PRICE = (
-    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(8,6))"
+# single shared copy of the exact-decimal protocol (plans/tpch_shared.py)
+from streaming_data_pipeline_spark.plans.tpch_shared import (
+    D6 as _D6,
+    SQL_DISC_PRICE as _SQL_DISC_PRICE,
+    d38_double as _D38_DOUBLE,
+    disc_price as _disc_price,
+    t as _t,
 )
-
-_D38_DOUBLE = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
 
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +345,14 @@ ORACLE = {
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM per_part
     WHERE value_dec > (
-      SELECT CAST(SUM(value_dec) * CAST(0.0001 AS DECIMAL(10,6)) AS DECIMAL(38,6))
+      -- round() before the downscale cast: Spark's precision-loss
+      -- decimal multiply rounds HALF_UP to scale 6, while DuckDB's
+      -- CAST(DECIMAL(38,12) AS DECIMAL(38,6)) TRUNCATES — without the
+      -- round the two thresholds differ by 1e-6 whenever the exact
+      -- product's 1e-7 digit is >= 5 (values are positive, so round
+      -- half-away-from-zero == HALF_UP)
+      SELECT CAST(round(SUM(value_dec) * CAST(0.0001 AS DECIMAL(10,6)), 6)
+                  AS DECIMAL(38,6))
       FROM per_part
     )
     ORDER BY part_value DESC, l_partkey
