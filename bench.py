@@ -185,6 +185,14 @@ HEADLINE += [
 # apples-to-apples across rounds the same way the r2/r3/r4 subsets do.
 _R5_SET = set(HEADLINE)
 
+# Added round 8 (r7 verdict task 6): the two scale-option variants now
+# carry their own oracle-checked queries — 128-bit SimHash (birthday-
+# collapse width) and the phash star emission (O(members) output).
+HEADLINE += [
+    "simhash128_near_dup",
+    "image_phash_star_dedup",
+]
+
 
 def _force(df) -> None:
     """Fully execute a plan without driver-side materialization."""
@@ -206,6 +214,37 @@ _CALIBRATION_REF_R5 = 0.6668
 # 119.3 s at steal 0.96 — i.e. ~124 normalized — consistent with this
 # constant within the documented 4% probe agreement.)
 _HEADLINE_TOTAL_R6_REF = 128.7
+
+
+def _r6_reference_timings() -> dict[str, float]:
+    """Per-query steady timings from the committed round-6 driver bench
+    (BENCH_r06.json). The scalar calibration probe under-corrects on
+    memory-bandwidth-heavy queries (r7 saw 107.5/120.6/148.7 normalized
+    totals on identical code), so the headline comparison also reports
+    the MEDIAN per-query ratio vs these — uniform host steal shifts
+    every ratio equally, so the median is steal-robust without any
+    probe model (r7 verdict task 7)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r06.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _shuffle_probe(spark):
+    """Second calibration probe, shuffle/memory-bound where the scalar
+    probe is scan-bound: fixed 10M-row hash aggregate (multiplicative
+    key spread -> 1M groups, one exchange). Code-frozen like the scalar
+    probe; the PAIR of steal factors brackets a run's host condition."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(10_000_000)
+        .select(((F.col("id") * 2654435761) % 1_000_000).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("c"), F.sum("k").alias("s"))
+    )
 
 
 def main() -> None:
@@ -234,6 +273,14 @@ def main() -> None:
         _force(qs["event_type_rollup"](spark, sf_dir))
         calib = min(calib, time.perf_counter() - t0)
     calib = round(calib, 4)
+
+    # Second, shuffle-heavy probe (min-of-5 like the scalar one).
+    calib_shuffle = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(_shuffle_probe(spark))
+        calib_shuffle = min(calib_shuffle, time.perf_counter() - t0)
+    calib_shuffle = round(calib_shuffle, 4)
 
     # Per-query protocol: the first execution is TIMED as the cold run
     # (it pays the one-time whole-stage-codegen / janino compile for
@@ -279,6 +326,28 @@ def main() -> None:
     # (BENCH_r05.json: calibration_sec = 0.6668).
     steal = calib / _CALIBRATION_REF_R5 if calib > 0 else 1.0
     norm = lambda v: round(v / steal, 3)  # noqa: E731
+
+    # Probe-free robust headline: median of per-query steady ratios vs
+    # the committed r6 driver bench. < 1.0 means this tree is faster
+    # than r6 on the typical query regardless of host steal model.
+    r6_ref = _r6_reference_timings()
+    ratios = sorted(
+        timings[k] / r6_ref[k]
+        for k in timings
+        if k in r6_ref and r6_ref[k] > 0
+    )
+    median_ratio_vs_r6 = (
+        round(
+            (
+                ratios[len(ratios) // 2]
+                if len(ratios) % 2
+                else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+            ),
+            4,
+        )
+        if ratios
+        else None
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -303,8 +372,11 @@ def main() -> None:
                 "headline_total_r5_subset_normalized": norm(r5_subset),
                 "headline_total_normalized": norm(total),
                 "calibration_sec": calib,
+                "calibration_shuffle_sec": calib_shuffle,
                 "headline_total_r6_ref": _HEADLINE_TOTAL_R6_REF,
                 "headline_vs_r6_ref": round(norm(total) / _HEADLINE_TOTAL_R6_REF, 4),
+                "median_ratio_vs_r6": median_ratio_vs_r6,
+                "median_ratio_n": len(ratios),
                 "calibration_ref_r5_sec": _CALIBRATION_REF_R5,
                 "steal_factor": round(steal, 4),
                 "sf": sf_val,

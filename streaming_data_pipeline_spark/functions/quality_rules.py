@@ -28,7 +28,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # word-count acceptance band [lo, hi]; mean-word-length band encoded as
-# 2/7 < chars/words < 19/4; TTR floor 1/3; dominance cap 1/8.
+# 7/2 <= chars/words <= 19/4; TTR floor 1/3; dominance cap 1/8.
 WC_LO, WC_HI = 25, 90
 
 

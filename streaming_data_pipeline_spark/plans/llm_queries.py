@@ -727,16 +727,25 @@ def _sql_table_code_list(
 # oracle in the repo.
 
 
-def _sql_simhash_bits() -> str:
+def _sql_simhash_bits(bits: int = 64) -> str:
+    """One CASE term per signature bit; md5 supplies 128 bits per token
+    so the same nibble decode serves both the 64-bit default and the
+    128-bit scale width (operators/dedup.py:simhash_sig). At 128 terms
+    the chained `a || b || ...` form exceeds DuckDB's binder recursion
+    limit (left-recursive nesting, max depth 128), so the wide form
+    joins through one variadic concat() call; 64 keeps the `||` text
+    its green rows were verified against."""
     parts = []
-    for b in range(64):
+    for b in range(bits):
         pos, shift = b // 4 + 1, 3 - b % 4
         term = (
             f"COALESCE(list_sum(list_transform(hs, h -> "
             f"(((position(substring(h, {pos}, 1) IN '0123456789abcdef') - 1) >> {shift}) & 1) * 2 - 1)), 0)"
         )
         parts.append(f"(CASE WHEN {term} > 0 THEN '1' ELSE '0' END)")
-    return " || ".join(parts)
+    if bits <= 64:
+        return " || ".join(parts)
+    return "concat(" + ", ".join(parts) + ")"
 
 
 def _sql_lang_id() -> str:
@@ -1649,6 +1658,93 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             AS BIGINT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def image_phash_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `emit='star'` output topology of the phash near-dup operator
+    (operators/dedup.py:phash_near_dup_pairs) — the 100 TB shape the
+    round-6 scale audit mandated: within each identical-hash group the
+    min-id member is canonical and every other member gets ONE edge to
+    it (hamming 0), and each verified distinct-hash group pair is
+    emitted once between the two canonicals. Output is
+    O(members + distinct-hash pairs) instead of the pairs listing's
+    C(n,2) blow-up (audit: e(out) 2.0 -> 0.99; 32M -> 50k rows at 10x).
+    Same connected components as the pairs listing, so downstream
+    keep-one-per-cluster is unchanged. The oracle regenerates decode,
+    dHash, grouping, and both edge classes in SQL."""
+    from streaming_data_pipeline_spark.operators.dedup import phash_near_dup_pairs
+    from streaming_data_pipeline_spark.operators.multimodal import (
+        dhash_png,
+        synth_png_payloads,
+    )
+
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    sig = dhash_png(synth_png_payloads(docs))
+    return phash_near_dup_pairs(sig, max_hamming=3, emit="star").orderBy(
+        "id_a", "id_b"
+    )
+
+
+QUERIES["image_phash_star_dedup"] = image_phash_star_dedup
+
+# single-source the decode->dHash CTE chain from the pairs oracle: the
+# star oracle differs only in the emission topology.
+_PHASH_H_SQL = ORACLE["image_phash_near_dup"].rsplit("SELECT a.doc_id", 1)[0]
+
+ORACLE["image_phash_star_dedup"] = f"""{_PHASH_H_SQL},
+grp AS (
+  SELECT h_lo, h_hi, MIN(doc_id) AS canon_id, COUNT(*) AS cnt
+  FROM h GROUP BY h_lo, h_hi)
+SELECT LEAST(a.canon_id, b.canon_id) AS id_a,
+       GREATEST(a.canon_id, b.canon_id) AS id_b,
+       CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi))
+            AS BIGINT) AS hamming
+FROM grp a JOIN grp b ON (a.h_lo, a.h_hi) < (b.h_lo, b.h_hi)
+WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+UNION ALL
+SELECT g.canon_id AS id_a, m.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM grp g JOIN h m ON m.h_lo = g.h_lo AND m.h_hi = g.h_hi
+WHERE m.doc_id <> g.canon_id
+ORDER BY id_a, id_b
+"""
+
+
+def simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 128-bit width of the SimHash near-dup operator
+    (operators/dedup.py:simhash_near_dup_pairs, bits=128) — the
+    >10^6-distinct-signature scale option: with 4 chunks the per-chunk
+    bucket space grows 2^16 -> 2^32, collapsing the birthday-collision
+    candidate term the scale audit measured (cross-copy false
+    candidates 166,606 @64-bit -> 0 @128-bit on the 10x corpus,
+    SCALING_AUDIT.json). Hamming is over all 128 sign bits, so the
+    accepted pair set is a (stricter) subset of the 64-bit query's —
+    this row keeps the scale path oracle-verified instead of
+    pytest-only. Oracle: same md5-nibble signature SQL at width 128,
+    32-char chunk banding, string-hamming verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, bits=128)
+
+
+QUERIES["simhash128_near_dup"] = simhash128_near_dup
+
+ORACLE["simhash128_near_dup"] = f"""
+WITH hs AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents),
+h AS (SELECT doc_id AS id, {_sql_simhash_bits(128)} AS simhash FROM hs),
+banded AS (
+  SELECT id, simhash, p, substring(simhash, p*32 + 1, 32) AS chunk
+  FROM h CROSS JOIN (SELECT unnest(range(4)) AS p)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.p = b.p AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(hamming(ha.simhash, hb.simhash) AS BIGINT) AS hamming
+FROM cand JOIN h ha ON cand.id_a = ha.id JOIN h hb ON cand.id_b = hb.id
+WHERE hamming(ha.simhash, hb.simhash) <= 3
 ORDER BY id_a, id_b
 """
 

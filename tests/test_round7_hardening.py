@@ -360,7 +360,8 @@ def test_evidence_fingerprint_closure_and_sensitivity():
     gopher_parts = parts_of("gopher_rules_filter")
     assert "def gopher_flag_cols" in gopher_parts
     lin_parts = parts_of("linear_model_quality_gate")
-    assert "_LINGATE_W=" in lin_parts  # plain-data globals captured
+    # data globals captured via their SOURCE assignment text
+    assert "_LINGATE_W:=" in lin_parts
 
     # deterministic in-process
     fps1 = {n: ea.query_fingerprint(n, qs[n], osql.get(n)) for n in list(qs)[:10]}
@@ -433,15 +434,16 @@ def test_ann_tiers_at_clustered_operating_point(spark):
     truth.unpersist()
 
 
-def test_r8_queue_is_the_evidence_tool_output():
+def test_r9_queue_is_the_evidence_tool_output():
     """The hand-maintained queue comments were right six rounds
     running but won't survive a careless round (r6 verdict task 6):
-    the round-8 section of _SWEEP_PRIORITY must be EXACTLY what
+    the round-9 section of _SWEEP_PRIORITY must be EXACTLY what
     tools/evidence_age.py emits — next-stalest first, assuming the
-    staged r7 window lands its driver rows — and the recorded
+    staged r8 window lands its driver rows — and the recorded
     fingerprint baseline must still match the code (stale set empty;
     editing query-reachable code without re-running the full sweep +
-    --record breaks this test, which is the point)."""
+    --record breaks this test, which is the point — it caught exactly
+    that drift in round 7)."""
     import re
     import sys as _sys
 
@@ -451,7 +453,7 @@ def test_r8_queue_is_the_evidence_tool_output():
     if not os.path.exists(ea.FP_PATH):
         pytest.skip("fingerprint baseline not recorded yet (pre-sweep tree)")
 
-    report = ea.compute(assume_round=7)
+    report = ea.compute(assume_round=8)
     assert report["never_checked"] == []
     stale = [r["query"] for r in report["stale"]]
     assert stale == [], f"code drifted since the recorded full sweep: {stale}"
@@ -460,12 +462,12 @@ def test_r8_queue_is_the_evidence_tool_output():
         os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
     ).read()
     m = re.search(
-        r"# ---- round-8 queue \(regenerated by tools/evidence_age\.py\).*?----\n"
-        r"(.*?)# ---- end round-8 queue ----",
+        r"# ---- round-9 queue \(regenerated by tools/evidence_age\.py\).*?----\n"
+        r"(.*?)# ---- end round-9 queue ----",
         entry_src,
         re.S,
     )
-    assert m, "round-8 queue markers missing from _SWEEP_PRIORITY"
+    assert m, "round-9 queue markers missing from _SWEEP_PRIORITY"
     staged = re.findall(r'"([a-z0-9_]+)"', m.group(1))
 
     import __spark_entry__ as entry

@@ -12,10 +12,12 @@ Mechanism — content fingerprints, not timestamps:
 
 - A query's fingerprint hashes its function source, its oracle SQL
   text, and the sources of every package object its body references,
-  transitively through package callables (plus the reprs of plain-data
-  module globals it uses — thresholds, hash constants, weight tables).
-  An edit anywhere in that closure changes the fingerprint; an edit
-  elsewhere in the same file does not.
+  transitively through package callables (plus the top-level SOURCE
+  assignment text of data module globals it uses — thresholds, hash
+  constants, weight tables — never their runtime values, which for
+  mutable module state like cache registries and observer hooks vary
+  per process). An edit anywhere in that closure changes the
+  fingerprint; an edit elsewhere in the same file does not.
 - `--record` stores the current fingerprint of every query in
   tools/evidence_fp.json, to be run IMMEDIATELY AFTER a full green
   sweep over the same tree: "this exact code was verified". The file
@@ -33,6 +35,7 @@ evidence round first), then fresh (oldest evidence round first).
 Usage:
     python tools/evidence_age.py [--json out.json]   # report
     python tools/evidence_age.py --record            # set baseline
+    python tools/evidence_age.py --check             # exit 1 on drift
 """
 
 from __future__ import annotations
@@ -55,6 +58,66 @@ sys.path.insert(0, REPO)
 PKG = "streaming_data_pipeline_spark"
 FP_PATH = os.path.join(REPO, "tools", "evidence_fp.json")
 _DATA_TYPES = (str, int, float, bool, bytes, list, tuple, dict, set, frozenset)
+
+# Parsed top-level assignments per package module, cached for the
+# process: {module_name: {global_name: (unparsed expr, names the expr
+# references)}}.
+_MODULE_ASSIGNS: dict[str, dict[str, tuple[str, frozenset[str]]]] = {}
+
+
+def _target_names(t) -> list[str]:
+    if isinstance(t, ast.Name):
+        return [t.id]
+    if isinstance(t, (ast.Tuple, ast.List)):
+        out: list[str] = []
+        for e in t.elts:
+            out.extend(_target_names(e))
+        return out
+    return []  # subscript/attribute targets (ORACLE["x"] = ...) — not a global
+
+
+def _module_assigns(mod_name: str) -> dict[str, tuple[str, frozenset[str]]]:
+    """Top-level `NAME = expr` assignments of a package module, as
+    SOURCE TEXT. Data globals fold into fingerprints by this text, never
+    by runtime value: runtime reprs of mutable module state (the dedup
+    live-cache registry, observer hooks) vary per process, which made
+    the same tree fingerprint differently inside the full pytest run vs
+    a clean interpreter (r7 verdict task 4 — 36 vs 33 stale on
+    identical code). Source text cannot be mutated at runtime."""
+    cached = _MODULE_ASSIGNS.get(mod_name)
+    if cached is not None:
+        return cached
+    out: dict[str, tuple[str, frozenset[str]]] = {}
+    mod = sys.modules.get(mod_name)
+    path = getattr(mod, "__file__", None)
+    if path:
+        try:
+            tree = ast.parse(open(path).read())
+        except (OSError, SyntaxError):
+            tree = None
+        for node in tree.body if tree else []:
+            if isinstance(node, ast.Assign):
+                targets = [n for t in node.targets for n in _target_names(t)]
+                value = node.value
+            elif isinstance(node, (ast.AnnAssign, ast.AugAssign)) and getattr(
+                node, "value", None
+            ) is not None:
+                targets = _target_names(node.target)
+                value = node.value
+            else:
+                continue
+            expr = ast.unparse(value)
+            refs = frozenset(
+                n.id for n in ast.walk(value) if isinstance(n, ast.Name)
+            )
+            for t in targets:
+                if t in out:  # reassignment / augmented: fold both exprs
+                    prev_expr, prev_refs = out[t]
+                    out[t] = (f"{prev_expr} ;; {expr}", prev_refs | refs)
+                else:
+                    out[t] = (expr, refs)
+    _MODULE_ASSIGNS[mod_name] = out
+    return out
 
 
 def _referenced_names(src: str) -> set[str]:
@@ -106,15 +169,36 @@ def _collect(obj, parts: list[str], seen: set, depth: int = 0) -> None:
         if isinstance(ref, types.ModuleType) or callable(ref):
             _collect(ref, parts, seen, depth + 1)
         elif isinstance(ref, _DATA_TYPES):
-            try:
-                if isinstance(ref, (set, frozenset)):
-                    # set repr order follows per-process string hashing —
-                    # sort for a process-stable fingerprint
-                    parts.append(f"{name}={sorted(map(repr, ref))!r}")
-                else:
-                    parts.append(f"{name}={ref!r}")
-            except Exception:
-                pass
+            _collect_data(name, g, parts, seen, depth + 1)
+
+
+def _collect_data(name: str, g: dict, parts: list[str], seen: set, depth: int) -> None:
+    """Fold a referenced data global by its top-level source-assignment
+    text (process-state-robust — see _module_assigns), recursing through
+    the names that assignment expression itself references so derived
+    constants (`LIMIT = BASE * 2`) still move when their inputs move."""
+    if depth > 6:
+        return
+    mod_name = g.get("__name__", "")
+    key = (mod_name, name)
+    if key in seen:
+        return
+    seen.add(key)
+    info = _module_assigns(mod_name).get(name)
+    if info is None:
+        # injected/built at runtime — process state, a stable marker
+        parts.append(f"{name}=<no-toplevel-assign>")
+        return
+    expr, refs = info
+    parts.append(f"{name}:={expr}")
+    for rname in sorted(refs):
+        if rname == name or rname not in g:
+            continue
+        ref = g[rname]
+        if isinstance(ref, types.ModuleType) or callable(ref):
+            _collect(ref, parts, seen, depth + 1)
+        elif isinstance(ref, _DATA_TYPES):
+            _collect_data(rname, g, parts, seen, depth + 1)
 
 
 def query_fingerprint(name: str, fn, oracle: str | None) -> str:
@@ -188,6 +272,33 @@ def main() -> None:
         assume = int(sys.argv[sys.argv.index("--assume-round") + 1])
     report = compute(assume_round=assume)
     fps = report.pop("_fps")
+    if "--check" in sys.argv:
+        # End-of-session tripwire (r7 verdict task 3): the r7 snapshot
+        # commit swept in post-sweep code edits, shipping a baseline
+        # that no longer matched the tree. Run this before idling; a
+        # non-zero exit means "full sweep + --record (+ queue regen)
+        # before you stop". A never-checked query is acceptable ONLY
+        # while staged inside the driver's 50-query window (it gets its
+        # first row next driver run); outside the window it would age
+        # silently.
+        import __spark_entry__ as entry
+
+        window = set(list(entry.queries())[:50])
+        stale = [r["query"] for r in report["stale"]]
+        never = [
+            r["query"]
+            for r in report["never_checked"]
+            if r["query"] not in window
+        ]
+        if stale or never:
+            print(
+                json.dumps(
+                    {"ok": False, "stale": stale, "never_checked_unstaged": never}
+                )
+            )
+            sys.exit(1)
+        print(json.dumps({"ok": True, "fresh": len(report["fresh"])}))
+        return
     if "--record" in sys.argv:
         label = f"full-sweep@{_git('rev-parse', '--short', 'HEAD')}"
         for i, a in enumerate(sys.argv):
