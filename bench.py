@@ -205,6 +205,13 @@ def _force(df) -> None:
 # fixed point that makes normalized subtotals comparable across rounds.
 _CALIBRATION_REF_R5 = 0.6668
 
+# Frozen reference for the shuffle-heavy probe, measured on its first
+# round-8 run at scalar steal 0.98 (near-quiet box). Same rule: never
+# update while the probe code is untouched. The PAIR
+# (steal_factor, steal_factor_shuffle) brackets a run's host condition:
+# scalar tracks CPU steal, shuffle tracks memory/exchange bandwidth.
+_SHUFFLE_CALIBRATION_REF_R8 = 0.7055
+
 # Frozen round-6 comparison reference for the full 120-query headline
 # set (r6 verdict task 7): the driver's BENCH_r06 steal-normalized
 # total. r7+ deltas are then mechanical: compare this run's
@@ -217,14 +224,18 @@ _HEADLINE_TOTAL_R6_REF = 128.7
 
 
 def _r6_reference_timings() -> dict[str, float]:
-    """Per-query steady timings from the committed round-6 driver bench
-    (BENCH_r06.json). The scalar calibration probe under-corrects on
-    memory-bandwidth-heavy queries (r7 saw 107.5/120.6/148.7 normalized
-    totals on identical code), so the headline comparison also reports
-    the MEDIAN per-query ratio vs these — uniform host steal shifts
-    every ratio equally, so the median is steal-robust without any
-    probe model (r7 verdict task 7)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r06.json")
+    """Per-query steady timings: medians of three same-code round-6
+    bench runs (tools/bench_ref_r6.json — the driver's BENCH_r06.json
+    stores only a truncated tail, so the full per-query record is
+    committed separately). The scalar calibration probe under-corrects
+    on memory-bandwidth-heavy queries (r7 saw 107.5/120.6/148.7
+    normalized totals on identical code), so the headline comparison
+    also reports the MEDIAN per-query ratio vs these — uniform host
+    steal shifts every ratio equally, so the median is steal-robust
+    without any probe model (r7 verdict task 7)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_ref_r6.json"
+    )
     try:
         with open(path) as f:
             return json.load(f).get("queries", {})
@@ -373,6 +384,9 @@ def main() -> None:
                 "headline_total_normalized": norm(total),
                 "calibration_sec": calib,
                 "calibration_shuffle_sec": calib_shuffle,
+                "steal_factor_shuffle": round(
+                    calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8, 4
+                ),
                 "headline_total_r6_ref": _HEADLINE_TOTAL_R6_REF,
                 "headline_vs_r6_ref": round(norm(total) / _HEADLINE_TOTAL_R6_REF, 4),
                 "median_ratio_vs_r6": median_ratio_vs_r6,
