@@ -486,10 +486,13 @@ def test_simhash128_zero_cross_copy_collisions_at_ci_scale(spark, tmp_path):
     import sys as _sys
 
     _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from scaling_audit import _simhash128, _simhash_analyzer, build_tenx, run_family
+    from scaling_audit import _simhash_analyzer, build_tenx, run_family
 
     tenx = str(tmp_path / "docs_x10")  # name must mark the copy structure
     build_tenx(spark, "/root/testdata/sf0.01", tenx)
-    row = run_family(spark, _simhash128, "simhash", tenx, _simhash_analyzer(128))
+    # the audit runs the REGISTERED query (no re-implementation drift)
+    row = run_family(
+        spark, "simhash128_near_dup", "simhash", tenx, _simhash_analyzer(128)
+    )
     assert row["observer_invocations"] == 1
     assert row["false_cross_copy"] == 0, row

@@ -63,6 +63,33 @@ def test_fingerprints_ignore_runtime_module_state():
     }
 
 
+def test_closure_covers_import_bindings():
+    """Two review-confirmed blind spots: (a) function-level
+    `from pkg.x import fn` never lands in __globals__, so the engine
+    function's source was absent from the closure; (b) module-level
+    `from pkg.x import CONST` binds the value, so an edit to the
+    DEFINING module's assignment (e.g. the shared decimal-type constant
+    in plans/tpch_shared.py) left importers' fingerprints unchanged."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def parts_of(name):
+        parts, seen = [name], set()
+        ea._collect(qs[name], parts, seen)
+        return "\n".join(parts)
+
+    # (a) image_phash_near_dup imports its engine ops INSIDE the fn body
+    phash_parts = parts_of("image_phash_near_dup")
+    assert "def phash_near_dup_pairs" in phash_parts
+    assert "def dhash_png" in phash_parts
+
+    # (b) cube_returnflag_status uses tpch_shared's D6 without calling
+    # any tpch_shared function — the constant's source assignment must
+    # still be folded
+    assert "D6:=" in parts_of("cube_returnflag_status")
+
+
 def test_data_globals_fold_by_source_text():
     """Data globals enter fingerprints as their top-level assignment
     SOURCE TEXT (mutation-proof), and derived constants recurse through

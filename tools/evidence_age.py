@@ -64,6 +64,10 @@ _DATA_TYPES = (str, int, float, bool, bytes, list, tuple, dict, set, frozenset)
 # references)}}.
 _MODULE_ASSIGNS: dict[str, dict[str, tuple[str, frozenset[str]]]] = {}
 
+# Top-level `from X import y [as z]` bindings per package module:
+# {module_name: {local_name: (source module, original name)}}.
+_MODULE_IMPORTS: dict[str, dict[str, tuple[str, str]]] = {}
+
 
 def _target_names(t) -> list[str]:
     if isinstance(t, ast.Name):
@@ -88,13 +92,18 @@ def _module_assigns(mod_name: str) -> dict[str, tuple[str, frozenset[str]]]:
     if cached is not None:
         return cached
     out: dict[str, tuple[str, frozenset[str]]] = {}
+    imports: dict[str, tuple[str, str]] = {}
     mod = sys.modules.get(mod_name)
     path = getattr(mod, "__file__", None)
     if path:
         try:
-            tree = ast.parse(open(path).read())
+            src = open(path).read()
+            tree = ast.parse(src)
         except (OSError, SyntaxError):
-            tree = None
+            tree, src = None, ""
+        pkg = getattr(mod, "__package__", "") or ""
+        for m, orig, local in _imports_of(src, pkg) if tree else []:
+            imports[local] = (m, orig)
         for node in tree.body if tree else []:
             if isinstance(node, ast.Assign):
                 targets = [n for t in node.targets for n in _target_names(t)]
@@ -116,8 +125,14 @@ def _module_assigns(mod_name: str) -> dict[str, tuple[str, frozenset[str]]]:
                     out[t] = (f"{prev_expr} ;; {expr}", prev_refs | refs)
                 else:
                     out[t] = (expr, refs)
+    _MODULE_IMPORTS[mod_name] = imports
     _MODULE_ASSIGNS[mod_name] = out
     return out
+
+
+def _module_imports(mod_name: str) -> dict[str, tuple[str, str]]:
+    _module_assigns(mod_name)  # populates both caches
+    return _MODULE_IMPORTS.get(mod_name, {})
 
 
 def _referenced_names(src: str) -> set[str]:
@@ -133,6 +148,35 @@ def _referenced_names(src: str) -> set[str]:
             for a in node.names:
                 names.add(a.asname or a.name)
     return names
+
+
+def _imports_of(src: str, pkg: str) -> list[tuple[str, str, str]]:
+    """(resolved source module, original name, local name) for every
+    package `from X import y` in ``src`` — module-level AND
+    function-level. Function-level imports never land in
+    ``__globals__``, and module-level ones bind the VALUE, not its
+    origin; both made the closure blind to edits in the defining module
+    (an edit to operators/dedup.phash_near_dup_pairs did not move
+    image_phash_near_dup's fingerprint, and an edit to an imported
+    constant like tpch_shared.D6 did not move its importers')."""
+    out: list[tuple[str, str, str]] = []
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return out
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom):
+            continue
+        mod = node.module or ""
+        if node.level:  # relative import: resolve against the package
+            base = pkg.split(".") if pkg else []
+            base = base[: len(base) - (node.level - 1)] if node.level > 1 else base
+            mod = ".".join(base + ([mod] if mod else []))
+        if not mod.startswith(PKG):
+            continue
+        for a in node.names:
+            out.append((mod, a.name, a.asname or a.name))
+    return out
 
 
 def _collect(obj, parts: list[str], seen: set, depth: int = 0) -> None:
@@ -170,6 +214,20 @@ def _collect(obj, parts: list[str], seen: set, depth: int = 0) -> None:
             _collect(ref, parts, seen, depth + 1)
         elif isinstance(ref, _DATA_TYPES):
             _collect_data(name, g, parts, seen, depth + 1)
+    # Function-level `from pkg.x import y` bindings never appear in
+    # __globals__ — resolve them against the defining module directly.
+    pkg = getattr(sys.modules.get(mod), "__package__", "") or ""
+    for src_mod, orig, _local in _imports_of(src, pkg):
+        m = sys.modules.get(src_mod)
+        if m is None:
+            continue
+        ref = getattr(m, orig, None)
+        if ref is None:
+            continue
+        if isinstance(ref, types.ModuleType) or callable(ref):
+            _collect(ref, parts, seen, depth + 1)
+        elif isinstance(ref, _DATA_TYPES):
+            _collect_data(orig, vars(m), parts, seen, depth + 1)
 
 
 def _collect_data(name: str, g: dict, parts: list[str], seen: set, depth: int) -> None:
@@ -186,6 +244,16 @@ def _collect_data(name: str, g: dict, parts: list[str], seen: set, depth: int) -
     seen.add(key)
     info = _module_assigns(mod_name).get(name)
     if info is None:
+        imp = _module_imports(mod_name).get(name)
+        if imp is not None:
+            # `from pkg.x import CONST [as name]`: track the DEFINING
+            # module's assignment, not a local one (an edit to an
+            # imported protocol constant must stale every importer)
+            src_mod, orig = imp
+            m = sys.modules.get(src_mod)
+            if m is not None:
+                _collect_data(orig, vars(m), parts, seen, depth + 1)
+                return
         # injected/built at runtime — process state, a stable marker
         parts.append(f"{name}=<no-toplevel-assign>")
         return
@@ -266,10 +334,17 @@ def compute(assume_round: int | None = None) -> dict:
     return report
 
 
+def _flag_value(flag: str) -> str:
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+        sys.exit(f"usage: {flag} requires a value")
+    return sys.argv[i + 1]
+
+
 def main() -> None:
     assume = None
     if "--assume-round" in sys.argv:
-        assume = int(sys.argv[sys.argv.index("--assume-round") + 1])
+        assume = int(_flag_value("--assume-round"))
     report = compute(assume_round=assume)
     fps = report.pop("_fps")
     if "--check" in sys.argv:
@@ -301,9 +376,8 @@ def main() -> None:
         return
     if "--record" in sys.argv:
         label = f"full-sweep@{_git('rev-parse', '--short', 'HEAD')}"
-        for i, a in enumerate(sys.argv):
-            if a == "--label":
-                label = sys.argv[i + 1]
+        if "--label" in sys.argv:
+            label = _flag_value("--label")
         data = {name: {"fp": fp, "verified": label} for name, fp in fps.items()}
         with open(FP_PATH, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
@@ -311,7 +385,7 @@ def main() -> None:
         return
     text = json.dumps(report, indent=2)
     if "--json" in sys.argv:
-        with open(sys.argv[sys.argv.index("--json") + 1], "w") as f:
+        with open(_flag_value("--json"), "w") as f:
             f.write(text)
     print(text)
 

@@ -38,10 +38,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must never produce a silently-green sweep
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
+    ran = 0
     bad: list[str] = []
     for name, q in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.perf_counter()
         try:
             got = q(spark, sf_dir).toPandas()
@@ -71,7 +77,7 @@ def main() -> int:
             spark.catalog.clearCache()
         print(f"{name:45s} {time.perf_counter() - t0:7.2f}s  {status}", flush=True)
 
-    print(f"\n{len(qs) - len(bad)}/{len(qs)} green" + (f"; RED: {bad}" if bad else ""))
+    print(f"\n{ran - len(bad)}/{ran} green" + (f"; RED: {bad}" if bad else ""))
     spark.stop()
     return 1 if bad else 0
 

@@ -7,24 +7,37 @@ banding design at scale; anything super-linear is called out with its
 cause (SCALING.md records the numbers + analysis).
 
 The 10x table preserves the fixture's INTRINSIC duplicate structure
-exactly: 10 copies of sf0.1's documents, copy k transformed by a
-per-copy alphabet rotation (letters rotated k positions, digits k mod
-10; a bijection on characters). Within a copy the token-set AND the
-char-12-gram document-frequency structure are ISOMORPHIC to the
-original — the same dup/near-dup pairs, the same shingle-rarity
-distribution (a token-suffix perturbation was tried first and REJECTED:
-it injects copy-common char-grams that corrupt the rarest-shingle
-statistics containment's blocker depends on) — while across copies
-tokens and shingles are distinct strings except for rare rotation
-coincidences. True-pair counts therefore grow exactly 10x (linear) by
-construction, isolating the ALGORITHM's candidate growth from the
-data's (the fixture's own sf ladder grows dup-group sizes with N, so
-output pairs grow ~quadratically along it — unusable as the
-instrument).
+exactly FOR THE TEXT FAMILIES: 10 copies of sf0.1's documents, copy k
+transformed by a per-copy alphabet rotation (letters rotated k
+positions, digits k mod 10; a bijection on characters). Within a copy
+the token-set AND the char-12-gram document-frequency structure are
+ISOMORPHIC to the original — the same dup/near-dup pairs, the same
+shingle-rarity distribution (a token-suffix perturbation was tried
+first and REJECTED: it injects copy-common char-grams that corrupt the
+rarest-shingle statistics containment's blocker depends on) — while
+across copies tokens and shingles are distinct strings except for rare
+rotation coincidences. TEXT true-pair counts therefore grow exactly
+10x (linear) by construction, isolating the ALGORITHM's candidate
+growth from the data's (the fixture's own sf ladder grows dup-group
+sizes with N, so output pairs grow ~quadratically along it — unusable
+as the instrument).
+
+The IMAGE (phash) families do NOT get that invariant: PNG pixels are a
+pure function of doc_id (the synth pixel formula + dims are periodic
+in doc_id with period 256), so identical-image groups SPAN the copies
+— group sizes grow ~10x with the corpus and true hamming-0 pairs grow
+~100x. The phash rows therefore measure OUTPUT-TOPOLOGY behavior
+against super-linear ground truth (exactly the regime where a C(n,2)
+pairs listing explodes and star emission stays O(members)); their
+growth exponents must be read against the reported
+true_hamming0_pairs, not against a linear baseline. The analyzer
+reports that ground truth per scale so the attribution is explicit.
 
 Candidate counts come from the production plans themselves via
 operators.dedup.CANDIDATE_OBSERVER — the audit runs the same
-`queries()` entries the driver sweeps, not a re-implementation.
+`queries()` entries the driver sweeps, not a re-implementation (the
+simhash128 / phash-star scale options gained their own oracle-checked
+queries in round 8, so their rows now run those entries too).
 
 Usage: python tools/scaling_audit.py [out_json]  (default
 SCALING_AUDIT.json in the repo root; pass --small to audit
@@ -47,32 +60,38 @@ sys.path.insert(0, REPO)
 SF01 = "/root/testdata/sf0.1"
 TENX_DIR = "/tmp/scaling_audit_sf1x10"
 
-def _simhash128(spark, sf_dir):
-    """The >10^6-signature scale option (r6 verdict task 3): 128-bit
-    signatures in 4x32-bit chunks — per-chunk bucket space 2^32, so the
-    2^16 birthday term the r6 audit quantified for the 64-bit default
-    should collapse (candidate growth back to ~linear)."""
-    from streaming_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
-    from streaming_data_pipeline_spark.sources.batch import load_table
+def _phash_truth_analyzer(spark, sf_dir, cand_frames) -> dict:
+    """Ground-truth structure of the image corpus at this scale:
+    identical-dHash group count, largest group, and the C(n,2) pair
+    total those groups imply. PNG pixels are doc_id-periodic (period
+    256), so on the 10x corpus groups grow ~10x in SIZE and true pairs
+    ~100x — reported so the phash growth exponents are read against
+    the corpus's own super-linear truth, not a (false) linear
+    baseline."""
+    from pyspark.sql import functions as F
 
-    return simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), bits=128, chunks=4, max_hamming=3
-    )
-
-
-def _phash_star(spark, sf_dir):
-    """Star-topology phash emission (r6 verdict task 5): same candidate
-    stage as the pairs query, but canonical->member output — e(out)
-    should drop from the measured 2.0 to ~1."""
-    from streaming_data_pipeline_spark.operators.dedup import phash_near_dup_pairs
     from streaming_data_pipeline_spark.operators.multimodal import (
         dhash_png,
         synth_png_payloads,
     )
-    from streaming_data_pipeline_spark.sources.batch import load_table, spread_small_scan
+    from streaming_data_pipeline_spark.sources.batch import spread_small_scan
 
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    return phash_near_dup_pairs(dhash_png(synth_png_payloads(docs)), emit="star")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sizes = (
+        dhash_png(synth_png_payloads(spread_small_scan(docs, "doc_id")))
+        .groupBy("h_lo", "h_hi")
+        .agg(F.count("*").alias("n"))
+    )
+    row = sizes.agg(
+        F.count("*").cast("long").alias("groups"),
+        F.max("n").cast("long").alias("max_group"),
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("pairs"),
+    ).collect()[0]
+    return {
+        "hash_groups": row["groups"],
+        "max_group_size": row["max_group"],
+        "true_hamming0_pairs": row["pairs"],
+    }
 
 
 def _simhash_analyzer(bits: int, max_hamming: int = 3):
@@ -109,6 +128,12 @@ def _simhash_analyzer(bits: int, max_hamming: int = 3):
         if tenx:
             docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             per_copy = docs.count() // 10
+            # A signature owned by docs in MORE than one copy (empty/
+            # null-token docs hash identically under every rotation;
+            # rare rotation coincidences) has no copy identity — its
+            # pairs go to `false_ambiguous` instead of being collapsed
+            # to min(copy), which misclassified them as cross-copy and
+            # inflated the birthday term.
             sig_copy = (
                 simhash_sig(docs, bits=bits)
                 .select(
@@ -116,10 +141,15 @@ def _simhash_analyzer(bits: int, max_hamming: int = 3):
                     "simhash",
                 )
                 .groupBy("simhash")
-                .agg(F.min("copy").alias("copy"))
+                .agg(
+                    F.when(
+                        F.count_distinct("copy") == 1, F.min("copy")
+                    ).alias("copy")
+                )
                 .localCheckpoint(eager=True)
             )
             out["false_cross_copy"] = out["false_within_copy"] = 0
+            out["false_ambiguous"] = 0
         for cand in cand_frames:
             fc = cand.filter(ham > max_hamming)
             if sig_copy is None:
@@ -136,15 +166,21 @@ def _simhash_analyzer(bits: int, max_hamming: int = 3):
                 ),
                 "sh_b",
             )
+            label = (
+                F.when(F.col("ca").isNull() | F.col("cb").isNull(), "ambiguous")
+                .when(F.col("ca") == F.col("cb"), "within")
+                .otherwise("cross")
+            )
             counts = {
-                bool(r["same"]): r["count"]
-                for r in j.select((F.col("ca") == F.col("cb")).alias("same"))
-                .groupBy("same")
+                r["label"]: r["count"]
+                for r in j.select(label.alias("label"))
+                .groupBy("label")
                 .count()
                 .collect()
             }
-            out["false_cross_copy"] += counts.get(False, 0)
-            out["false_within_copy"] += counts.get(True, 0)
+            out["false_cross_copy"] += counts.get("cross", 0)
+            out["false_within_copy"] += counts.get("within", 0)
+            out["false_ambiguous"] += counts.get("ambiguous", 0)
             out["false_candidate_pairs"] += sum(counts.values())
         return out
 
@@ -156,10 +192,10 @@ def _simhash_analyzer(bits: int, max_hamming: int = 3):
 FAMILIES = [
     ("minhash", "minhash", "dedup_near_minhash_lsh", None),
     ("simhash", "simhash", "simhash_near_dup", _simhash_analyzer(64)),
-    ("simhash128", "simhash", _simhash128, _simhash_analyzer(128)),
+    ("simhash128", "simhash", "simhash128_near_dup", _simhash_analyzer(128)),
     ("containment", "containment", "dedup_containment_pairs", None),
-    ("phash", "phash", "image_phash_near_dup", None),
-    ("phash_star", "phash", _phash_star, None),
+    ("phash", "phash", "image_phash_near_dup", _phash_truth_analyzer),
+    ("phash_star", "phash", "image_phash_star_dedup", _phash_truth_analyzer),
 ]
 
 
@@ -304,6 +340,8 @@ def main() -> None:
                 "false_candidate_pairs",
                 "false_cross_copy",
                 "false_within_copy",
+                "false_ambiguous",
+                "true_hamming0_pairs",
             )
             if k in lo
         }
