@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -230,16 +231,24 @@ def _r6_reference_timings() -> dict[str, float]:
     committed separately). The scalar calibration probe under-corrects
     on memory-bandwidth-heavy queries (r7 saw 107.5/120.6/148.7
     normalized totals on identical code), so the headline comparison
-    also reports the MEDIAN per-query ratio vs these — uniform host
-    steal shifts every ratio equally, so the median is steal-robust
-    without any probe model (r7 verdict task 7)."""
+    also reports the MEDIAN per-query ratio vs these. What the median
+    buys is robustness to PER-QUERY outliers (a few queries hit by a
+    noisy neighbor, or the probe model misfitting one workload class) —
+    NOT to uniform steal, which scales every ratio alike; the output
+    therefore also carries r6_ref_calibration_sec (the reference runs'
+    median probe, 0.7398 ≈ 1.11x the r5 fixed point) next to this
+    run's calibration pair so a reader can adjudicate the uniform
+    component explicitly."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_ref_r6.json"
     )
     try:
         with open(path) as f:
             return json.load(f).get("queries", {})
-    except (OSError, ValueError):
+    except (OSError, ValueError) as exc:
+        # a vanished/corrupt reference must not silently degrade the
+        # robust metric to the probe model it back-stops
+        print(f"WARNING: r6 per-query reference unavailable: {exc}", file=sys.stderr)
         return {}
 
 
@@ -310,7 +319,11 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
-        cold[name] = round(time.perf_counter() - t0, 3)
+        # event_type_rollup has already run 6x as warm-up + calibration
+        # probe, so its "first" execution here is steady, not cold —
+        # publishing it in cold_total would deflate the cold protocol.
+        if name != "event_type_rollup":
+            cold[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         best = float("inf")
         for _ in range(2):
@@ -338,26 +351,19 @@ def main() -> None:
     steal = calib / _CALIBRATION_REF_R5 if calib > 0 else 1.0
     norm = lambda v: round(v / steal, 3)  # noqa: E731
 
-    # Probe-free robust headline: median of per-query steady ratios vs
-    # the committed r6 driver bench. < 1.0 means this tree is faster
-    # than r6 on the typical query regardless of host steal model.
+    # Outlier-robust headline: median of per-query steady ratios vs the
+    # committed r6 reference. Robust to per-query noise and probe
+    # misfit; a UNIFORM steal difference between the two hosts still
+    # scales it — read it alongside the calibration fields (the r6
+    # reference ran at probe ~0.7398 vs this run's calibration_sec).
     r6_ref = _r6_reference_timings()
-    ratios = sorted(
+    ratios = [
         timings[k] / r6_ref[k]
         for k in timings
         if k in r6_ref and r6_ref[k] > 0
-    )
+    ]
     median_ratio_vs_r6 = (
-        round(
-            (
-                ratios[len(ratios) // 2]
-                if len(ratios) % 2
-                else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
-            ),
-            4,
-        )
-        if ratios
-        else None
+        round(statistics.median(ratios), 4) if ratios else None
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -388,9 +394,15 @@ def main() -> None:
                     calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8, 4
                 ),
                 "headline_total_r6_ref": _HEADLINE_TOTAL_R6_REF,
-                "headline_vs_r6_ref": round(norm(total) / _HEADLINE_TOTAL_R6_REF, 4),
+                # vs-r6 compares the SAME 120-query set r6 ran (_R5_SET):
+                # the full total now includes round-8 additions r6 never
+                # timed, which would read as a phantom regression
+                "headline_vs_r6_ref": round(
+                    norm(r5_subset) / _HEADLINE_TOTAL_R6_REF, 4
+                ),
                 "median_ratio_vs_r6": median_ratio_vs_r6,
                 "median_ratio_n": len(ratios),
+                "r6_ref_calibration_sec": 0.7398,
                 "calibration_ref_r5_sec": _CALIBRATION_REF_R5,
                 "steal_factor": round(steal, 4),
                 "sf": sf_val,

@@ -76,5 +76,19 @@ def get_spark(
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate REUSES any live session and silently drops every
+    # static conf above (master, shuffle partitions, driver memory,
+    # extra_confs). Make that visible instead of letting a test or tool
+    # run on a session shaped by whoever got there first.
+    actual_master = spark.sparkContext.master
+    if actual_master != master:
+        import warnings
+
+        warnings.warn(
+            f"get_spark: reusing an existing SparkSession (master="
+            f"{actual_master!r}, requested {master!r}); requested static "
+            "confs were NOT applied",
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
