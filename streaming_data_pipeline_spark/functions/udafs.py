@@ -16,9 +16,14 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-@pandas_udf("double")
+# DoubleType() object, not the "double" DDL string: the string form
+# parses via the ACTIVE SparkSession at decoration (= import) time, so
+# the module was unimportable in a session-less process — a determinism
+# hazard for the evidence fingerprints and any offline tooling.
+@pandas_udf(DoubleType())
 def median_udaf(v: pd.Series) -> float:
     """Exact median of the group's values (numpy even-count midpoint).
 
@@ -32,7 +37,7 @@ def median_udaf(v: pd.Series) -> float:
     return float(np.median(x))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def mad_udaf(v: pd.Series) -> float:
     """Median absolute deviation — robust spread, no built-in analog.
     NULL-skipping as in :func:`median_udaf`."""

@@ -113,6 +113,60 @@ def test_data_globals_fold_by_source_text():
     assert parts == ["_NOT_IN_SOURCE=<no-toplevel-assign>"]
 
 
+def test_fingerprints_ignore_module_load_state():
+    """The r8 re-occurrence of the process-state bug: _collect resolved
+    function-level imports via sys.modules.get-and-skip, so a query
+    whose closure lazily imports sources/wire_sink (a SUBMODULE
+    from-import — the parent package only grows that attribute once the
+    submodule loads) fingerprinted differently after some test had
+    imported that module than in a clean --check interpreter. The tool
+    must import what it needs to resolve, deterministically.
+
+    Clean-subprocess check so the verdict cannot depend on what pytest
+    loaded before this test: fingerprint the sentinel queries with NO
+    extra imports, then again after importing every package module, and
+    require equality."""
+    import subprocess
+    import textwrap
+
+    sentinels = [
+        "wire_sink_roundtrip",
+        "small_file_compaction",
+        "retention_expire_partitions",
+        "heavy_hitter_bigrams",
+        "tpch_q1_pricing_summary",
+        "dedup_near_minhash_lsh",
+    ]
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    code = textwrap.dedent(
+        f"""
+        import sys, json, pkgutil, importlib
+        sys.path.insert(0, {repo!r}); sys.path.insert(0, {os.path.join(repo, 'tools')!r})
+        import evidence_age as ea
+        import __spark_entry__ as entry
+        qs, osql = entry.queries(), entry.oracle_sql()
+        names = {sentinels!r}
+        before = {{n: ea.query_fingerprint(n, qs[n], osql.get(n)) for n in names}}
+        import streaming_data_pipeline_spark as pkg
+        for mi in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            try:
+                importlib.import_module(mi.name)
+            except Exception:
+                pass  # udafs needs a live session; _module tolerates it too
+        after = {{n: ea.query_fingerprint(n, qs[n], osql.get(n)) for n in names}}
+        print(json.dumps({{"moved": [n for n in names if before[n] != after[n]]}}))
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=repo
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["moved"] == [], out
+
+
 def test_check_mode_exit_codes(tmp_path):
     """--check is the end-of-session tripwire (r7 verdict task 3): zero
     exit on a fresh baseline, non-zero when any fingerprint drifted."""
