@@ -39,18 +39,46 @@ from streaming_data_pipeline_spark.streaming.windows import (
 _counter = itertools.count()
 
 
-def _drain(agg: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+def _drain(
+    agg: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming frame to completion into a memory sink and hand
-    back the materialized result as a plain DataFrame."""
+    back the materialized result as a plain DataFrame.
+
+    ``state_partitions`` right-sizes the STATEFUL exchange for queries
+    whose grouping key is known-low-cardinality (time windows: dozens
+    of keys). The stateful shuffle's partition count is pinned at query
+    start — each partition carries its own state-store instance
+    (open/commit/snapshot per micro-batch), and AQE never coalesces a
+    stateful exchange the way it does batch shuffles, so an
+    over-partitioned streaming agg pays fixed state-store overhead per
+    partition per batch forever. Measured on the 6-hour-window
+    approx-users query at sf0.1: 64 partitions 8.1 s -> 8 partitions
+    2.8 s for ~28 window keys. The same reasoning holds on a cluster:
+    size this to key cardinality / throughput, not to the batch
+    default; leave None (session default) for high-cardinality keys.
+    The conf is set only around query start and restored immediately —
+    batch plans in the same session are untouched."""
     name = f"stream_result_{next(_counter)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, saved)
     # localCheckpoint materializes the snapshot into executor storage
     # and cuts the lineage to the (about-to-be-dropped) memory-sink
     # view, removing the extra driver-side pandas roundtrip the old
@@ -62,8 +90,10 @@ def _drain(agg: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     return out
 
 
-def _drain_complete(agg: DataFrame, spark: SparkSession) -> DataFrame:
-    return _drain(agg, spark, "complete")
+def _drain_complete(
+    agg: DataFrame, spark: SparkSession, state_partitions: int | None = None
+) -> DataFrame:
+    return _drain(agg, spark, "complete", state_partitions=state_partitions)
 
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,7 +1137,9 @@ def streaming_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_sum"),
     )
-    return _drain_complete(agg, spark).orderBy("asof_state")
+    # a few hundred hourly SCD2 states: right-size the stateful
+    # exchange (see _drain)
+    return _drain_complete(agg, spark, state_partitions=8).orderBy("asof_state")
 
 
 QUERIES["streaming_scd2_asof_enrich"] = streaming_scd2_asof_enrich
@@ -1162,7 +1194,8 @@ def streaming_multimodal_phash_rollup(spark: SparkSession, sf_dir: str) -> DataF
         F.sum("h_lo").alias("h_lo_sum"),
         F.sum("h_hi").alias("h_hi_sum"),
     )
-    return _drain_complete(agg, spark).orderBy("bucket")
+    # 16 hash buckets: right-size the stateful exchange (see _drain)
+    return _drain_complete(agg, spark, state_partitions=8).orderBy("bucket")
 
 
 QUERIES["streaming_multimodal_phash_rollup"] = streaming_multimodal_phash_rollup
@@ -1213,7 +1246,9 @@ def streaming_approx_users_per_window(spark: SparkSession, sf_dir: str) -> DataF
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
-    drained = _drain_complete(agg, spark).select(
+    # ~28 six-hour windows at sf0.1: 8 state partitions, not the batch
+    # default (see _drain — measured 8.1 s -> 2.8 s)
+    drained = _drain_complete(agg, spark, state_partitions=8).select(
         F.col("w.start").alias("window_start"), "approx_users", "n_events"
     )
     exact = (
@@ -1293,7 +1328,8 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flagged = stats.select("source", *gopher_flag_cols())
     agg = flagged.groupBy("source").agg(*gopher_report_aggs())
-    return _drain_complete(agg, spark).orderBy("source")
+    # 20 sources: right-size the stateful exchange (see _drain)
+    return _drain_complete(agg, spark, state_partitions=8).orderBy("source")
 
 
 QUERIES["streaming_quality_gate"] = streaming_quality_gate
