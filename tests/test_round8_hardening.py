@@ -167,6 +167,43 @@ def test_fingerprints_ignore_module_load_state():
     assert out["moved"] == [], out
 
 
+def test_every_package_module_imports_sessionless():
+    """Fingerprint determinism depends on _module being able to import
+    any package module in ANY process — a module that imports only when
+    a SparkSession is alive (what functions/udafs.py was before the
+    DoubleType fix: pandas_udf(\"double\") parses DDL via the active
+    session at decoration time) folds into fingerprints in a
+    session-bearing pytest process but is silently skipped in a clean
+    --check interpreter. Enforce the invariant at the source: every
+    package module must import in a bare interpreter."""
+    import subprocess
+    import textwrap
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    code = textwrap.dedent(
+        f"""
+        import sys, json, pkgutil, importlib
+        sys.path.insert(0, {repo!r})
+        import streaming_data_pipeline_spark as pkg
+        failed = []
+        for mi in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            try:
+                importlib.import_module(mi.name)
+            except Exception as exc:
+                failed.append(f"{{mi.name}}: {{type(exc).__name__}}: {{exc}}")
+        print(json.dumps(failed))
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=repo
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+
+    failed = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert failed == [], failed
+
+
 def test_check_mode_exit_codes(tmp_path):
     """--check is the end-of-session tripwire (r7 verdict task 3): zero
     exit on a fresh baseline, non-zero when any fingerprint drifted."""

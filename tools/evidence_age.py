@@ -96,7 +96,18 @@ def _module(mod_name: str) -> types.ModuleType | None:
         return None
     try:
         return importlib.import_module(mod_name)
-    except Exception:
+    except Exception as exc:
+        # A package module that only imports under certain process
+        # state (e.g. a live SparkSession) would make fingerprints
+        # environment-dependent again — the hygiene test
+        # (test_round8_hardening: every package module imports
+        # session-less) keeps this path dead; warn loudly if it ever
+        # fires so a --check/--record run can't silently go blind.
+        print(
+            f"evidence_age: cannot import {mod_name} ({exc}) — "
+            "fingerprint closure is blind to it",
+            file=sys.stderr,
+        )
         return None
 
 

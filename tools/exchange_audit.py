@@ -124,17 +124,28 @@ def _shuffle_bytes(spark) -> int | None:
     return prev
 
 
-def run_one(spark, fn, sf_dir: str) -> dict:
-    s0 = _shuffle_bytes(spark)
+def run_one(spark, fn, sf_dir: str, s0: int | None) -> dict:
+    """``s0`` is the settled cumulative sum from the PREVIOUS
+    measurement point (no jobs run between queries, so the previous
+    query's s1 IS this query's s0) — halves the REST fetches, which
+    grow with retained-stage count over the audit."""
+    if s0 is None:
+        s0 = _shuffle_bytes(spark)
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 3)
     s1 = _shuffle_bytes(spark)
-    return {
+    out = {
         "shuffle_bytes": (s1 - s0) if (s0 is not None and s1 is not None) else None,
         "wall_sec": wall,
+        "_s1": s1,
     }
+    if s0 is None or s1 is None:
+        # a REST read failed mid-run: the row must surface as an error,
+        # never default into zero/bounded-exchange (the best classes)
+        out["err"] = "shuffle-bytes REST read failed"
+    return out
 
 
 def growth(a, b, scale=SCALE):
@@ -174,20 +185,32 @@ def main() -> int:
         return 2
 
     qs = entrymod.queries()
-    todo = {n: qs[n] for n in names} if names else qs
     unknown = set(names) - set(qs)
     if unknown:
         print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
         return 2
+    if names and out_path == os.path.join(REPO, "EXCHANGE_AUDIT.json"):
+        # a subset run must never overwrite the committed whole-surface
+        # artifact SCALING.md cites — demand an explicit out path
+        print(
+            "subset run: pass an explicit out.json (refusing to overwrite "
+            "the committed EXCHANGE_AUDIT.json with a partial audit)",
+            file=sys.stderr,
+        )
+        return 2
+    todo = {n: qs[n] for n in names} if names else qs
 
     results: dict[str, dict] = {}
+    carry_s1: int | None = None  # previous measurement point, reused as s0
     for i, (name, fn) in enumerate(todo.items(), 1):
         row: dict = {}
         for key, sf_dir in (("sf001", SF_SMALL), ("sf01", SF_BIG)):
             try:
-                m = run_one(spark, fn, sf_dir)
+                m = run_one(spark, fn, sf_dir, carry_s1)
+                carry_s1 = m.pop("_s1", None)
             except Exception as exc:  # keep auditing; a broken query is a finding
                 m = {"shuffle_bytes": None, "wall_sec": None, "err": f"{type(exc).__name__}: {exc}"}
+                carry_s1 = None  # jobs may have half-run; re-read next time
             b = m["shuffle_bytes"]
             if b is not None and b < 0:
                 # cumulative sum went backwards: stage eviction raced the
@@ -199,7 +222,7 @@ def main() -> int:
             if "err" in m:
                 row["err"] = m["err"]
         b0, b1 = row.get("bytes_sf001"), row.get("bytes_sf01")
-        if row.get("err"):
+        if row.get("err") or b0 is None or b1 is None:
             row["class"] = "error"
         elif (b0 or 0) == 0 and (b1 or 0) == 0:
             row["class"] = "zero-exchange"
