@@ -204,6 +204,45 @@ def test_every_package_module_imports_sessionless():
     assert failed == [], failed
 
 
+def test_exchange_audit_smoke(tmp_path):
+    """Keep the exchange-volume audit runnable: a 2-query subset via
+    the real CLI (own Spark session, REST polling, noop-sink execution,
+    classification) must exit 0 with sane rows. Guards the tool's
+    import path and REST mechanics, not the exponents — those are the
+    committed EXCHANGE_AUDIT.json's job."""
+    import json
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = str(tmp_path / "audit.json")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "exchange_audit.py"),
+            out,
+            "tpch_q1_pricing_summary",
+            "revenue_by_region",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1500:], proc.stderr[-1500:])
+    data = json.load(open(out))
+    assert data["summary"]["n"] == 2
+    assert data["summary"]["errors"] == []
+    assert data["summary"]["flagged"] == []
+    for name, row in data["queries"].items():
+        assert row["class"] in {
+            "zero-exchange",
+            "bounded-exchange",
+            "small-base",
+            "measured",
+        }, (name, row)
+        assert (row["bytes_sf001"] or 0) >= 0 and (row["bytes_sf01"] or 0) >= 0
+
+
 def test_check_mode_exit_codes(tmp_path):
     """--check is the end-of-session tripwire (r7 verdict task 3): zero
     exit on a fresh baseline, non-zero when any fingerprint drifted."""
