@@ -86,7 +86,7 @@ KNOWN_SUPERLINEAR_TRUTH = {
     "image_phash_near_dup",
     "embedding_near_dup_pairs",
     "dedup_containment_pairs",
-    "edit_distance_near_dup",
+    "dedup_edit_distance_pairs",
     "semantic_dedup_keep_canonical",
     "dedup_cluster_components",
     "dedup_keep_canonical",
@@ -106,20 +106,45 @@ def _shuffle_bytes_raw(spark) -> int | None:
         url = f"{base}/api/v1/applications/{sc.applicationId}/stages?status=COMPLETE"
         with urllib.request.urlopen(url, timeout=10) as r:
             stages = json.loads(r.read())
-        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+        # One entry per stage ATTEMPT: a retried stage would double-count
+        # its write bytes. Keep only the highest attemptId per stageId.
+        last: dict[int, tuple[int, int]] = {}
+        for s in stages:
+            sid = int(s.get("stageId", -1))
+            att = int(s.get("attemptId", 0))
+            if sid not in last or att >= last[sid][0]:
+                last[sid] = (att, int(s.get("shuffleWriteBytes", 0)))
+        return sum(b for _, b in last.values())
     except Exception:
         return None
 
 
 def _shuffle_bytes(spark) -> int | None:
     """Settled read: the UI status store updates asynchronously after an
-    action returns; poll until two consecutive reads agree (max ~2 s)."""
+    action returns; poll until two consecutive reads agree.
+
+    Caveat (documented misattribution risk): "two equal consecutive
+    reads" proves the store was QUIET for one poll interval, not that it
+    has fully drained. If the store lags longer than the window after a
+    heavy query, the carried s0 silently shifts bytes from that query's
+    delta into the NEXT query's (negative deltas are caught downstream;
+    positive misattribution between adjacent rows is not detectable from
+    the cumulative sum alone). Mitigation: require TWO consecutive
+    agreeing intervals (three equal reads) and allow up to ~6 s — in
+    practice the store settles in <1 s once the last task event is
+    processed, and the audit's per-query deltas are cross-checkable
+    against the job-level totals in the committed artifact."""
     prev = _shuffle_bytes_raw(spark)
-    for _ in range(9):
+    stable = 0
+    for _ in range(30):
         time.sleep(0.2)
         cur = _shuffle_bytes_raw(spark)
         if cur == prev:
-            return cur
+            stable += 1
+            if stable >= 2:
+                return cur
+        else:
+            stable = 0
         prev = cur
     return prev
 
@@ -189,6 +214,15 @@ def main() -> int:
     if unknown:
         print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
         return 2
+    dead_exemptions = KNOWN_SUPERLINEAR_TRUTH - set(qs)
+    if dead_exemptions:
+        # mirror the unknown-names check: an exemption that attaches to
+        # no registered query is a typo'd allowlist entry, not a no-op
+        print(
+            f"WARNING: KNOWN_SUPERLINEAR_TRUTH names not in queries(): "
+            f"{sorted(dead_exemptions)}",
+            file=sys.stderr,
+        )
     if names and out_path == os.path.join(REPO, "EXCHANGE_AUDIT.json"):
         # a subset run must never overwrite the committed whole-surface
         # artifact SCALING.md cites — demand an explicit out path
