@@ -401,26 +401,37 @@ def simhash_near_dup_pairs(
             f"divisor of {bits}"
         )
     width = bits // chunks
-    if width > 62:
+    if width > 64:
         raise ValueError(
-            f"chunk width {width} exceeds 62 bits: the per-chunk conv() "
-            "decode must fit a signed long for the xor+popcount Hamming "
-            "path — use at least " f"{-(-bits // 62)} chunks"
+            f"chunk width {width} exceeds 64 bits: each banding chunk must "
+            "fit one packed 64-bit signature word — use at least "
+            f"{-(-bits // 64)} chunks"
         )
     _release_caches()
     members = _cached(
-        simhash_sig(df, text_col, id_col, bits=bits).select(
+        simhash_packed(df, text_col, id_col, bits=bits).select(
             F.col("doc_id").alias("id"), "simhash"
         )
     )
     groups = _cached(members.groupBy("simhash").agg(F.count("*").alias("cnt")))
 
+    # Chunk p is a bit-shift + mask on the packed word that holds it —
+    # never a straddle: width divides bits, bits is a multiple of 64 and
+    # width <= 64, so width always divides 64 (both are powers of two
+    # times a common divisor chain for bits in {64, 128}).
+    mask = F.lit((1 << width) - 1 if width < 64 else -1).cast("long")
+
+    def _chunk(p: int):
+        start = p * width
+        widx, off = start // 64, start % 64
+        word = F.col("simhash")[widx]
+        if width == 64:  # chunk IS the word; shift-by-0 + all-ones mask
+            return word
+        return F.shiftrightunsigned(word, 64 - off - width).bitwiseAND(mask)
+
     chunk_arr = F.array(
         *[
-            F.struct(
-                F.lit(p).alias("pos"),
-                F.substring("simhash", p * width + 1, width).alias("chunk"),
-            )
+            F.struct(F.lit(p).alias("pos"), _chunk(p).cast("long").alias("chunk"))
             for p in range(chunks)
         ]
     )
@@ -439,35 +450,17 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     cand = _observe_candidates("simhash", cand)
-    # Hamming via integer XOR + popcount over the chunk values, not 64
-    # per-character substring compares: chunks are decoded to longs ONCE
-    # per distinct signature (pre-join), so each candidate pair costs
-    # ``chunks`` xor+bit_count ops.
-    ints = groups.select(
-        "simhash",
-        *[
-            F.conv(F.substring("simhash", p * width + 1, width), 2, 10)
-            .cast("long")
-            .alias(f"i{p}")
-            for p in range(chunks)
-        ],
-    )
-    a_ints = ints.select(
-        F.col("simhash").alias("sh_a"),
-        *[F.col(f"i{p}").alias(f"a{p}") for p in range(chunks)],
-    )
-    b_ints = ints.select(
-        F.col("simhash").alias("sh_b"),
-        *[F.col(f"i{p}").alias(f"b{p}") for p in range(chunks)],
-    )
+    # Hamming directly on the packed words: bit_count(xor) per word, no
+    # decode join — the signature IS the integer form (r8 verdict task
+    # 2: the 128-char string signature + substring/conv decode was the
+    # dominant cost of the 128-bit query; packed words cut both the
+    # compute and the exchange width several-fold).
     hamming = sum(
-        F.bit_count(F.col(f"a{p}").bitwiseXOR(F.col(f"b{p}")))
-        for p in range(chunks)
+        F.bit_count(F.col("sh_a")[w].bitwiseXOR(F.col("sh_b")[w]))
+        for w in range(bits // 64)
     ).cast("long")
     verified = (
-        cand.join(a_ints, "sh_a")
-        .join(b_ints, "sh_b")
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("sh_a", "sh_b", "hamming")
     )
@@ -493,13 +486,16 @@ def simhash_near_dup_pairs(
     return cross.unionByName(within)
 
 
-def simhash_sig(
+def simhash_packed(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
 ) -> DataFrame:
-    """``bits``-wide SimHash per document as a bit string (64 or 128).
+    """``bits``-wide SimHash per document, PACKED into ``bits/64``
+    signed 64-bit words (column ``simhash: array<bigint>``; word w
+    holds signature bits 64w..64w+63, bit 0 of the signature = the
+    sign/MSB of word 0 — two's complement, so all-ones packs to -1).
 
     bit_b = sign of sum over distinct tokens of (2*h_b(token) - 1) where
     h_b is bit b of md5(token): bit (3 - b%4) of hex nibble b//4. md5
@@ -509,9 +505,14 @@ def simhash_sig(
     2^16 to 2^32, collapsing the birthday-collision candidate term the
     round-6 scale audit quantified (~10^6 distinct signatures is where
     2^16 buckets start pairing unrelated docs; 2^32 pushes that to
-    ~10^14). Integer-only math + md5 => identical in the DuckDB oracle
-    (which extracts the nibble value via position() instead of conv —
-    same values, engine-native syntax).
+    ~10^14).
+
+    The packed form is the near-dup work surface (r8 verdict task 2):
+    banding = shift+mask on a word, Hamming = bit_count(xor) per word,
+    group/join keys = 8/16 bytes instead of a 64/128-char string — the
+    string signature previously dominated simhash128_near_dup's cost
+    (per-bit string concat at build, string group/join keys on every
+    exchange, substring+conv decode at verify).
 
     All bit-sums run in ONE whole-stage-codegen hash aggregate over
     exploded tokens (md5 computed once per token, nibble decoded once,
@@ -519,7 +520,7 @@ def simhash_sig(
     64 interpreted lambda passes over the token array per document —
     was ~20x slower at sf0.1. explode_outer keeps empty/null-token
     documents as all-zero-contribution rows, so they still get the
-    all-'0' hash.
+    all-zero signature.
     """
     if bits not in (64, 128):
         raise ValueError(
@@ -555,11 +556,53 @@ def simhash_sig(
     sums = nibbled.groupBy("doc_id").agg(
         *[F.sum(contrib(b)).alias(f"s{b}") for b in range(bits)]
     )
-    bit_chars = [
-        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(bits)
-    ]
-    return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+
+    def word(w: int):
+        # Left-to-right sum of shiftleft terms: the j=0 term (bit at the
+        # word's sign position) is the ONLY possibly-negative term
+        # (1<<63 wraps to Long.MIN_VALUE, a bitwise shift — never an
+        # overflow error); every partial sum of {<=1 term >= -2^63} +
+        # {positives totalling < 2^63} stays in signed-long range, so
+        # the packing is ANSI-safe under any evaluation order.
+        terms = [
+            F.shiftleft(
+                F.when(F.col(f"s{64 * w + j}") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+                63 - j,
+            )
+            for j in range(64)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    return sums.select(
+        "doc_id", F.array(*[word(w) for w in range(bits // 64)]).alias("simhash")
+    )
+
+
+def simhash_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """``bits``-wide SimHash per document as a bit STRING (64 or 128
+    chars) — the human/oracle-facing rendering of ``simhash_packed``
+    (bin() of each packed word is its two's-complement 64-bit binary
+    text, zero-padded; concatenated big-endian this is exactly the
+    per-bit character string the DuckDB oracle builds with CASE terms).
+    The near-dup path consumes the packed form directly."""
+    packed = simhash_packed(df, text_col, id_col, bits=bits)
+    sig = F.concat(
+        *[
+            F.lpad(F.bin(F.col("simhash")[w]), 64, "0")
+            for w in range(bits // 64)
+        ]
+    )
+    return packed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -206,8 +206,10 @@ def test_simhash_width_guards(spark):
         simhash_sig(docs, bits=96)
     with pytest.raises(ValueError, match="does not divide the 128-bit"):
         simhash_near_dup_pairs(docs, chunks=5, max_hamming=3, bits=128)
-    with pytest.raises(ValueError, match="exceeds 62 bits"):
-        simhash_near_dup_pairs(docs, chunks=2, max_hamming=1, bits=128)
+    # width 128 would straddle the packed 64-bit words (chunks=1 is the
+    # only way to reach it: max_hamming must then be 0 by pigeonhole)
+    with pytest.raises(ValueError, match="exceeds 64 bits"):
+        simhash_near_dup_pairs(docs, chunks=1, max_hamming=0, bits=128)
 
 
 def test_simhash128_finds_duplicate_pairs(spark):

@@ -112,15 +112,15 @@ def _simhash_analyzer(bits: int, max_hamming: int = 3):
     def analyze(spark, sf_dir, cand_frames) -> dict:
         from pyspark.sql import functions as F
 
-        from streaming_data_pipeline_spark.operators.dedup import simhash_sig
+        from streaming_data_pipeline_spark.operators.dedup import simhash_packed
 
-        width = bits // 4
-        ints = lambda c, p: (  # noqa: E731
-            F.conv(F.substring(c, p * width + 1, width), 2, 10).cast("long")
-        )
+        # Candidates carry the PACKED signature (array<bigint> words,
+        # operators/dedup.simhash_packed) since r9: Hamming is
+        # bit_count(xor) per word, and sig_copy joins on the same
+        # packed column the production candidates use.
         ham = sum(
-            F.bit_count(ints("sh_a", p).bitwiseXOR(ints("sh_b", p)))
-            for p in range(4)
+            F.bit_count(F.col("sh_a")[w].bitwiseXOR(F.col("sh_b")[w]))
+            for w in range(bits // 64)
         )
         out: dict = {"false_candidate_pairs": 0}
         tenx = "x10" in os.path.basename(sf_dir.rstrip("/"))
@@ -135,7 +135,7 @@ def _simhash_analyzer(bits: int, max_hamming: int = 3):
             # to min(copy), which misclassified them as cross-copy and
             # inflated the birthday term.
             sig_copy = (
-                simhash_sig(docs, bits=bits)
+                simhash_packed(docs, bits=bits)
                 .select(
                     (F.col("doc_id") / per_copy).cast("int").alias("copy"),
                     "simhash",
