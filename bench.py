@@ -370,6 +370,22 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Self-labeling noise rule (r8 verdict task 3): BENCH_r08's raw
+    # jpeg figure read as an 8x regression to anyone not cross-checking
+    # the steal pair (shuffle probe 2.38x that round, judge's quiet-box
+    # re-measure 2.7s on identical code). A run whose probes say the
+    # host is stolen must say so IN the artifact.
+    steal_shuffle = calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8
+    host_noisy = steal > 1.5 or steal_shuffle > 1.5
+    if host_noisy:
+        print(
+            f"WARNING: host noisy (steal_factor={steal:.2f}, "
+            f"steal_factor_shuffle={steal_shuffle:.2f} vs frozen probe "
+            "references) — raw per-query figures in this artifact are "
+            "not comparable across rounds; re-run when both probes read "
+            "< 1.3x or read only the normalized/median fields",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -390,9 +406,8 @@ def main() -> None:
                 "headline_total_normalized": norm(total),
                 "calibration_sec": calib,
                 "calibration_shuffle_sec": calib_shuffle,
-                "steal_factor_shuffle": round(
-                    calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8, 4
-                ),
+                "steal_factor_shuffle": round(steal_shuffle, 4),
+                "host_noisy": host_noisy,
                 "headline_total_r6_ref": _HEADLINE_TOTAL_R6_REF,
                 # vs-r6 compares the SAME 120-query set r6 ran (_R5_SET):
                 # the full total now includes round-8 additions r6 never
