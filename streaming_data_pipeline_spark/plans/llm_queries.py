@@ -1186,10 +1186,6 @@ WHERE rank <= 10 ORDER BY probe_id, rank
 # it now depends on _sql_pq_ctes, defined below)
 
 
-# Reuse the minhash pair oracle as the edge set of the clustering oracle
-# (same WITH body, sans its trailing total ORDER BY).
-_PAIRS_SQL = ORACLE["dedup_near_minhash_lsh"].rsplit("ORDER BY", 1)[0]
-
 # Connected components WITHOUT a transitive-closure CTE: the naive
 # RECURSIVE `reach` accumulates one row per (node, reachable-label) —
 # O(sum of cluster^2) with combinatorial re-derivation, which is why
@@ -1206,13 +1202,14 @@ _PAIRS_SQL = ORACLE["dedup_near_minhash_lsh"].rsplit("ORDER BY", 1)[0]
 _CC_ROUNDS = 12  # covers component diameter up to 2^12
 
 
-def _cc_propagation_sql() -> str:
+def _cc_propagation_sql(l0_body: str) -> str:
+    """Unrolled pointer-doubling rounds over an ``l0(node, lbl)`` CTE
+    the caller supplies (r9: nodes are GROUP representatives, not docs
+    — the doc-level node set re-derived every group's label once per
+    member for nothing)."""
     rounds = []
     prev = "l0"
-    rounds.append(
-        "l0 AS MATERIALIZED (SELECT DISTINCT doc_id AS node, doc_id AS lbl"
-        " FROM documents)"
-    )
+    rounds.append(f"l0 AS MATERIALIZED ({l0_body})")
     for k in range(1, _CC_ROUNDS + 2):  # +1 extra round = the certificate
         cur = f"l{k}"
         rounds.append(
@@ -1229,20 +1226,49 @@ def _cc_propagation_sql() -> str:
     return ",\n".join(rounds)
 
 
+# Group-graph CC (r8 verdict task 6): the old form expanded the 2.58M
+# doc pairs (165 s of a 206 s oracle at sf0.1) just to rediscover that
+# same-group docs are connected. Nodes here are GROUP representatives
+# (min member doc_id — distinct across groups since groups partition
+# docs), edges are the verified GROUP pairs from the shared group-level
+# banding chain; a group's propagated min-label IS the component's min
+# doc_id (every member id >= its group's representative). Members of an
+# internally-connected group (cnt>1, non-empty token set => every pair
+# has self-Jaccard 1.0) or of any group touching an edge take the
+# group's component label; all other docs are singletons — exactly
+# operators/dedup.minhash_cluster_labels' semantics.
+_JAC_G = (
+    "round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(ta.ts, tb.ts))), 6)"
+)
+
 ORACLE["dedup_cluster_components"] = f"""
-WITH pairs AS MATERIALIZED (
-  SELECT id_a, id_b FROM ( {_PAIRS_SQL} )
-),
+WITH dtoks AS (SELECT doc_id AS id, list_sort({_DTOKS}) AS ts FROM documents),
+grp AS MATERIALIZED (
+  SELECT ts, list_sort(list(id)) AS ids, COUNT(*) AS cnt
+  FROM dtoks GROUP BY ts),
+toks AS (SELECT ids[1] AS id, ts FROM grp),
+{sql_minhash_banding_ctes(32, 8)},
+gver AS MATERIALIZED (
+  SELECT cand.id_a AS src, cand.id_b AS dst
+  FROM cand JOIN toks ta ON cand.id_a = ta.id JOIN toks tb ON cand.id_b = tb.id
+  WHERE {_JAC_G} >= 0.8),
 edges AS MATERIALIZED (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-{_cc_propagation_sql()},
+  SELECT src, dst FROM gver UNION SELECT dst AS src, src AS dst FROM gver),
+{_cc_propagation_sql("SELECT ids[1] AS node, ids[1] AS lbl FROM grp")},
 moved AS (
   SELECT COUNT(*) AS n FROM l{_CC_ROUNDS} f
   JOIN l{_CC_ROUNDS + 1} nx ON f.node = nx.node AND f.lbl <> nx.lbl),
-labels AS (SELECT node AS doc_id, lbl AS cluster_id FROM l{_CC_ROUNDS})
+g AS (SELECT ids[1] AS gid, ids, cnt, len(ts) AS n_ts FROM grp),
+con AS (SELECT DISTINCT src AS gid FROM edges),
+members AS (
+  SELECT unnest(g.ids) AS doc_id,
+         CASE WHEN (g.cnt > 1 AND g.n_ts > 0) OR c.gid IS NOT NULL
+              THEN gl.lbl END AS glbl
+  FROM g
+  JOIN (SELECT node AS gid, lbl FROM l{_CC_ROUNDS}) gl USING (gid)
+  LEFT JOIN con c USING (gid)),
+labels AS (SELECT doc_id, COALESCE(glbl, doc_id) AS cluster_id FROM members)
 SELECT l.doc_id,
        CAST(l.cluster_id AS BIGINT) AS cluster_id,
        CAST(c.sz AS BIGINT) AS cluster_size
