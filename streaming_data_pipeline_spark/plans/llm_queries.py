@@ -211,14 +211,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     would propagate over the combinatorially expanded doc pairs, ~2.6M
     at sf0.1, where the group graph has a few thousand edges) — the step
     that turns pairwise near-dups into "keep one doc per cluster". Docs
-    in no pair are singleton clusters. The DuckDB oracle computes the
-    same components with unrolled pointer-doubling min-label
-    propagation over the doc-pair edges (materialized per round, O(V+E)
-    a round, with a fixpoint-certificate round that injects a loud
-    sentinel row if unconverged — never a silent wrong pass), proving
-    the group-graph shortcut changes nothing; unlike the earlier
-    transitive-closure CTE this oracle also runs at sf0.1, so the
-    full-scale sweep has no skips."""
+    in no pair are singleton clusters. The DuckDB oracle runs the same
+    unrolled pointer-doubling min-label propagation on the GROUP graph
+    (r9: group representatives as nodes, verified group pairs as edges
+    — the doc-pair expansion it used to propagate over was 165 s of a
+    206 s oracle at sf0.1), with a fixpoint-certificate round that
+    injects a loud sentinel row if unconverged — never a silent wrong
+    pass; unlike the earlier transitive-closure CTE this oracle also
+    runs at sf0.1, so the full-scale sweep has no skips."""
     from streaming_data_pipeline_spark.operators.dedup import (
         minhash_cluster_labels,
     )
@@ -1199,14 +1199,29 @@ WHERE rank <= 10 ORDER BY probe_id, rank
 # CERTIFICATE runs one extra round and injects a loud sentinel row
 # (doc_id = -1) if anything still moved, so an unconverged run can
 # never silently pass the compare.
-_CC_ROUNDS = 12  # covers component diameter up to 2^12
+#
+# Depth matters more than per-round cost here: DuckDB 1.0 re-evaluates
+# chained CTEs despite AS MATERIALIZED when each round references its
+# predecessor 3x (keep + neighbor + label-of-label) — measured ~3^depth
+# blowup (12 rounds: 85 s; the same 6 rounds as temp tables: 0.07 s at
+# sf0.1's 1.19M group edges). 6 doubling rounds cover diameter 2^6=64 —
+# far past the fixture's near-clique dup components (converges at round
+# 5 with zero moves at every sf) — and the certificate round turns any
+# insufficiency into a loud sentinel, never a silent pass.
+_CC_ROUNDS = 6  # covers component diameter up to 2^6
 
 
 def _cc_propagation_sql(l0_body: str) -> str:
-    """Unrolled pointer-doubling rounds over an ``l0(node, lbl)`` CTE
-    the caller supplies (r9: nodes are GROUP representatives, not docs
-    — the doc-level node set re-derived every group's label once per
-    member for nothing)."""
+    """Unrolled pointer-doubling rounds over an ``l0(node, lbl,
+    touched)`` CTE the caller supplies (r9: nodes are GROUP
+    representatives, not docs — the doc-level node set re-derived every
+    group's label once per member for nothing). Each round also folds a
+    ``touched`` flag (MAX): the neighbor branch stamps 1 on any node
+    with at least one edge, so the final round knows edge-connectivity
+    without a separate ``edges`` consumer — DuckDB 1.0 re-evaluates the
+    whole upstream chain once per TOP-LEVEL consumer of a CTE, hints
+    notwithstanding (measured ~10 s per extra consumer at sf0.1), so
+    the oracle keeps exactly one."""
     rounds = []
     prev = "l0"
     rounds.append(f"l0 AS MATERIALIZED ({l0_body})")
@@ -1214,12 +1229,13 @@ def _cc_propagation_sql(l0_body: str) -> str:
         cur = f"l{k}"
         rounds.append(
             f"""{cur} AS MATERIALIZED (
-  SELECT node, MIN(lbl) AS lbl FROM (
-    SELECT node, lbl FROM {prev}
+  SELECT node, MIN(lbl) AS lbl, MAX(touched) AS touched FROM (
+    SELECT node, lbl, touched FROM {prev}
     UNION ALL
-    SELECT e.src AS node, p.lbl FROM edges e JOIN {prev} p ON e.dst = p.node
+    SELECT e.src AS node, p.lbl, 1 AS touched
+    FROM edges e JOIN {prev} p ON e.dst = p.node
     UNION ALL
-    SELECT a.node, b.lbl FROM {prev} a JOIN {prev} b ON a.lbl = b.node
+    SELECT a.node, b.lbl, a.touched FROM {prev} a JOIN {prev} b ON a.lbl = b.node
   ) GROUP BY node)"""
         )
         prev = cur
@@ -1255,29 +1271,29 @@ gver AS MATERIALIZED (
   WHERE {_JAC_G} >= 0.8),
 edges AS MATERIALIZED (
   SELECT src, dst FROM gver UNION SELECT dst AS src, src AS dst FROM gver),
-{_cc_propagation_sql("SELECT ids[1] AS node, ids[1] AS lbl FROM grp")},
-moved AS (
-  SELECT COUNT(*) AS n FROM l{_CC_ROUNDS} f
-  JOIN l{_CC_ROUNDS + 1} nx ON f.node = nx.node AND f.lbl <> nx.lbl),
+{_cc_propagation_sql("SELECT ids[1] AS node, ids[1] AS lbl, 0 AS touched FROM grp")},
+lfin AS MATERIALIZED (
+  SELECT nx.node, nx.lbl, nx.touched,
+         CASE WHEN f.lbl <> nx.lbl THEN 1 ELSE 0 END AS moved
+  FROM l{_CC_ROUNDS + 1} nx JOIN l{_CC_ROUNDS} f USING (node)),
 g AS (SELECT ids[1] AS gid, ids, cnt, len(ts) AS n_ts FROM grp),
-con AS (SELECT DISTINCT src AS gid FROM edges),
 members AS (
   SELECT unnest(g.ids) AS doc_id,
-         CASE WHEN (g.cnt > 1 AND g.n_ts > 0) OR c.gid IS NOT NULL
+         CASE WHEN (g.cnt > 1 AND g.n_ts > 0) OR gl.touched = 1
               THEN gl.lbl END AS glbl
   FROM g
-  JOIN (SELECT node AS gid, lbl FROM l{_CC_ROUNDS}) gl USING (gid)
-  LEFT JOIN con c USING (gid)),
+  JOIN (SELECT node AS gid, lbl, touched FROM lfin) gl USING (gid)
+  UNION ALL
+  -- fixpoint certificate: one loud (-1, -1) row if any node still
+  -- moved in the extra round (cluster_size 1 via the window below) —
+  -- emitted INSIDE members so lfin keeps a single top-level consumer
+  SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS glbl
+  FROM (SELECT SUM(moved) AS n FROM lfin) WHERE n > 0),
 labels AS (SELECT doc_id, COALESCE(glbl, doc_id) AS cluster_id FROM members)
-SELECT l.doc_id,
-       CAST(l.cluster_id AS BIGINT) AS cluster_id,
-       CAST(c.sz AS BIGINT) AS cluster_size
-FROM labels l
-JOIN (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id) c
-  USING (cluster_id)
-UNION ALL
-SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(n AS BIGINT)
-FROM moved WHERE n > 0
+SELECT doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
 ORDER BY doc_id
 """
 
