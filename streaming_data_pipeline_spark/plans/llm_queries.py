@@ -727,25 +727,40 @@ def _sql_table_code_list(
 # oracle in the repo.
 
 
-def _sql_simhash_bits(bits: int = 64) -> str:
-    """One CASE term per signature bit; md5 supplies 128 bits per token
-    so the same nibble decode serves both the 64-bit default and the
-    128-bit scale width (operators/dedup.py:simhash_sig). At 128 terms
-    the chained `a || b || ...` form exceeds DuckDB's binder recursion
-    limit (left-recursive nesting, max depth 128), so the wide form
-    joins through one variadic concat() call; 64 keeps the `||` text
-    its green rows were verified against."""
-    parts = []
-    for b in range(bits):
-        pos, shift = b // 4 + 1, 3 - b % 4
-        term = (
-            f"COALESCE(list_sum(list_transform(hs, h -> "
-            f"(((position(substring(h, {pos}, 1) IN '0123456789abcdef') - 1) >> {shift}) & 1) * 2 - 1)), 0)"
-        )
-        parts.append(f"(CASE WHEN {term} > 0 THEN '1' ELSE '0' END)")
-    if bits <= 64:
-        return " || ".join(parts)
-    return "concat(" + ", ".join(parts) + ")"
+def _sql_simhash_sig_ctes(bits: int = 64) -> str:
+    """CTE chain ``tok -> th -> ssum -> h(id, simhash)`` computing the
+    SimHash signature with ONE token unnest and ``bits`` vectorized
+    SUM() columns over the unnested rows — the Spark aggregate's shape
+    (operators/dedup.py:simhash_packed). The previous per-bit
+    ``list_sum(list_transform(hs, ...))`` form re-walked every
+    document's hash list once PER BIT (128 interpreted lambda passes
+    per doc at the scale width — the dominant cost of the simhash128
+    oracle at sf0.1). Same md5 nibble decode, same integer sums, same
+    sign rule, so the signature text is bit-identical; empty/null-token
+    documents come back through the LEFT JOIN with NULL sums and
+    COALESCE to the all-'0' signature exactly as before. At 128 chars
+    the chained ``a || b`` form exceeds DuckDB's binder recursion limit
+    (left-recursive nesting, max depth 128), so the wide form joins
+    through one variadic concat() call."""
+    sums = ",\n       ".join(
+        f"SUM((((position(substring(h, {b // 4 + 1}, 1) IN '0123456789abcdef') - 1)"
+        f" >> {3 - b % 4}) & 1) * 2 - 1) AS s{b}"
+        for b in range(bits)
+    )
+    chars = [
+        f"(CASE WHEN COALESCE(s{b}, 0) > 0 THEN '1' ELSE '0' END)"
+        for b in range(bits)
+    ]
+    sig = " || ".join(chars) if bits <= 64 else "concat(" + ", ".join(chars) + ")"
+    return f"""tok AS (SELECT doc_id, unnest({_DTOKS}) AS t FROM documents),
+    th AS (SELECT doc_id, md5(t) AS h FROM tok),
+    ssum AS (
+      SELECT doc_id,
+       {sums}
+      FROM th GROUP BY doc_id),
+    h AS (
+      SELECT d.doc_id AS id, {sig} AS simhash
+      FROM documents d LEFT JOIN ssum USING (doc_id))"""
 
 
 def _sql_lang_id() -> str:
@@ -837,14 +852,12 @@ ORACLE = {
     # both LSH pair queries — only the token-set expression differs
     "dedup_near_minhash_lsh": sql_minhash_pair_oracle(_DTOKS, threshold=0.8),
     "simhash_signatures": f"""
-    WITH h AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents)
-    SELECT doc_id, {_sql_simhash_bits()} AS simhash
-    FROM h ORDER BY doc_id
+    WITH {_sql_simhash_sig_ctes()}
+    SELECT id AS doc_id, simhash FROM h ORDER BY doc_id
     """,
     "dedup_ngram_jaccard": sql_minhash_pair_oracle(_SHINGLES, threshold=0.8),
     "simhash_near_dup": f"""
-    WITH hs AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents),
-    h AS (SELECT doc_id AS id, {_sql_simhash_bits()} AS simhash FROM hs),
+    WITH {_sql_simhash_sig_ctes()},
     banded AS (
       SELECT id, simhash, p, substring(simhash, p*16 + 1, 16) AS chunk
       FROM h CROSS JOIN (SELECT unnest(range(4)) AS p)
@@ -1774,8 +1787,7 @@ def simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["simhash128_near_dup"] = simhash128_near_dup
 
 ORACLE["simhash128_near_dup"] = f"""
-WITH hs AS (SELECT doc_id, list_transform({_DTOKS}, t -> md5(t)) AS hs FROM documents),
-h AS (SELECT doc_id AS id, {_sql_simhash_bits(128)} AS simhash FROM hs),
+WITH {_sql_simhash_sig_ctes(128)},
 banded AS (
   SELECT id, simhash, p, substring(simhash, p*32 + 1, 32) AS chunk
   FROM h CROSS JOIN (SELECT unnest(range(4)) AS p)
