@@ -4,7 +4,6 @@ simhash representation invariants, and bench noise self-labeling."""
 from __future__ import annotations
 
 import os
-import sys
 
 import pytest
 
