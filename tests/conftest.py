@@ -61,31 +61,57 @@ def oracle_df(con: duckdb.DuckDBPyConnection, sql: str, sf_dir: str) -> pd.DataF
     return con.execute(sql).fetchdf()
 
 
+def _canon_cell(v):
+    """Per-cell stringification — the reference semantics every
+    column fast path below must reproduce byte-for-byte."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_canon_cell(x) for x in v) + "]"
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "<null>"
+    if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
+        return "<null>"
+    if isinstance(v, float):
+        # repr round-trips doubles exactly; -0.0 normalized
+        return repr(v + 0.0)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon_col(s: pd.Series) -> list:
+    """Column-wise stringification: dtype-dispatched fast paths for the
+    primitive kinds (equivalence with _canon_cell guarded by
+    tests/test_round9_hardening.py::test_canon_column_fast_paths_match_cell),
+    per-cell fallback for object/nested columns. The per-cell form cost
+    ~40 s alone on the 2.58M-row pair compare in full sf0.1 sweeps."""
+    import numpy as np
+
+    if not isinstance(s.dtype, np.dtype):
+        # pandas extension dtype (Int64/boolean/...): nulls print as
+        # '<NA>' under astype(str) — keep the exact per-cell semantics
+        return [_canon_cell(v) for v in s]
+    kind = s.dtype.kind
+    if kind in ("i", "u", "b"):  # no nulls representable; str() == astype(str)
+        return s.astype(str).tolist()
+    if kind == "f":
+        # tolist() yields Python floats; repr(np.float64) == repr(float)
+        # for float64 anyway, and +0.0 normalizes -0.0 in both paths
+        return ["<null>" if v != v else repr(v + 0.0) for v in s.tolist()]
+    if kind == "M":  # datetime64 — iteration yields pd.Timestamp / NaT
+        return ["<null>" if pd.isna(v) else v.isoformat() for v in s]
+    return [_canon_cell(v) for v in s]
+
+
 def canon(df: pd.DataFrame) -> list[tuple]:
     """Canonicalize a result frame: columns sorted by name, every cell
     stringified, rows sorted — the shape the driver's value-hash sees."""
     df = df.reindex(sorted(df.columns), axis=1)
-
-    def cell(v):
-        import numpy as np
-
-        if isinstance(v, np.ndarray):
-            v = v.tolist()
-        if isinstance(v, (list, tuple)):
-            return "[" + ", ".join(cell(x) for x in v) + "]"
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            return "<null>"
-        if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
-            return "<null>"
-        if isinstance(v, float):
-            # repr round-trips doubles exactly; -0.0 normalized
-            return repr(v + 0.0)
-        if isinstance(v, pd.Timestamp):
-            return v.isoformat()
-        return str(v)
-
-    rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    return sorted(rows)
+    cols = [_canon_col(df[c]) for c in df.columns]
+    return sorted(zip(*cols)) if cols else [() for _ in range(len(df))]
 
 
 def assert_query_matches_oracle(spark, con, name: str, sf_dir: str):

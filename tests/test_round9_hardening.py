@@ -216,6 +216,58 @@ def test_simhash_width64_chunks_now_allowed(spark):
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in rows} == {(1, 2, 0)}
 
 
+def test_canon_column_fast_paths_match_cell():
+    """The dtype-dispatched column fast paths in conftest.canon must be
+    byte-identical to the per-cell reference on an adversarial frame:
+    ints, bools, floats (NaN, ±inf, -0.0, integral), datetimes (NaT),
+    strings (None), nested arrays, decimals, and a nullable extension
+    dtype. The fast path exists because the per-cell form cost ~40 s
+    alone on the 2.58M-row pair compare in full sf0.1 sweeps."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import _canon_cell, _canon_col, canon
+
+    df = pd.DataFrame(
+        {
+            "i": np.array([3, -1, 0, 2**62], dtype="int64"),
+            "b": np.array([True, False, True, False]),
+            "f": np.array([0.1, float("nan"), -0.0, float("inf")]),
+            "t": pd.to_datetime(
+                ["2026-01-02 03:04:05.123456", None, "1999-12-31", "2026-08-16"],
+                format="mixed",
+            ),
+            "s": pd.Series(["x", None, "", "ünïcode"], dtype=object),
+            "a": pd.Series(
+                [np.array([1.5, 2.0]), [0.5], None, [float("nan")]], dtype=object
+            ),
+            "d": pd.Series(
+                [decimal.Decimal("1.20"), None, decimal.Decimal("-3"), decimal.Decimal("0.0001")],
+                dtype=object,
+            ),
+        }
+    )
+    for c in df.columns:
+        assert _canon_col(df[c]) == [_canon_cell(v) for v in df[c]], c
+    # extension dtype goes through the per-cell fallback ('<null>', not '<NA>')
+    ext = pd.Series([1, pd.NA, 3], dtype="Int64")
+    assert _canon_col(ext) == ["1", "<null>", "3"]
+    # whole-frame shape: sorted tuples, columns sorted by name
+    got = canon(df)
+    ref = sorted(
+        tuple(_canon_cell(v) for v in row)
+        for row in df.reindex(sorted(df.columns), axis=1).itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == ref
+    # degenerate shapes
+    assert canon(pd.DataFrame({"x": []})) == []
+    assert canon(pd.DataFrame(index=range(2))) == [(), ()]
+
+
 def test_bench_host_noisy_self_labeling():
     """bench.py must carry the host_noisy boolean and the >1.5x WARNING
     (r8 verdict task 3) — source-level guard so the artifact rule can't
