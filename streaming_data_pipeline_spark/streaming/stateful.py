@@ -175,6 +175,36 @@ class _EmMapState:
         del self._entries[:]
 
 
+class _EmListState:
+    """ListState emulated over one entry of the per-key JSON store
+    (a list of value-tuples-as-lists). Mirrors the native ListState
+    surface: get (iterator of tuples), put (replace), appendValue,
+    appendList, exists, clear."""
+
+    def __init__(self, store: dict, name: str):
+        self._entries = store.setdefault(name, [])
+
+    def exists(self) -> bool:
+        return bool(self._entries)
+
+    def get(self):
+        for e in self._entries:
+            yield tuple(e)
+
+    def put(self, new_state) -> None:
+        del self._entries[:]
+        self._entries.extend(list(v) for v in new_state)
+
+    def appendValue(self, new_state) -> None:
+        self._entries.append(list(new_state))
+
+    def appendList(self, new_state) -> None:
+        self._entries.extend(list(v) for v in new_state)
+
+    def clear(self) -> None:
+        del self._entries[:]
+
+
 class EmulatedStatefulProcessorHandle:
     """StatefulProcessorHandle over a plain dict (JSON-serialized into
     the applyInPandasWithState GroupState between micro-batches). State
@@ -196,11 +226,7 @@ class EmulatedStatefulProcessorHandle:
         return _EmMapState(self._store, f"m:{state_name}")
 
     def getListState(self, state_name: str, schema=None, ttl_duration_ms=None):
-        raise NotImplementedError(
-            "emulated handle supports ValueState and MapState (the state "
-            "kinds this engine's processors use); add a _EmListState "
-            "mirroring _EmMapState if a processor needs ListState"
-        )
+        return _EmListState(self._store, f"l:{state_name}")
 
 
 def transform_with_state_in_pandas(
@@ -219,7 +245,8 @@ def transform_with_state_in_pandas(
     (requires the protobuf state-server protocol — ``tws_available()``);
     'emulated' runs the SAME ``StatefulProcessor`` subclass over
     ``applyInPandasWithState``, with the handle emulated on a single
-    JSON-blob GroupState per key; 'auto' picks native when available.
+    JSON-blob GroupState per key (ValueState + MapState + ListState);
+    'auto' picks native when available.
 
     Documented mapping (emulated vs native semantics):
     - ``init(handle)`` runs once per (key, micro-batch) instead of once

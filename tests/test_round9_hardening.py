@@ -129,6 +129,33 @@ def test_emulated_map_state_round_trips_across_batches(spark):
     assert not m2.containsKey(("view",))
 
 
+def test_emulated_list_state_round_trips_across_batches():
+    """ListState: append/appendList/put/get/clear survive the JSON
+    micro-batch round-trip with tuple values, same as the native API."""
+    import json
+
+    from streaming_data_pipeline_spark.streaming.stateful import (
+        EmulatedStatefulProcessorHandle,
+    )
+
+    store: dict = {}
+    h = EmulatedStatefulProcessorHandle(store)
+    ls = h.getListState("recent", "ts bigint, v double")
+    assert not ls.exists()
+    ls.appendValue((1, 0.5))
+    ls.appendList([(2, 1.5), (3, 2.5)])
+    assert list(ls.get()) == [(1, 0.5), (2, 1.5), (3, 2.5)]
+
+    store2 = json.loads(json.dumps(store))
+    ls2 = EmulatedStatefulProcessorHandle(store2).getListState("recent")
+    assert ls2.exists()
+    assert list(ls2.get()) == [(1, 0.5), (2, 1.5), (3, 2.5)]
+    ls2.put([(9, 9.0)])
+    assert list(ls2.get()) == [(9, 9.0)]
+    ls2.clear()
+    assert not ls2.exists() and list(ls2.get()) == []
+
+
 def test_transform_with_state_guards(spark):
     """Unsupported modes must raise loudly, not silently degrade."""
     from streaming_data_pipeline_spark.streaming.sources import (
