@@ -224,6 +224,23 @@ _SHUFFLE_CALIBRATION_REF_R8 = 0.7055
 _HEADLINE_TOTAL_R6_REF = 128.7
 
 
+def _reference_timings(fname: str) -> dict[str, float]:
+    """Per-query steady reference timings from a committed artifact in
+    tools/ (bench_ref_r6.json / bench_ref_r10.json)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", fname
+    )
+    try:
+        with open(path) as f:
+            return json.load(f).get("queries", {})
+    except (OSError, ValueError) as exc:
+        # a vanished/corrupt reference must not silently degrade the
+        # robust metric to the probe model it back-stops
+        print(f"WARNING: per-query reference unavailable ({fname}): {exc}",
+              file=sys.stderr)
+        return {}
+
+
 def _r6_reference_timings() -> dict[str, float]:
     """Per-query steady timings: medians of three same-code round-6
     bench runs (tools/bench_ref_r6.json — the driver's BENCH_r06.json
@@ -239,17 +256,7 @@ def _r6_reference_timings() -> dict[str, float]:
     median probe, 0.7398 ≈ 1.11x the r5 fixed point) next to this
     run's calibration pair so a reader can adjudicate the uniform
     component explicitly."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_ref_r6.json"
-    )
-    try:
-        with open(path) as f:
-            return json.load(f).get("queries", {})
-    except (OSError, ValueError) as exc:
-        # a vanished/corrupt reference must not silently degrade the
-        # robust metric to the probe model it back-stops
-        print(f"WARNING: r6 per-query reference unavailable: {exc}", file=sys.stderr)
-        return {}
+    return _reference_timings("bench_ref_r6.json")
 
 
 def _shuffle_probe(spark):
@@ -287,20 +294,45 @@ def main() -> None:
     # (the warm-up query) as `calibration_sec`; the ratio of two runs'
     # calibrations estimates their relative steal and normalizes the
     # frozen-subset comparison.
-    calib = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _force(qs["event_type_rollup"](spark, sf_dir))
-        calib = min(calib, time.perf_counter() - t0)
-    calib = round(calib, 4)
+    def _probe_pair() -> tuple[float, float]:
+        c = cs = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _force(qs["event_type_rollup"](spark, sf_dir))
+            c = min(c, time.perf_counter() - t0)
+        # Second, shuffle-heavy probe (min-of-5 like the scalar one).
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _force(_shuffle_probe(spark))
+            cs = min(cs, time.perf_counter() - t0)
+        return round(c, 4), round(cs, 4)
 
-    # Second, shuffle-heavy probe (min-of-5 like the scalar one).
-    calib_shuffle = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _force(_shuffle_probe(spark))
-        calib_shuffle = min(calib_shuffle, time.perf_counter() - t0)
-    calib_shuffle = round(calib_shuffle, 4)
+    # Probe-gated start (r9 verdict task 4): BENCH_r09 had to ship from
+    # the most contended host of any round. Sample the code-frozen probe
+    # pair; if either steal reads > 1.3x, wait and resample a bounded
+    # number of times — a 3-minute delay is cheap next to an artifact
+    # whose raw figures are unusable as a regression baseline. The LAST
+    # sample is the published calibration (it reflects the conditions
+    # the timed passes actually ran under); every sample is recorded.
+    probe_samples: list[dict[str, float]] = []
+    calib, calib_shuffle = _probe_pair()
+    probe_samples.append({"scalar": calib, "shuffle": calib_shuffle})
+    for _ in range(3):
+        if (
+            calib / _CALIBRATION_REF_R5 <= 1.3
+            and calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8 <= 1.3
+        ):
+            break
+        print(
+            "WARNING: steal probes read hot "
+            f"(scalar {calib / _CALIBRATION_REF_R5:.2f}x, shuffle "
+            f"{calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8:.2f}x); "
+            "waiting 45s for a quieter window",
+            file=sys.stderr,
+        )
+        time.sleep(45)
+        calib, calib_shuffle = _probe_pair()
+        probe_samples.append({"scalar": calib, "shuffle": calib_shuffle})
 
     # Per-query protocol: the first execution is TIMED as the cold run
     # (it pays the one-time whole-stage-codegen / janino compile for
@@ -312,28 +344,38 @@ def main() -> None:
     # because this box shows multi-x run-to-run noise (virtualized host
     # steal); the min is the standard steal-robust estimator and every
     # run executes the FULL plan with caches cleared between.
-    timings: dict[str, float] = {}
+    #
+    # INTERLEAVED passes (r9 verdict task 4): the two steady samples of
+    # one query are separated by a full pass over the whole set
+    # (~minutes), not taken back-to-back — a noise burst that lands on a
+    # query's slot in pass 1 has decorrelated by its pass-2 slot, so the
+    # per-query min survives transient contention the old back-to-back
+    # protocol could not (both samples inside one burst). Same total
+    # run count, strictly better per-query estimator on a shared host.
+    names = [n for n in HEADLINE if n in qs]
     cold: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
+    for name in names:
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
-        # event_type_rollup has already run 6x as warm-up + calibration
-        # probe, so its "first" execution here is steady, not cold —
-        # publishing it in cold_total would deflate the cold protocol.
+        # event_type_rollup has already run many times as warm-up +
+        # calibration probe, so its "first" execution here is steady,
+        # not cold — publishing it in cold_total would deflate the cold
+        # protocol.
         if name != "event_type_rollup":
             cold[name] = round(time.perf_counter() - t0, 3)
+        # Operators that cache intermediates (near-dup group tables)
+        # must not carry their storage into the next run's timing.
         spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in names:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-            # Operators that cache intermediates (near-dup group tables)
-            # must not carry their storage into the next run's timing.
+            dt = time.perf_counter() - t0
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            prev = timings.get(name, float("inf"))
+            timings[name] = round(min(prev, dt), 3)
+    timings = {name: timings[name] for name in names}
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
@@ -365,6 +407,25 @@ def main() -> None:
     median_ratio_vs_r6 = (
         round(statistics.median(ratios), 4) if ratios else None
     )
+    # Refreshed full-coverage reference (r9 verdict task 5): the r6
+    # reference predates the packed simhash, exchange right-sizing, and
+    # phash star emission, and never timed the round-8 additions —
+    # bench_ref_r10.json is a quiet-window min-of-2-interleaved run of
+    # THIS protocol covering every headline query, so r10+ improvements
+    # to those operators are visible. Both references are compared; the
+    # per-query >1.5x flag dict makes any apparent regression
+    # self-adjudicating in the artifact (normalized through this run's
+    # scalar steal, annotated rather than hidden in a total).
+    r10_ref = _reference_timings("bench_ref_r10.json")
+    ratios_r10 = [
+        timings[k] / r10_ref[k]
+        for k in timings
+        if k in r10_ref and r10_ref[k] > 0
+    ]
+    median_ratio_vs_r10 = (
+        round(statistics.median(ratios_r10), 4) if ratios_r10 else None
+    )
+    r10_ref_total = round(sum(r10_ref.get(k, 0.0) for k in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -420,6 +481,32 @@ def main() -> None:
                 "r6_ref_calibration_sec": 0.7398,
                 "calibration_ref_r5_sec": _CALIBRATION_REF_R5,
                 "steal_factor": round(steal, 4),
+                # Refreshed r10 reference (full headline coverage, this
+                # protocol) + per-query regression annotation: any query
+                # whose steal-normalized steady time reads >1.5x either
+                # committed reference is listed with its ratio.
+                "median_ratio_vs_r10": median_ratio_vs_r10,
+                "median_ratio_vs_r10_n": len(ratios_r10),
+                "headline_vs_r10_ref": (
+                    round(norm(total) / r10_ref_total, 4)
+                    if r10_ref_total > 0
+                    else None
+                ),
+                "per_query_over_1p5x_vs_r6": {
+                    k: round(norm(timings[k]) / r6_ref[k], 3)
+                    for k in timings
+                    if k in r6_ref
+                    and r6_ref[k] > 0
+                    and norm(timings[k]) / r6_ref[k] > 1.5
+                },
+                "per_query_over_1p5x_vs_r10": {
+                    k: round(norm(timings[k]) / r10_ref[k], 3)
+                    for k in timings
+                    if k in r10_ref
+                    and r10_ref[k] > 0
+                    and norm(timings[k]) / r10_ref[k] > 1.5
+                },
+                "probe_samples": probe_samples,
                 "sf": sf_val,
             }
         )

@@ -1224,7 +1224,7 @@ WHERE rank <= 10 ORDER BY probe_id, rank
 _CC_ROUNDS = 6  # covers component diameter up to 2^6
 
 
-def _cc_propagation_sql(l0_body: str) -> str:
+def _cc_propagation_sql(l0_body: str, rounds: int = _CC_ROUNDS) -> str:
     """Unrolled pointer-doubling rounds over an ``l0(node, lbl,
     touched)`` CTE the caller supplies (r9: nodes are GROUP
     representatives, not docs — the doc-level node set re-derived every
@@ -1234,13 +1234,20 @@ def _cc_propagation_sql(l0_body: str) -> str:
     without a separate ``edges`` consumer — DuckDB 1.0 re-evaluates the
     whole upstream chain once per TOP-LEVEL consumer of a CTE, hints
     notwithstanding (measured ~10 s per extra consumer at sf0.1), so
-    the oracle keeps exactly one."""
-    rounds = []
+    the oracle keeps exactly one.
+
+    ``rounds`` doubling rounds certify component diameter up to
+    2**rounds; the default covers the fixtures (converge at 5). A
+    deeper-diameter corpus trips the loud (-1,-1) certificate sentinel
+    rather than passing silently — rerun the oracle with a larger
+    ``rounds`` (the caller must reference the matching ``l{rounds+1}``
+    / ``l{rounds}`` CTE names) until the sentinel clears (ADVICE r9)."""
+    parts = []
     prev = "l0"
-    rounds.append(f"l0 AS MATERIALIZED ({l0_body})")
-    for k in range(1, _CC_ROUNDS + 2):  # +1 extra round = the certificate
+    parts.append(f"l0 AS MATERIALIZED ({l0_body})")
+    for k in range(1, rounds + 2):  # +1 extra round = the certificate
         cur = f"l{k}"
-        rounds.append(
+        parts.append(
             f"""{cur} AS MATERIALIZED (
   SELECT node, MIN(lbl) AS lbl, MAX(touched) AS touched FROM (
     SELECT node, lbl, touched FROM {prev}
@@ -1252,7 +1259,7 @@ def _cc_propagation_sql(l0_body: str) -> str:
   ) GROUP BY node)"""
         )
         prev = cur
-    return ",\n".join(rounds)
+    return ",\n".join(parts)
 
 
 # Group-graph CC (r8 verdict task 6): the old form expanded the 2.58M

@@ -72,8 +72,33 @@ def kafka_message_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    # Kafka frames carry (key, value binary, topic, partition, offset,
-    # timestamp, ...); the wire contract is just the payload text.
+    return kafka_frame_to_wire(raw)
+
+
+# The wire schema Spark's kafka source emits per record — fixed by the
+# connector, restated here so the contract projection below can be
+# driven end-to-end by a broker-free stand-in stream (a parquet/file
+# stream carrying these exact columns) in tests: everything except the
+# socket layer then runs the REAL code path.
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_frame_to_wire(raw: DataFrame) -> DataFrame:
+    """Kafka record frame -> the one-string-column ``value`` wire
+    contract. Kafka frames carry (key, value binary, topic, partition,
+    offset, timestamp, ...); the wire contract is just the payload text
+    — shared by :func:`kafka_message_stream` and the broker-free parity
+    test so the projection under test IS the production one."""
     return raw.select(F.col("value").cast("string").alias("value"))
 
 

@@ -229,6 +229,19 @@ class EmulatedStatefulProcessorHandle:
         return _EmListState(self._store, f"l:{state_name}")
 
 
+def _prune_registration_residue(store: dict) -> None:
+    """Match the native runtime's storage semantics: cleared or
+    never-written state is DROPPED, not persisted (ADVICE r9). The
+    handle's map/list accessors setdefault([]) their slot on mere
+    registration, so without pruning every key that ever appears would
+    carry a JSON blob forever — unbounded state-store growth on a
+    long-running stream. Value states ("v:") are exempt: they only
+    occupy the store after an explicit update(), and an updated
+    empty-tuple value legitimately exists."""
+    for k in [k for k, v in store.items() if v == [] and not k.startswith("v:")]:
+        del store[k]
+
+
 def transform_with_state_in_pandas(
     stream: DataFrame,
     key_cols: list[str],
@@ -288,7 +301,11 @@ def transform_with_state_in_pandas(
         processor.init(handle)
         try:
             yield from processor.handleInputRows(key, pdf_iter, None)
-            state.update((json.dumps(store),))
+            _prune_registration_residue(store)
+            if store:
+                state.update((json.dumps(store),))
+            elif state.exists:
+                state.remove()
         finally:
             processor.close()
 

@@ -97,9 +97,13 @@ def _canon_col(s: pd.Series) -> list:
     kind = s.dtype.kind
     if kind in ("i", "u", "b"):  # no nulls representable; str() == astype(str)
         return s.astype(str).tolist()
-    if kind == "f":
+    if s.dtype == np.float64:
         # tolist() yields Python floats; repr(np.float64) == repr(float)
-        # for float64 anyway, and +0.0 normalizes -0.0 in both paths
+        # for float64 anyway, and +0.0 normalizes -0.0 in both paths.
+        # float64 ONLY: narrower floats (float32/float16) widen under
+        # tolist() and would repr() the widened value, while _canon_cell
+        # str()s the numpy scalar (np.float32 is not a float subclass) —
+        # they take the per-cell fallback below.
         return ["<null>" if v != v else repr(v + 0.0) for v in s.tolist()]
     if kind == "M":  # datetime64 — iteration yields pd.Timestamp / NaT
         return ["<null>" if pd.isna(v) else v.isoformat() for v in s]

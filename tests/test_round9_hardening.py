@@ -262,6 +262,11 @@ def test_canon_column_fast_paths_match_cell():
             "i": np.array([3, -1, 0, 2**62], dtype="int64"),
             "b": np.array([True, False, True, False]),
             "f": np.array([0.1, float("nan"), -0.0, float("inf")]),
+            # narrower float widths must NOT take the float64 fast path:
+            # tolist() widens (repr of the widened double) while
+            # _canon_cell str()s the numpy scalar (ADVICE r9)
+            "f32": np.array([0.1, float("nan"), -0.0, 2.5], dtype="float32"),
+            "f16": np.array([0.1, float("nan"), 1.0, -2.0], dtype="float16"),
             "t": pd.to_datetime(
                 ["2026-01-02 03:04:05.123456", None, "1999-12-31", "2026-08-16"],
                 format="mixed",

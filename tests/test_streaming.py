@@ -2,6 +2,7 @@
 streaming dedup, rate generator, and the streaming plans vs oracle."""
 
 import json
+import os
 import shutil
 
 import pytest
@@ -408,3 +409,76 @@ def test_stateful_op_on_rocksdb_state_store(spark):
         else:
             spark.conf.unset(key)
     assert default.equals(rocks)
+
+
+def test_kafka_shaped_stream_matches_drop_dir_path(spark, tmpdirs):
+    """r9 verdict task 7: end-to-end Kafka-shape verification without a
+    broker. A file stream carrying the EXACT record schema Spark's kafka
+    source emits (KAFKA_RECORD_SCHEMA: key/value binary, topic,
+    partition, offset, timestamp, timestampType) is projected through
+    the SAME kafka_frame_to_wire contract kafka_message_stream uses and
+    drained through wire_pipeline — asserting byte-identical enriched
+    results vs the JSON drop-dir path on the same payloads. Only the
+    socket layer stays untested."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_data_pipeline_spark.operators.transforms import wire_pipeline
+    from streaming_data_pipeline_spark.streaming.sources import (
+        KAFKA_RECORD_SCHEMA,
+        kafka_frame_to_wire,
+        text_message_stream,
+    )
+
+    payloads = [json.dumps(e) for e in EVENTS] + ['{"id": "bad1"}', "{not json"]
+
+    # Path A: the existing drop-dir text source.
+    _write_messages(tmpdirs["in"], EVENTS)
+    with open(f"{tmpdirs['in']}/tail.jsonl", "w") as f:
+        f.write('{"id": "bad1"}\n{not json\n')
+    a = wire_pipeline(text_message_stream(spark, tmpdirs["in"]), as_of=AS_OF)
+    qa = (
+        a.writeStream.format("memory").queryName("kafka_parity_a")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qa.awaitTermination(120)
+    got_a = spark.table("kafka_parity_a").toPandas()
+
+    # Path B: a kafka-record-shaped parquet stream through the real
+    # contract projection (value arrives as BINARY, like the broker).
+    kdir = f"{tmpdirs['out']}_kafka"
+    os.makedirs(kdir)
+    tbl = pa.table(
+        {
+            "key": pa.array([None] * len(payloads), pa.binary()),
+            "value": pa.array([p.encode() for p in payloads], pa.binary()),
+            "topic": pa.array(["events"] * len(payloads)),
+            "partition": pa.array([i % 3 for i in range(len(payloads))], pa.int32()),
+            "offset": pa.array(range(len(payloads)), pa.int64()),
+            "timestamp": pa.array(
+                [pd.Timestamp("2024-01-15 10:00:00")] * len(payloads),
+                pa.timestamp("us"),
+            ),
+            "timestampType": pa.array([0] * len(payloads), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{kdir}/batch0.parquet")
+    raw = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(kdir)
+    assert raw.isStreaming
+    wire = kafka_frame_to_wire(raw)
+    assert [f.name for f in wire.schema.fields] == ["value"]
+    assert wire.schema.fields[0].dataType.simpleString() == "string"
+    b = wire_pipeline(wire, as_of=AS_OF)
+    qb = (
+        b.writeStream.format("memory").queryName("kafka_parity_b")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qb.awaitTermination(120)
+    got_b = spark.table("kafka_parity_b").toPandas()
+
+    assert list(got_a.columns) == list(got_b.columns)
+    sa = got_a.sort_values("id").reset_index(drop=True)
+    sb = got_b.sort_values("id").reset_index(drop=True)
+    assert len(sa) == len(sb) == 30  # malformed + invalid dropped on BOTH paths
+    assert sa.equals(sb)
