@@ -296,3 +296,73 @@ def test_tws_native_runtime_matches_emulated(spark):
         else:
             spark.conf.unset(key)
     assert nat == emu
+
+
+def _correctness_files() -> list[str]:
+    import glob
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    return sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0]),
+    )
+
+
+def test_sweep_head_not_already_stamped():
+    """Rotation recurrence tripwire (r9 verdict task 2): the first 50
+    _SWEEP_PRIORITY names — the driver's per-round evidence budget —
+    must not appear in EITHER of the two most recent committed
+    CORRECTNESS_r*.json files. Round 9 wasted its entire budget
+    re-stamping round 8's window verbatim because the rotated queue sat
+    below the spent head; this test goes red the moment a new
+    CORRECTNESS file lands, forcing the next round to rotate the head
+    BEFORE doing anything else (the fix is mechanical: promote
+    tools/evidence_age.py's queue head, demote the stamped names)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    head = list(entry.queries())[:50]
+    recent = _correctness_files()[-2:]
+    for path in recent:
+        stamped = set(json.load(open(path)))
+        overlap = sorted(set(head) & stamped)
+        assert not overlap, (
+            f"driver sweep head overlaps {os.path.basename(path)} — the "
+            f"50-query budget would re-stamp {len(overlap)} fresh rows "
+            f"(e.g. {overlap[:5]}): rotate _SWEEP_PRIORITY "
+            "(tools/evidence_age.py queue head first, stamped names to "
+            "the tail) before this round's snapshot"
+        )
+
+
+def test_r10_window_is_the_stalest_50_as_of_r9():
+    """Content + position lock for THIS round's window (r9 verdict task
+    1): the head 50 must be exactly the 50 stalest driver rows by
+    (evidence_round, name) over the committed CORRECTNESS_r01..r09
+    evidence — pinned to rounds <= 9 so the assertion stays stable
+    after the driver lands CORRECTNESS_r10 (the dynamic freshness check
+    is test_sweep_head_not_already_stamped above). Also asserts the
+    rotation's outcome: zero r2/r3-era rows survive outside the window."""
+    import json
+
+    import __spark_entry__ as entry
+
+    ev: dict[str, int] = {}
+    for path in _correctness_files():
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 9:
+            continue
+        for name, row in json.load(open(path)).items():
+            ok = bool(row.get("hash_match") or row.get("rows_match")) and not row.get("err")
+            if ok and rnd >= ev.get(name, -1):
+                ev[name] = rnd
+    names = list(entry.queries())
+    assert set(names) <= set(ev), sorted(set(names) - set(ev))[:5]
+    expected = sorted(names, key=lambda q: (ev[q], q))[:50]
+    head = names[:50]
+    assert head == expected, (head[:5], expected[:5])
+    # every r2/r3-era row is inside the retiring window
+    assert all(ev[q] >= 4 for q in names[50:]), [
+        q for q in names[50:] if ev[q] < 4
+    ][:5]
