@@ -1217,11 +1217,13 @@ WHERE rank <= 10 ORDER BY probe_id, rank
 # chained CTEs despite AS MATERIALIZED when each round references its
 # predecessor 3x (keep + neighbor + label-of-label) — measured ~3^depth
 # blowup (12 rounds: 85 s; the same 6 rounds as temp tables: 0.07 s at
-# sf0.1's 1.19M group edges). 6 doubling rounds cover diameter 2^6=64 —
+# sf0.1's 1.19M group edges). 6 doubling rounds cover diameter 32 —
+# reach doubles per round starting at 1 (1,2,4,...,2^(rounds-1)),
+# measured on a path graph in tests/test_round10_hardening.py —
 # far past the fixture's near-clique dup components (converges at round
 # 5 with zero moves at every sf) — and the certificate round turns any
 # insufficiency into a loud sentinel, never a silent pass.
-_CC_ROUNDS = 6  # covers component diameter up to 2^6
+_CC_ROUNDS = 6  # covers component diameter up to 2^(6-1) = 32
 
 
 def _cc_propagation_sql(l0_body: str, rounds: int = _CC_ROUNDS) -> str:
@@ -1237,8 +1239,12 @@ def _cc_propagation_sql(l0_body: str, rounds: int = _CC_ROUNDS) -> str:
     the oracle keeps exactly one.
 
     ``rounds`` doubling rounds certify component diameter up to
-    2**rounds; the default covers the fixtures (converge at 5). A
-    deeper-diameter corpus trips the loud (-1,-1) certificate sentinel
+    2**(rounds - 1): the per-round reach doubles starting at 1
+    (measured on a path graph in tests/test_round10_hardening.py —
+    round 1 only reaches direct neighbors because label-of-label is
+    still the identity). The default covers the fixtures (converge at
+    5, diameter << 32). A deeper-diameter
+    corpus trips the loud (-1,-1) certificate sentinel
     rather than passing silently — rerun the oracle with a larger
     ``rounds`` (the caller must reference the matching ``l{rounds+1}``
     / ``l{rounds}`` CTE names) until the sentinel clears (ADVICE r9)."""

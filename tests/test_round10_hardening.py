@@ -366,3 +366,54 @@ def test_r10_window_is_the_stalest_50_as_of_r9():
     assert all(ev[q] >= 4 for q in names[50:]), [
         q for q in names[50:] if ev[q] < 4
     ][:5]
+
+
+def test_cc_propagation_rounds_parameter_escalates_depth():
+    """ADVICE r9: _cc_propagation_sql's doubling-round count is now a
+    parameter. Prove the escalation contract on a path graph of
+    diameter 40 (DuckDB-only, no Spark), and pin the TRUE reach bound
+    this test discovered — reach after k rounds is 2^(k-1), NOT 2^k
+    (round 1 only reaches direct neighbors because label-of-label is
+    still the identity): the default rounds=6 (reach 32 < 40) must keep
+    moving in the certificate round — the loud-failure signal the
+    sentinel keys on — and rounds=7 (reach 64 >= 40) must converge with
+    every node carrying the component minimum."""
+    import duckdb
+
+    from streaming_data_pipeline_spark.plans.llm_queries import (
+        _cc_propagation_sql,
+    )
+
+    con = duckdb.connect()
+    n = 41  # path 1-2-...-41: diameter 40, single component, min label 1
+    con.execute(
+        "CREATE TABLE e_raw AS SELECT i AS src, i + 1 AS dst "
+        f"FROM range(1, {n}) t(i)"
+    )
+    l0 = f"SELECT i AS node, i AS lbl, 0 AS touched FROM range(1, {n + 1}) t(i)"
+
+    def run(rounds: int):
+        sql = f"""
+WITH edges AS (SELECT src, dst FROM e_raw UNION ALL SELECT dst, src FROM e_raw),
+{_cc_propagation_sql(l0, rounds=rounds)}
+SELECT CAST(SUM(CASE WHEN nx.lbl <> f.lbl THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+       CAST(MIN(nx.lbl) AS BIGINT) AS min_lbl,
+       CAST(MAX(nx.lbl) AS BIGINT) AS max_lbl,
+       CAST(MAX(nx.node - nx.lbl) AS BIGINT) AS reach
+FROM l{rounds + 1} nx JOIN l{rounds} f USING (node)
+"""
+        return con.execute(sql).fetchone()
+
+    for rounds in (2, 6):
+        moved, _, _, reach = run(rounds)
+        assert moved > 0, (
+            f"rounds={rounds} (reach {2 ** (rounds - 1)} < 40) must keep "
+            "moving in the certificate round (the sentinel's trigger) — "
+            "silent convergence would mean the escalation contract is broken"
+        )
+        # the certificate round is round rounds+1, so reach = 2^rounds,
+        # saturating at the graph's own diameter
+        assert reach == min(2**rounds, n - 1), (rounds, reach)
+    moved, min_lbl, max_lbl, _ = run(7)
+    assert moved == 0
+    assert (min_lbl, max_lbl) == (1, 1), "all nodes must carry the component min"
