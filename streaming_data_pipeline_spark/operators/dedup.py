@@ -788,6 +788,17 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # Loud, like the oracle's fixpoint sentinel: labels that are
+        # still moving are transitively WRONG for some component, and
+        # returning them would mis-cluster silently. Pointer jumping
+        # roughly doubles reach per round, so the default budget covers
+        # any plausible graph — hitting this means the budget was
+        # overridden too low or the graph is adversarial.
+        raise RuntimeError(
+            f"connected_components: labels still moving after max_iter="
+            f"{max_iter} rounds — rerun with a larger max_iter"
+        )
     return labels
 
 

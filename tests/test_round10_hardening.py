@@ -417,3 +417,37 @@ FROM l{rounds + 1} nx JOIN l{rounds} f USING (node)
     moved, min_lbl, max_lbl, _ = run(7)
     assert moved == 0
     assert (min_lbl, max_lbl) == (1, 1), "all nodes must carry the component min"
+
+
+def test_connected_components_max_iter_exhaustion_is_loud(spark):
+    """The Pregel-loop scale path must never return still-moving labels
+    silently (the Spark-side analog of the oracle's fixpoint sentinel):
+    an insufficient max_iter budget raises, and a sufficient one yields
+    exactly the union-find fast path's labels on the same graph."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 32  # path 1-...-32: diameter 31
+    edges = spark.range(1, n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    nodes = spark.range(1, n + 1).select(F.col("id").alias("node"))
+    with pytest.raises(RuntimeError, match="max_iter"):
+        # unionfind_max_nodes=0 forces the loop path; 1 round cannot
+        # cover diameter 31
+        connected_components(edges, nodes, max_iter=1, unionfind_max_nodes=0)
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(
+            edges, nodes, unionfind_max_nodes=0
+        ).collect()
+    }
+    want = {
+        (r["node"], r["label"])
+        for r in connected_components(edges, nodes).collect()  # union-find
+    }
+    assert got == want
+    assert got == {(i, 1) for i in range(1, n + 1)}
