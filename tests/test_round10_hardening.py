@@ -451,3 +451,28 @@ def test_connected_components_max_iter_exhaustion_is_loud(spark):
     }
     assert got == want
     assert got == {(i, 1) for i in range(1, n + 1)}
+
+
+def test_bench_probe_gating_and_interleaved_passes():
+    """Source-level guard for the r9-verdict task-4 bench protocol —
+    the probe-gated start, the interleaved steady passes, and the
+    per-query >1.5x regression annotation must stay in the artifact
+    pipeline (same guard style as test_bench_host_noisy_self_labeling,
+    which protects the r8 noise self-labeling)."""
+    src = open(
+        os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    ).read()
+    assert '"probe_samples": probe_samples' in src
+    assert "waiting 45s for a quieter window" in src
+    assert "for _pass in range(2):" in src, "interleaved steady passes dropped"
+    assert '"per_query_over_1p5x_vs_r6"' in src
+    assert '"per_query_over_1p5x_vs_r10"' in src
+    assert "bench_ref_r10.json" in src
+    # and the committed r10 reference must cover every headline query
+    import bench
+
+    ref = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "tools", "bench_ref_r10.json"))
+    )["queries"]
+    missing = [n for n in bench.HEADLINE if n not in ref]
+    assert not missing, f"r10 reference missing headline queries: {missing[:5]}"
