@@ -52,6 +52,7 @@ def kafka_message_stream(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """S1 production wiring: the Kafka analog of the reference's
     ReadFromPubSub(subscription=...) (Streamingdag.py:288-294), surfaced
@@ -63,11 +64,21 @@ def kafka_message_stream(
     with a bare pyspark install); without it ``load()`` raises Spark's
     data-source-not-found AnalysisException — callers deploy with
     ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<version>``.
+
+    ``options`` passes connector knobs straight through — most
+    importantly ``maxOffsetsPerTrigger`` (per-micro-batch record cap:
+    without it, the FIRST batch of a backfill from ``earliest`` tries to
+    drain the whole retained topic in one trigger) and
+    ``failOnDataLoss`` / ``kafka.security.protocol``-style settings.
+    Keys named here explicitly (servers, topic, offsets) win over
+    duplicates in ``options``.
     """
     apply_runtime_confs(spark)
+    reader = spark.readStream.format("kafka")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
+        reader.option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()

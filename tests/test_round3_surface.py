@@ -125,7 +125,12 @@ def test_kafka_source_wiring(spark):
     )
 
     try:
-        df = kafka_message_stream(spark, "localhost:9092", "events")
+        df = kafka_message_stream(
+            spark,
+            "localhost:9092",
+            "events",
+            options={"maxOffsetsPerTrigger": "100000", "failOnDataLoss": "false"},
+        )
     except Exception as e:  # noqa: BLE001 — asserting the failure mode
         assert "kafka" in str(e).lower()
         pytest.skip("kafka connector not on classpath (documented guard)")
