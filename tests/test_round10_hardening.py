@@ -476,3 +476,42 @@ def test_bench_probe_gating_and_interleaved_passes():
     )["queries"]
     missing = [n for n in bench.HEADLINE if n not in ref]
     assert not missing, f"r10 reference missing headline queries: {missing[:5]}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "top5_latest",               # top-k: tie boundary would flap
+        "heavy_hitter_bigrams",      # count top-k with plausible ties
+        "approx_topk_mergeable_tokens",  # sketch: merge-order risk
+        "hll_mergeable_sketch_union",    # sketch union: merge-order risk
+        "kll_quantile_sketch_check",     # quantile sketch: merge-order risk
+        "weighted_sample_docs",      # sampling: seed/partition coupling risk
+    ],
+)
+def test_partitioning_invariance(spark, name):
+    """Results must not depend on the shuffle partition count — the
+    difference between local[32] and 1000 executors. The classic
+    flakiness sources are top-k tie boundaries, merge-order-dependent
+    sketches, and partition-coupled sampling; a broader 14-query
+    offline audit (round 10) found all deterministic across 7/32/64 —
+    this pins the riskiest six in CI. Conf-based (shuffle.partitions is
+    runtime-settable), so the shared session is untouched afterwards."""
+    import __spark_entry__ as entrymod
+
+    from tests.conftest import canon
+
+    q = entrymod.queries()[name]
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        base = canon(q(spark, SF_DIR).toPandas())
+        for parts in ("7", "64"):
+            spark.conf.set(key, parts)
+            got = canon(q(spark, SF_DIR).toPandas())
+            assert got == base, (
+                f"{name} varies with {key}={parts} — would be "
+                "nondeterministic across cluster sizes"
+            )
+    finally:
+        spark.conf.set(key, saved)
