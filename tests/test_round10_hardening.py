@@ -336,14 +336,15 @@ def test_sweep_head_not_already_stamped():
         )
 
 
-def test_r10_window_is_the_stalest_50_as_of_r9():
-    """Content + position lock for THIS round's window (r9 verdict task
-    1): the head 50 must be exactly the 50 stalest driver rows by
-    (evidence_round, name) over the committed CORRECTNESS_r01..r09
-    evidence — pinned to rounds <= 9 so the assertion stays stable
-    after the driver lands CORRECTNESS_r10 (the dynamic freshness check
+def test_r11_window_is_the_stalest_50_as_of_r10():
+    """Content + position lock for THIS round's window (r10 verdict
+    task 1): the head 50 must be exactly the 50 stalest driver rows by
+    (evidence_round, name) over the committed CORRECTNESS_r01..r10
+    evidence — pinned to rounds <= 10 so the assertion stays stable
+    after the driver lands CORRECTNESS_r11 (the dynamic freshness check
     is test_sweep_head_not_already_stamped above). Also asserts the
-    rotation's outcome: zero r2/r3-era rows survive outside the window."""
+    rotation's outcome: zero pre-r4 rows survive outside the window
+    (the r10 rotation retired r2/r3; this one retires most of r4)."""
     import json
 
     import __spark_entry__ as entry
@@ -351,7 +352,7 @@ def test_r10_window_is_the_stalest_50_as_of_r9():
     ev: dict[str, int] = {}
     for path in _correctness_files():
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 9:
+        if rnd > 10:
             continue
         for name, row in json.load(open(path)).items():
             ok = bool(row.get("hash_match") or row.get("rows_match")) and not row.get("err")
@@ -362,7 +363,7 @@ def test_r10_window_is_the_stalest_50_as_of_r9():
     expected = sorted(names, key=lambda q: (ev[q], q))[:50]
     head = names[:50]
     assert head == expected, (head[:5], expected[:5])
-    # every r2/r3-era row is inside the retiring window
+    # every pre-r4 row is already retired; the tail floor is r4
     assert all(ev[q] >= 4 for q in names[50:]), [
         q for q in names[50:] if ev[q] < 4
     ][:5]
@@ -465,7 +466,9 @@ def test_bench_probe_gating_and_interleaved_passes():
     assert '"probe_samples": probe_samples' in src
     assert "waiting 45s for a quieter window" in src
     assert "for _pass in range(2):" in src, "interleaved steady passes dropped"
-    assert '"per_query_over_1p5x_vs_r6"' in src
+    # r10 verdict task 6: exactly one comparison family (vs-r10) — the
+    # r6 flag dict is retired, the r10 one must stay
+    assert '"per_query_over_1p5x_vs_r6"' not in src
     assert '"per_query_over_1p5x_vs_r10"' in src
     assert "bench_ref_r10.json" in src
     # and the committed r10 reference must cover every headline query
