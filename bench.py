@@ -1,7 +1,10 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON artifact line {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...} followed by a compact summary-only JSON
+line carrying the same contract keys (the driver stores only the last
+2000 chars of stdout, so the LAST line must be self-contained — r10
+verdict task 2).
 
 Execution is forced with the `noop` sink (full pipeline runs, nothing is
 collected to the driver), so timings measure scan -> shuffle -> agg work,
@@ -213,20 +216,21 @@ _CALIBRATION_REF_R5 = 0.6668
 # scalar tracks CPU steal, shuffle tracks memory/exchange bandwidth.
 _SHUFFLE_CALIBRATION_REF_R8 = 0.7055
 
-# Frozen round-6 comparison reference for the full 120-query headline
-# set (r6 verdict task 7): the driver's BENCH_r06 steal-normalized
-# total. r7+ deltas are then mechanical: compare this run's
-# headline_total_normalized against headline_total_r6_ref — both are
-# normalized through the same frozen r5 calibration probe, so the
-# ratio is code, not host. (The judge's r6 quiet-box steady total was
-# 119.3 s at steal 0.96 — i.e. ~124 normalized — consistent with this
-# constant within the documented 4% probe agreement.)
-_HEADLINE_TOTAL_R6_REF = 128.7
+# The r6 comparison family (headline_total_r6_ref 128.7, bench_ref_r6
+# medians, r6_ref_calibration 0.7398) is RETIRED as of round 11 (r10
+# verdict task 6): it covered only the 120-query r5 subset under the
+# old back-to-back protocol with a stale calibration; bench_ref_r10.json
+# covers every headline query under the current interleaved protocol,
+# so the artifact now carries exactly one reference family (vs-r10) and
+# readers stop cross-comparing against the wrong floor. The retired
+# constants live in git history (bench.py @ round 10) and in the
+# committed BENCH_r01..r10 artifacts.
 
 
 def _reference_timings(fname: str) -> dict[str, float]:
     """Per-query steady reference timings from a committed artifact in
-    tools/ (bench_ref_r6.json / bench_ref_r10.json)."""
+    tools/ (bench_ref_r10.json; the retired r6 twin lives in git
+    history)."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", fname
     )
@@ -241,22 +245,148 @@ def _reference_timings(fname: str) -> dict[str, float]:
         return {}
 
 
-def _r6_reference_timings() -> dict[str, float]:
-    """Per-query steady timings: medians of three same-code round-6
-    bench runs (tools/bench_ref_r6.json — the driver's BENCH_r06.json
-    stores only a truncated tail, so the full per-query record is
-    committed separately). The scalar calibration probe under-corrects
-    on memory-bandwidth-heavy queries (r7 saw 107.5/120.6/148.7
-    normalized totals on identical code), so the headline comparison
-    also reports the MEDIAN per-query ratio vs these. What the median
-    buys is robustness to PER-QUERY outliers (a few queries hit by a
-    noisy neighbor, or the probe model misfitting one workload class) —
-    NOT to uniform steal, which scales every ratio alike; the output
-    therefore also carries r6_ref_calibration_sec (the reference runs'
-    median probe, 0.7398 ≈ 1.11x the r5 fixed point) next to this
-    run's calibration pair so a reader can adjudicate the uniform
-    component explicitly."""
-    return _reference_timings("bench_ref_r6.json")
+def shuffle_heavy_queries(headline: list[str] | None = None) -> set[str]:
+    """Headline queries in the top QUINTILE by sf0.1 shuffle-write
+    bytes (EXCHANGE_AUDIT.json), i.e. the plans whose wall time moves
+    with exchange/memory bandwidth rather than scalar CPU. Used to pick
+    which calibration probe normalizes a query's regression flag (r10
+    verdict task 4). Quintile, not the verdict's literal decile: the
+    decile boundary (~3.1 MB) excludes dedup_near_minhash_lsh (2.34 MB,
+    rank 22/122) — one of the two queries the r10 adjudication showed
+    swinging 2-3x with steal_factor_shuffle while scalar read 1.0 —
+    while the quintile (~2.0 MB) covers every query in that observed
+    contention class. Computed dynamically so an EXCHANGE_AUDIT refresh
+    re-derives the class; empty set (audit absent) degrades every flag
+    to the scalar probe, never hides one."""
+    if headline is None:
+        headline = HEADLINE
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "EXCHANGE_AUDIT.json"
+    )
+    try:
+        with open(path) as f:
+            audit = json.load(f)["queries"]
+    except (OSError, ValueError, KeyError) as exc:
+        print(
+            f"WARNING: EXCHANGE_AUDIT.json unavailable ({exc}); "
+            "per-query flags fall back to the scalar probe",
+            file=sys.stderr,
+        )
+        return set()
+    byts = sorted(
+        (audit[q].get("bytes_sf01", 0), q) for q in headline if q in audit
+    )
+    if not byts:
+        return set()
+    cut = byts[int(len(byts) * 0.8)][0]
+    return {q for b, q in byts if b >= cut}
+
+
+def per_query_flags(
+    timings: dict[str, float],
+    ref: dict[str, float],
+    scalar_steal: float,
+    shuffle_steal: float,
+    shuffle_heavy: set[str],
+    threshold: float = 1.5,
+) -> dict[str, dict]:
+    """Regression flags vs a committed per-query reference, normalized
+    by the probe that matches each query's contention class:
+
+    - divisor = max(steal, 1.0) — the clamp is r10 verdict task 3: a
+      host QUIETER than the frozen probe reference (steal < 1) must
+      never inflate ratios into phantom flags (the driver's r10 run had
+      scalar calib 0.5446 -> steal 0.82, manufacturing 55 flags where
+      the judge's quiet run on identical code produced 10).
+    - shuffle-heavy queries (top exchange-bytes quintile) divide by the
+      SHUFFLE probe's steal, everything else by the scalar probe's (r10
+      verdict task 4: those plans swing 2-3x with shuffle-side
+      contention the scalar probe reads as 1.0).
+
+    Each flagged entry carries raw ratio, normalized ratio, and which
+    probe normalized it, so the artifact is self-adjudicating."""
+    out: dict[str, dict] = {}
+    for k, t in timings.items():
+        r = ref.get(k, 0.0)
+        if r <= 0:
+            continue
+        probe = "shuffle" if k in shuffle_heavy else "scalar"
+        steal = shuffle_steal if probe == "shuffle" else scalar_steal
+        raw = t / r
+        norm = raw / max(steal, 1.0)
+        if norm > threshold:
+            out[k] = {"raw": round(raw, 3), "norm": round(norm, 3), "probe": probe}
+    return out
+
+
+def normalized_total(
+    timings: dict[str, float],
+    scalar_steal: float,
+    shuffle_steal: float,
+    shuffle_heavy: set[str],
+) -> float:
+    """Headline total under the SAME per-query clamped probe-matched
+    divisors as per_query_flags, so every vs-r10 field shares one basis
+    (ADVICE r10: the first round-11 smoke run showed headline_vs_r10_ref
+    at 1.03 while the per-query median read 0.66 on identical timings,
+    purely because the total divided by an UNCLAMPED scalar steal of
+    0.72). The r10 reference is pooled from quiet windows (~steal 1.0),
+    so normalization against it must only ever DEFLATE contention,
+    never inflate a quiet run."""
+    return round(
+        sum(
+            t / max(shuffle_steal if k in shuffle_heavy else scalar_steal, 1.0)
+            for k, t in timings.items()
+        ),
+        3,
+    )
+
+
+# The driver keeps the last 2000 chars of stdout; the summary line must
+# fit with margin even with every numeric field populated.
+_SUMMARY_MAX_CHARS = 1200
+
+# Fields the summary line repeats from the full artifact: the driver
+# contract keys first (metric/value/unit/sf) so a parser that reads only
+# the last line still sees the contract shape, then every number the
+# r10 verdict listed as lost-to-truncation.
+_SUMMARY_KEYS = [
+    "metric",
+    "value",
+    "unit",
+    "sf",
+    "headline_total_normalized",
+    "cold_total",
+    "calibration_sec",
+    "calibration_shuffle_sec",
+    "steal_factor",
+    "steal_factor_shuffle",
+    "host_noisy",
+    "median_ratio_vs_r10",
+    "median_ratio_vs_r10_raw",
+    "median_ratio_vs_r10_n",
+    "headline_vs_r10_ref",
+    "headline_vs_r10_ref_raw",
+    "flagged_over_1p5x_vs_r10_count",
+]
+
+
+def summary_line(full: dict) -> dict:
+    """Compact summary-only record printed as the LAST stdout line (r10
+    verdict task 2): BENCH_r09/r10 lost headline_total, the normalized
+    totals, and host_noisy because the driver keeps only the final 2000
+    characters and those fields sat before the 122-entry query dict.
+    Repeats the driver-contract keys plus every summary number; bounded
+    size is asserted so a field addition can't silently push the line
+    back over the truncation horizon."""
+    out = {k: full[k] for k in _SUMMARY_KEYS if k in full}
+    out["summary_of"] = "full artifact on the preceding stdout line"
+    encoded = json.dumps(out)
+    assert len(encoded) <= _SUMMARY_MAX_CHARS, (
+        f"summary line {len(encoded)} chars > {_SUMMARY_MAX_CHARS} — "
+        "it would risk the driver's 2000-char tail truncating it"
+    )
+    return out
 
 
 def _shuffle_probe(spark):
@@ -393,39 +523,37 @@ def main() -> None:
     steal = calib / _CALIBRATION_REF_R5 if calib > 0 else 1.0
     norm = lambda v: round(v / steal, 3)  # noqa: E731
 
-    # Outlier-robust headline: median of per-query steady ratios vs the
-    # committed r6 reference. Robust to per-query noise and probe
-    # misfit; a UNIFORM steal difference between the two hosts still
-    # scales it — read it alongside the calibration fields (the r6
-    # reference ran at probe ~0.7398 vs this run's calibration_sec).
-    r6_ref = _r6_reference_timings()
-    ratios = [
-        timings[k] / r6_ref[k]
-        for k in timings
-        if k in r6_ref and r6_ref[k] > 0
-    ]
-    median_ratio_vs_r6 = (
-        round(statistics.median(ratios), 4) if ratios else None
-    )
-    # Refreshed full-coverage reference (r9 verdict task 5): the r6
-    # reference predates the packed simhash, exchange right-sizing, and
-    # phash star emission, and never timed the round-8 additions —
-    # bench_ref_r10.json is a quiet-window min-of-2-interleaved run of
-    # THIS protocol covering every headline query, so r10+ improvements
-    # to those operators are visible. Both references are compared; the
-    # per-query >1.5x flag dict makes any apparent regression
-    # self-adjudicating in the artifact (normalized through this run's
-    # scalar steal, annotated rather than hidden in a total).
+    # Single comparison family (r10 verdict task 6): bench_ref_r10.json
+    # is a quiet-window pooled-minima reference covering every headline
+    # query under THIS protocol; the r6 family is retired (see the
+    # constant block above). All vs-r10 fields share one of exactly two
+    # clearly-suffixed bases (ADVICE r10): *_raw fields are unadjusted
+    # wall ratios; unsuffixed fields are normalized per query by the
+    # matching contention probe (clamped at 1.0 — see per_query_flags).
     r10_ref = _reference_timings("bench_ref_r10.json")
-    ratios_r10 = [
-        timings[k] / r10_ref[k]
-        for k in timings
-        if k in r10_ref and r10_ref[k] > 0
-    ]
+    shuffle_heavy = shuffle_heavy_queries(names)
+    steal_shuffle = calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8
+
+    def _norm_ratio(k: str) -> float:
+        s = steal_shuffle if k in shuffle_heavy else steal
+        return (timings[k] / r10_ref[k]) / max(s, 1.0)
+
+    comparable = [k for k in timings if r10_ref.get(k, 0.0) > 0]
+    ratios_r10_raw = [timings[k] / r10_ref[k] for k in comparable]
+    ratios_r10_norm = [_norm_ratio(k) for k in comparable]
+    median_ratio_vs_r10_raw = (
+        round(statistics.median(ratios_r10_raw), 4) if comparable else None
+    )
     median_ratio_vs_r10 = (
-        round(statistics.median(ratios_r10), 4) if ratios_r10 else None
+        round(statistics.median(ratios_r10_norm), 4) if comparable else None
     )
     r10_ref_total = round(sum(r10_ref.get(k, 0.0) for k in timings), 3)
+    flags_r10 = per_query_flags(
+        timings, r10_ref, steal, steal_shuffle, shuffle_heavy
+    )
+    total_norm_vs_r10 = normalized_total(
+        timings, steal, steal_shuffle, shuffle_heavy
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -436,7 +564,6 @@ def main() -> None:
     # the steal pair (shuffle probe 2.38x that round, judge's quiet-box
     # re-measure 2.7s on identical code). A run whose probes say the
     # host is stolen must say so IN the artifact.
-    steal_shuffle = calib_shuffle / _SHUFFLE_CALIBRATION_REF_R8
     host_noisy = steal > 1.5 or steal_shuffle > 1.5
     if host_noisy:
         print(
@@ -447,70 +574,57 @@ def main() -> None:
             "< 1.3x or read only the normalized/median fields",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": cold_total,
-                "cold_queries": cold,
-                "headline_total_r2_subset": r2_subset,
-                "headline_total_r3_subset": r3_subset,
-                "headline_total_r4_subset": r4_subset,
-                "headline_total_r5_subset": r5_subset,
-                "headline_total_r2_subset_normalized": norm(r2_subset),
-                "headline_total_r3_subset_normalized": norm(r3_subset),
-                "headline_total_r4_subset_normalized": norm(r4_subset),
-                "headline_total_r5_subset_normalized": norm(r5_subset),
-                "headline_total_normalized": norm(total),
-                "calibration_sec": calib,
-                "calibration_shuffle_sec": calib_shuffle,
-                "steal_factor_shuffle": round(steal_shuffle, 4),
-                "host_noisy": host_noisy,
-                "headline_total_r6_ref": _HEADLINE_TOTAL_R6_REF,
-                # vs-r6 compares the SAME 120-query set r6 ran (_R5_SET):
-                # the full total now includes round-8 additions r6 never
-                # timed, which would read as a phantom regression
-                "headline_vs_r6_ref": round(
-                    norm(r5_subset) / _HEADLINE_TOTAL_R6_REF, 4
-                ),
-                "median_ratio_vs_r6": median_ratio_vs_r6,
-                "median_ratio_n": len(ratios),
-                "r6_ref_calibration_sec": 0.7398,
-                "calibration_ref_r5_sec": _CALIBRATION_REF_R5,
-                "steal_factor": round(steal, 4),
-                # Refreshed r10 reference (full headline coverage, this
-                # protocol) + per-query regression annotation: any query
-                # whose steal-normalized steady time reads >1.5x either
-                # committed reference is listed with its ratio.
-                "median_ratio_vs_r10": median_ratio_vs_r10,
-                "median_ratio_vs_r10_n": len(ratios_r10),
-                "headline_vs_r10_ref": (
-                    round(norm(total) / r10_ref_total, 4)
-                    if r10_ref_total > 0
-                    else None
-                ),
-                "per_query_over_1p5x_vs_r6": {
-                    k: round(norm(timings[k]) / r6_ref[k], 3)
-                    for k in timings
-                    if k in r6_ref
-                    and r6_ref[k] > 0
-                    and norm(timings[k]) / r6_ref[k] > 1.5
-                },
-                "per_query_over_1p5x_vs_r10": {
-                    k: round(norm(timings[k]) / r10_ref[k], 3)
-                    for k in timings
-                    if k in r10_ref
-                    and r10_ref[k] > 0
-                    and norm(timings[k]) / r10_ref[k] > 1.5
-                },
-                "probe_samples": probe_samples,
-                "sf": sf_val,
-            }
-        )
-    )
+    # Key order is load-bearing (r10 verdict task 2): the driver stores
+    # only the LAST 2000 characters of stdout, so BENCH_r09/r10 kept the
+    # flag annotations but lost headline_total, the normalized totals,
+    # and host_noisy. Bulk dicts (queries/cold_queries/probe samples)
+    # lead the full line so truncation eats them first, and a compact
+    # summary-only JSON line is printed LAST so the driver's tail always
+    # carries a complete, parseable record of the headline numbers.
+    full = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        # ---- bulk (truncation-expendable) ----
+        "queries": timings,
+        "cold_queries": cold,
+        "per_query_over_1p5x_vs_r10": flags_r10,
+        "probe_samples": probe_samples,
+        # ---- summary (must survive the tail) ----
+        "cold_total": cold_total,
+        "headline_total_r2_subset": r2_subset,
+        "headline_total_r3_subset": r3_subset,
+        "headline_total_r4_subset": r4_subset,
+        "headline_total_r5_subset": r5_subset,
+        "headline_total_r2_subset_normalized": norm(r2_subset),
+        "headline_total_r3_subset_normalized": norm(r3_subset),
+        "headline_total_r4_subset_normalized": norm(r4_subset),
+        "headline_total_r5_subset_normalized": norm(r5_subset),
+        "headline_total_normalized": norm(total),
+        "calibration_sec": calib,
+        "calibration_shuffle_sec": calib_shuffle,
+        "calibration_ref_r5_sec": _CALIBRATION_REF_R5,
+        "calibration_shuffle_ref_r8_sec": _SHUFFLE_CALIBRATION_REF_R8,
+        "steal_factor": round(steal, 4),
+        "steal_factor_shuffle": round(steal_shuffle, 4),
+        "host_noisy": host_noisy,
+        "median_ratio_vs_r10": median_ratio_vs_r10,
+        "median_ratio_vs_r10_raw": median_ratio_vs_r10_raw,
+        "median_ratio_vs_r10_n": len(comparable),
+        "headline_vs_r10_ref": (
+            round(total_norm_vs_r10 / r10_ref_total, 4)
+            if r10_ref_total > 0
+            else None
+        ),
+        "headline_vs_r10_ref_raw": (
+            round(total / r10_ref_total, 4) if r10_ref_total > 0 else None
+        ),
+        "flagged_over_1p5x_vs_r10_count": len(flags_r10),
+        "shuffle_heavy_n": len(shuffle_heavy),
+        "sf": sf_val,
+    }
+    print(json.dumps(full))
+    print(json.dumps(summary_line(full)))
     spark.stop()
 
 

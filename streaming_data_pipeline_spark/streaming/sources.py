@@ -70,10 +70,26 @@ def kafka_message_stream(
     without it, the FIRST batch of a backfill from ``earliest`` tries to
     drain the whole retained topic in one trigger) and
     ``failOnDataLoss`` / ``kafka.security.protocol``-style settings.
-    Keys named here explicitly (servers, topic, offsets) win over
-    duplicates in ``options``.
+    Keys the explicit parameters own (servers, topic, offsets) are
+    REJECTED in ``options`` with a ValueError rather than silently
+    overridden (ADVICE r10): a caller passing ``startingOffsets`` via
+    options would otherwise get 'earliest' with no signal.
     """
     apply_runtime_confs(spark)
+    owned = {
+        "kafka.bootstrap.servers": "bootstrap_servers",
+        "subscribe": "topic",
+        "startingoffsets": "starting_offsets",
+    }
+    conflicts = {
+        k: owned[k.lower()] for k in (options or {}) if k.lower() in owned
+    }
+    if conflicts:
+        raise ValueError(
+            "kafka_message_stream: these connector options are owned by "
+            f"explicit parameters — pass them there instead: {conflicts} "
+            "(option key -> parameter name)"
+        )
     reader = spark.readStream.format("kafka")
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
