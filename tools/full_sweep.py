@@ -22,9 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def sweep(sf_dir: str, only: set[str] | None = None, spark=None) -> int:
+    """Run the sweep against ``sf_dir``; reusable by other tools (the
+    empty-corpus sweep builds a zero-row twin dir and calls this)."""
+    only = only or set()
 
     import duckdb
 
@@ -32,7 +33,8 @@ def main() -> int:
     from streaming_data_pipeline_spark.session import get_spark
     from tests.conftest import canon, oracle_df
 
-    spark = get_spark(app_name="full-sweep")
+    if spark is None:
+        spark = get_spark(app_name="full-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
 
@@ -80,6 +82,11 @@ def main() -> int:
     print(f"\n{ran - len(bad)}/{ran} green" + (f"; RED: {bad}" if bad else ""))
     spark.stop()
     return 1 if bad else 0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    return sweep(sf_dir, set(sys.argv[2:]))
 
 
 if __name__ == "__main__":
