@@ -88,7 +88,10 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "stage",
             F.col("n").cast("long").alias("n_users"),
-            (F.round(F.col("n") / F.col("tot"), 6) + F.lit(0.0)).alias(
+            # try_divide: a zero-event corpus has tot = 0, where ANSI /
+            # throws DIVIDE_BY_ZERO; NULL conversion matches the oracle's
+            # n / 0.0 -> NULL (DuckDB) and the 0/0 "undefined rate" reading.
+            (F.round(F.try_divide(F.col("n"), F.col("tot")), 6) + F.lit(0.0)).alias(
                 "conversion"
             ),
         )

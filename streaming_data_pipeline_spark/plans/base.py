@@ -8,7 +8,8 @@ cross-checked. Keeping both here, adjacent, is the parity contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from streaming_data_pipeline_spark.operators.transforms import enrich_raw_events
 from streaming_data_pipeline_spark.schema import OPTIONAL_FIELDS
@@ -83,3 +84,30 @@ def int_halfup_avg_sql(sum_expr: str, cnt_expr: str) -> str:
         f"CAST((CAST(({sum_expr}) * 100 AS BIGINT) * 200 + ({cnt_expr}))"
         f" // (2 * ({cnt_expr})) AS DOUBLE) / 10000.0"
     )
+
+
+def with_empty_grouping_total(rolled: DataFrame, *total_row: Column) -> DataFrame:
+    """Standard GROUPING SETS semantics on a zero-row input.
+
+    SQL's empty grouping set ``()`` aggregates like a global aggregate:
+    it contributes one grand-total row even when the input has no rows
+    (count 0, NULL sums — DuckDB and PostgreSQL both emit it). Spark's
+    Expand-based ROLLUP/CUBE/GROUPING SETS implementation expands zero
+    input rows to zero expanded rows and returns nothing instead.
+
+    This appends the caller-provided literal ``()``-row iff the rolled
+    output is empty: one left-anti join of a 1-row range against the
+    ALREADY-AGGREGATED frame (tiny at any input scale — its row count
+    is the number of surviving group tuples), so there is no second
+    scan of the base relation and the physical plan of the rollup
+    itself is untouched. On every non-empty input the anti-join emits
+    nothing and the result is provably byte-identical to the plain
+    rollup.
+    """
+    spark = rolled.sparkSession
+    fallback = (
+        spark.range(1)
+        .join(rolled.limit(1), F.lit(True), "left_anti")
+        .select(*total_row)
+    )
+    return rolled.unionByName(fallback)

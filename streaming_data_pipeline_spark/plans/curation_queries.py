@@ -768,7 +768,12 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     row_checks = ev.agg(
         *[
-            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(name)
+            # coalesce: SUM over a zero-row batch is NULL, which would
+            # report every rule as passed=NULL instead of the vacuous
+            # pass (0 violations) an empty ingest batch actually is.
+            F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(name)
             for name, bad in rules
         ]
     )

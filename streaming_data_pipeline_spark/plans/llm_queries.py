@@ -3369,7 +3369,11 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str, iters: int = 2) -> Dat
     return (
         v.select(
             F.posexplode(
-                F.expr("if(v[0] < 0, transform(v, e -> -e + 0.0d), v)")
+                # get() (null on out-of-bounds), not v[0]: on a zero-row
+                # corpus the collected eigenvector is the empty array and
+                # ANSI v[0] throws INVALID_ARRAY_INDEX; NULL < 0 routes the
+                # if() to the unchanged else branch (empty -> zero rows).
+                F.expr("if(get(v, 0) < 0, transform(v, e -> -e + 0.0d), v)")
             ).alias("pos", "component")
         )
         .select(F.col("pos").cast("long").alias("pos"), "component")

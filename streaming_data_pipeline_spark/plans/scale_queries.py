@@ -26,6 +26,7 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -54,7 +55,10 @@ def partitioned_sink_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="spark_graft_part_")
     try:
         ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
-        back = spark.read.parquet(base).filter(
+        # explicit schema: a zero-row source writes a fileless sink, where
+        # schema inference fails; the schema is the writer's own, so the
+        # non-empty read (and its PartitionFilters pruning) is unchanged
+        back = spark.read.schema(ev.schema).parquet(base).filter(
             F.col("event_date").between("2024-01-08", "2024-01-14")
         )
         out = (
@@ -98,7 +102,9 @@ def retention_expire_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
         expire_old_partitions(base, "event_date", cutoff)
-        back = spark.read.parquet(base)
+        # explicit schema: survives both a fileless (empty-source) sink
+        # and the everything-expired case with zero surviving partitions
+        back = spark.read.schema(ev.schema).parquet(base)
         out = (
             back.groupBy(
                 F.col("event_date").cast("timestamp_ntz").alias("event_date")
@@ -152,7 +158,9 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "event_date string, files_before int, files_after int",
         )
-        back = spark.read.parquet(base)
+        # explicit schema: a zero-row source leaves a fileless sink where
+        # inference fails (the compaction report is just empty then)
+        back = spark.read.schema(ev.schema).parquet(base)
         out = (
             back.groupBy(F.col("event_date").cast("string").alias("event_date"))
             .agg(
@@ -490,7 +498,9 @@ def backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.col("value") * 2.0
         )
         corrected.write.mode("overwrite").partitionBy("event_date").parquet(base)
-        back = spark.read.parquet(base)
+        # explicit schema: a zero-row source means both writes were
+        # fileless and inference would fail; non-empty reads are unchanged
+        back = spark.read.schema(ev.schema).parquet(base)
         out = (
             back.withColumn("event_date", F.col("event_date").cast("timestamp_ntz"))
             .groupBy("event_date")
@@ -613,7 +623,14 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         v1.write.mode("overwrite").partitionBy("event_date").parquet(base)
         v2.write.mode("append").partitionBy("event_date").parquet(base)
-        back = spark.read.option("mergeSchema", "true").parquet(base)
+        # the real footer merge runs whenever files exist; a zero-row
+        # source leaves a fileless sink (no footers to merge), where the
+        # v2 schema — the superset the merge would produce — stands in
+        back = (
+            spark.read.option("mergeSchema", "true").parquet(base)
+            if _parquet_files(base)
+            else spark.createDataFrame([], v2.schema)
+        )
         out = (
             back.groupBy(
                 F.coalesce(F.col("quality_tier"), F.lit("pre_schema")).alias(
@@ -972,25 +989,29 @@ ORDER BY cluster_id, pos
 """
 
 
+def _parquet_files(base: str) -> list[str]:
+    """Sorted absolute paths of every parquet data file under ``base``
+    — the manifest primitive the snapshot queries commit, and the
+    fileless-sink probe the read-back paths branch on (a zero-row
+    write produces a directory with no data files)."""
+    out = []
+    for root, _dirs, names in os.walk(base):
+        out.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    return sorted(out)
+
+
 def _write_versioned_events(spark: SparkSession, sf_dir: str, base: str):
     """Shared scaffolding for the snapshot/CDF queries: two commits to
     a manifest-versioned, event_type-partitioned table — v1 = days
     before Jan 21, v2 = append of the rest. Returns (data_dir,
-    v1_files, v2_files) with files as sorted absolute paths."""
-    import os as _os
-
+    v1_files, v2_files, schema) with files as sorted absolute paths."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", F.col("value").cast(_D2).alias("value")
     )
     data = f"{base}/data"
 
     def _files():
-        out = []
-        for root, _dirs, names in _os.walk(data):
-            out.extend(
-                _os.path.join(root, n) for n in names if n.endswith(".parquet")
-            )
-        return sorted(out)
+        return _parquet_files(data)
 
     ev.filter(F.col("ts") < "2024-01-21").write.partitionBy("event_type").mode(
         "overwrite"
@@ -999,7 +1020,9 @@ def _write_versioned_events(spark: SparkSession, sf_dir: str, base: str):
     ev.filter(F.col("ts") >= "2024-01-21").write.partitionBy("event_type").mode(
         "append"
     ).parquet(data)
-    return data, v1, _files()
+    # the schema rides along so readers of an EMPTY manifest (zero-row
+    # source -> fileless commits) can build the equivalent empty relation
+    return data, v1, _files(), ev.schema
 
 
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,13 +1044,18 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = tempfile.mkdtemp(prefix="spark_graft_tt_")
     try:
-        data, v1, v2 = _write_versioned_events(spark, sf_dir, base)
+        data, v1, v2, schema = _write_versioned_events(spark, sf_dir, base)
         v3 = [f for f in v2 if "event_type=error" not in f]
         manifests = {1: v1, 2: v2, 3: v3}
 
         def read_as_of(ver: int) -> DataFrame:
+            # an empty manifest IS a legal snapshot (zero-row source, or
+            # every file deleted by a metadata commit): read it as the
+            # empty relation instead of handing parquet zero paths
             snap = (
                 spark.read.option("basePath", data).parquet(*manifests[ver])
+                if manifests[ver]
+                else spark.createDataFrame([], schema)
             )
             return snap.groupBy("event_type").agg(
                 F.count("*").alias("row_count"),
@@ -1083,9 +1111,31 @@ def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
     )
+    # Merge step: per-arm FILTERed union-aggs pivot the (at most two)
+    # segment sketches onto one row, then the BINARY theta_intersection /
+    # theta_union scalars combine them. theta_intersection_agg over ZERO
+    # sketches (an empty events batch -> no groups) throws datasketches'
+    # "infinite set" SketchesStateException; a FILTERed theta_union_agg
+    # over zero rows returns NULL instead, and coalescing each arm with
+    # an EMPTY sketch (theta_sketch_agg over no rows — a legal 8-byte
+    # compact empty) makes both set operations total: estimate 0, the
+    # exact counts 0, the within-2% flags true. Non-empty inputs take
+    # the identical union->intersect algebra as before.
+    empty_sk = "theta_sketch_agg(event_type) FILTER (WHERE 1 = 0)"
     est = sk.agg(
-        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias("est_i"),
-        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est_u"),
+        F.expr(
+            "coalesce(theta_union_agg(sk) FILTER (WHERE event_type = 'purchase'),"
+            f" {empty_sk})"
+        ).alias("sk_p"),
+        F.expr(
+            "coalesce(theta_union_agg(sk) FILTER (WHERE event_type = 'error'),"
+            f" {empty_sk})"
+        ).alias("sk_e"),
+    ).select(
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(sk_p, sk_e))"
+        ).alias("est_i"),
+        F.expr("theta_sketch_estimate(theta_union(sk_p, sk_e))").alias("est_u"),
     )
     # exact answers in ONE scan: per-user purchase/error flags, then a
     # single count over the flag table (the earlier three separate
@@ -1099,11 +1149,19 @@ def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     exact = flags.agg(
-        F.sum(F.when(F.col("has_p") & F.col("has_e"), 1).otherwise(0))
+        # coalesce: SUM over zero flag rows is NULL; the exact set sizes
+        # of an empty corpus are 0 (COUNT already says so for the union).
+        F.coalesce(
+            F.sum(F.when(F.col("has_p") & F.col("has_e"), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("exact_intersection"),
         F.count("*").cast("long").alias("exact_union"),
-        F.sum(F.when(F.col("has_p") & ~F.col("has_e"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("has_p") & ~F.col("has_e"), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("exact_purchase_only"),
     )
@@ -1154,6 +1212,18 @@ def approx_topk_mergeable_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.expr("approx_top_k_accumulate(t, 5000)").alias("st"))
     )
+    # Seed one EMPTY accumulate sketch (a zero-row global agg emits a
+    # valid empty-sketch row): on a zero-document corpus the groupBy
+    # yields no shards and approx_top_k_combine's eval over zero input
+    # rows dies with a scala.MatchError on its null buffer; combining
+    # one extra empty sketch is the identity on every non-empty corpus,
+    # so the output is provably unchanged.
+    seed = (
+        spark.range(0)
+        .select(F.col("id").cast("string").alias("t"))
+        .agg(F.expr("approx_top_k_accumulate(t, 5000)").alias("st"))
+    )
+    acc = acc.select("st").unionByName(seed)
     top = acc.agg(
         F.explode(
             F.expr("approx_top_k_estimate(approx_top_k_combine(st, 10000), 50)")
@@ -1304,10 +1374,15 @@ def snapshot_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = tempfile.mkdtemp(prefix="spark_graft_cdf_")
     try:
-        data, v1, v2 = _write_versioned_events(spark, sf_dir, base)
+        data, v1, v2, schema = _write_versioned_events(spark, sf_dir, base)
         v1_set = set(v1)
         delta_files = [f for f in v2 if f not in v1_set]
-        changes = spark.read.option("basePath", data).parquet(*delta_files)
+        # a commit that added nothing is a legal (empty) change feed
+        changes = (
+            spark.read.option("basePath", data).parquet(*delta_files)
+            if delta_files
+            else spark.createDataFrame([], schema)
+        )
         out = (
             changes.groupBy("event_type")
             .agg(
@@ -1353,7 +1428,9 @@ def file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition("event_date").write.partitionBy("event_date").mode(
             "overwrite"
         ).parquet(base)
-        back = spark.read.parquet(base)
+        # explicit schema (fileless-sink safe); _metadata still resolves —
+        # it is a scan-node attribute, not part of the data schema
+        back = spark.read.schema(ev.schema).parquet(base)
         out = (
             back.groupBy(
                 F.col("event_date").cast("timestamp").alias("event_date")

@@ -40,9 +40,13 @@ def _d2_sum():
 
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((status), (priority), ()) + grouping_id — the
-    general form behind rollup/cube, via the SQL entry point."""
+    general form behind rollup/cube, via the SQL entry point. The
+    ()-set grand-total row survives a zero-row input (standard
+    semantics; see plans.base.with_empty_grouping_total)."""
+    from streaming_data_pipeline_spark.plans.base import with_empty_grouping_total
+
     register_views(spark, sf_dir)
-    return spark.sql(
+    rolled = spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS order_count,
@@ -50,9 +54,16 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY grp, o_orderstatus, o_orderpriority
         """
     )
+    return with_empty_grouping_total(
+        rolled,
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(0).cast("long").alias("order_count"),
+        F.lit(None).cast("double").alias("revenue"),
+        F.lit(3).cast("long").alias("grp"),
+    ).orderBy("grp", "o_orderstatus", "o_orderpriority")
 
 
 def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -379,7 +379,16 @@ def streaming_etl_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, in_dir, out_dir, ckpt, available_now=True, as_of=AS_OF
         )
         q.awaitTermination()
-        sunk = spark.read.parquet(out_dir)
+        # explicit schema, derived by running the SAME transform over an
+        # empty batch frame: a zero-event drain commits no parquet files
+        # and inference would fail; on non-empty sinks the read and the
+        # wire-parity compare are unchanged
+        from streaming_data_pipeline_spark.streaming.pipeline import transform
+
+        sink_schema = transform(
+            spark.createDataFrame([], "value string"), as_of=AS_OF
+        ).schema
+        sunk = spark.read.schema(sink_schema).parquet(out_dir)
         out = (
             sunk.groupBy("event_type")
             .agg(

@@ -243,30 +243,44 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP(status, priority) with grouping_id."""
+    """GROUP BY ROLLUP(status, priority) with grouping_id. The ()-set
+    grand-total row survives a zero-row input (standard semantics;
+    see plans.base.with_empty_grouping_total)."""
+    from streaming_data_pipeline_spark.plans.base import with_empty_grouping_total
+
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("order_count"),
-            F.sum(F.col("o_totalprice").cast(_D6)).cast("decimal(38,6)").cast("double").alias("revenue"),
-            F.grouping_id().cast("long").alias("grp"),
-        )
-        .orderBy("grp", "o_orderstatus", "o_orderpriority")
+    rolled = orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("order_count"),
+        F.sum(F.col("o_totalprice").cast(_D6)).cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.grouping_id().cast("long").alias("grp"),
     )
+    return with_empty_grouping_total(
+        rolled,
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(0).cast("long").alias("order_count"),
+        F.lit(None).cast("double").alias("revenue"),
+        F.lit(3).cast("long").alias("grp"),
+    ).orderBy("grp", "o_orderstatus", "o_orderpriority")
 
 
 def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE(returnflag, linestatus)."""
+    """GROUP BY CUBE(returnflag, linestatus). The ()-set grand-total
+    row survives a zero-row input (standard semantics)."""
+    from streaming_data_pipeline_spark.plans.base import with_empty_grouping_total
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("line_count"),
-            F.sum(F.col("l_quantity").cast(_D6)).cast("decimal(38,6)").cast("double").alias("sum_qty"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    cubed = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("line_count"),
+        F.sum(F.col("l_quantity").cast(_D6)).cast("decimal(38,6)").cast("double").alias("sum_qty"),
     )
+    return with_empty_grouping_total(
+        cubed,
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(0).cast("long").alias("line_count"),
+        F.lit(None).cast("double").alias("sum_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,15 +120,12 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plan-build-time dimension probe. Contract: the embedding column is
     # uniform-dimension (fixture schema guarantee) — a ragged shorter
     # row would NULL-pad zip_with and emit NULL projections rather than
-    # erroring. An empty table must fail loudly here, not with a
-    # TypeError on the None row.
+    # erroring. On an EMPTY table the projection of no vectors is no
+    # rows whatever the weights, so any placeholder dimension yields
+    # the correct (empty, schema-stable) result — an empty backfill
+    # window must flow through a scheduled pipeline, not crash it.
     first = emb.select(F.size("embedding").alias("d")).first()
-    if first is None:
-        raise ValueError(
-            "embeddings table is empty - cannot infer the projection "
-            "dimension for the random-projection weight matrix"
-        )
-    dim = first["d"]
+    dim = 1 if first is None else first["d"]
     w_lit = F.array(
         *[
             F.array(*[F.lit(float(v)) for v in row])
