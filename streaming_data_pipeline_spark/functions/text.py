@@ -33,8 +33,16 @@ LANG_CUES = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens (single-space split, drop empties)."""
-    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+    """Whitespace tokens (single-space split, drop empties).
+
+    NULL text tokenizes as the EMPTY document ([] — canonical rule,
+    twin: plans/oracle_text.DUCK_TOKS): without the coalesce the NULL
+    propagates as a NULL array whose downstream behavior diverges per
+    function (size -> NULL but concat_ws -> ''), so the two engines
+    disagreed on every fingerprint of a NULL-text row."""
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), " "), lambda t: t != F.lit("")
+    )
 
 
 def distinct_tokens(text: Column) -> Column:

@@ -342,8 +342,15 @@ def _expand_group_pairs(member_ids, groups, verified, threshold: float) -> DataF
     # Within-group pairs always share every bucket (identical signature).
     # Self-Jaccard via the same expression so the empty-token-set group
     # (0/0 -> NULL -> dropped) behaves exactly as the direct formulation.
+    # try_divide, not /: under ANSI a plain double 0/0 throws
+    # DIVIDE_BY_ZERO the moment a duplicated empty-token group exists
+    # (NULL/'' texts collapse into one), instead of the NULL the drop
+    # semantics here depend on.
     self_j = F.round(
-        F.size("toks").cast("double") / F.size("toks").cast("double"), 6
+        F.try_divide(
+            F.size("toks").cast("double"), F.size("toks").cast("double")
+        ),
+        6,
     )
     dup_groups = groups.filter(F.col("cnt") > 1).select(
         "fp", self_j.alias("jaccard")

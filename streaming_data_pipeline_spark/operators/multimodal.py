@@ -77,13 +77,27 @@ def extract_features(df: DataFrame, use_stub: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decoder(p) for p in pdf["payload"]]
+            # NULL payload = missing/corrupt blob: emit NULL features
+            # (downstream filters decide), never feed None to a decoder
+            dims = [
+                (None, None) if p is None else decoder(p)
+                for p in pdf["payload"]
+            ]
+            # pandas nullable Int64, not object/float64: Arrow must see
+            # a null-capable INTEGER column or the long cast goes unsafe
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "fake_width": [w for w, _ in dims],
-                    "fake_height": [h for _, h in dims],
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                    "fake_width": pd.array(
+                        [w for w, _ in dims], dtype="Int64"
+                    ),
+                    "fake_height": pd.array(
+                        [h for _, h in dims], dtype="Int64"
+                    ),
                 }
             )
 
@@ -110,6 +124,8 @@ def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4) -> DataF
         for pdf in batches:
             rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue  # missing blob -> no frames (matches the oracle)
                 n = len(p)
                 n_frames = (n + frame_size - 1) // frame_size
                 for i in range(0, n_frames, stride):

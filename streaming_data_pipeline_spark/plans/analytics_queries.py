@@ -376,8 +376,14 @@ def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    # identified timelines only: a NULL user_id is many users, not a
+    # sequence, and a NULL event_type is not a transition endpoint —
+    # pandas groupby would also silently drop NaN keys, so the rule is
+    # made explicit here and mirrored in the oracle
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
     )
 
     def transitions(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -522,6 +528,7 @@ ORACLE = {
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS from_type
       FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     )
     SELECT CAST(user_id AS BIGINT) AS user_id, from_type, to_type,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -722,8 +729,30 @@ def daily_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_date",
     ).select("event_date", "n", "m", "event_type", "pc")
     # full outer on type within each day pair: types present only in
-    # the current day contribute |c*m|, only in the previous day |pc*n|
-    full = cur_k.join(prv_k, ["event_date", "n", "m", "event_type"], "full_outer")
+    # the current day contribute |c*m|, only in the previous day |pc*n|.
+    # eqNullSafe on the type: NULL event_type is a real mix category,
+    # and a plain equi-join would fail to pair the two days' NULL rows
+    # (each then contributes its full count as if the other day had
+    # none — overstating the drift); the oracle joins with the matching
+    # IS NOT DISTINCT FROM.
+    full = (
+        cur_k.alias("cu")
+        .join(
+            prv_k.alias("pv"),
+            (F.col("cu.event_date") == F.col("pv.event_date"))
+            & F.col("cu.event_type").eqNullSafe(F.col("pv.event_type")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("cu.event_date"), F.col("pv.event_date")).alias(
+                "event_date"
+            ),
+            F.coalesce(F.col("cu.n"), F.col("pv.n")).alias("n"),
+            F.coalesce(F.col("cu.m"), F.col("pv.m")).alias("m"),
+            F.col("cu.c").alias("c"),
+            F.col("pv.pc").alias("pc"),
+        )
+    )
     folded = full.groupBy("event_date", "n", "m").agg(
         F.sum(
             F.abs(
@@ -762,9 +791,11 @@ terms AS (
   FROM pairs p
   CROSS JOIN (SELECT DISTINCT event_type FROM events) t
   LEFT JOIN daily cur
-    ON cur.event_date = p.event_date AND cur.event_type = t.event_type
+    ON cur.event_date = p.event_date
+   AND cur.event_type IS NOT DISTINCT FROM t.event_type
   LEFT JOIN daily prv
-    ON prv.event_date = p.prev_date AND prv.event_type = t.event_type
+    ON prv.event_date = p.prev_date
+   AND prv.event_type IS NOT DISTINCT FROM t.event_type
   WHERE p.prev_date IS NOT NULL)
 SELECT CAST(event_date AS TIMESTAMP) AS event_date,
        CAST(n AS BIGINT) AS day_events,
@@ -1255,7 +1286,9 @@ def value_histogram_equidepth(spark: SparkSession, sf_dir: str, b: int = 8) -> D
     arithmetic itself — no per-row ordering, no single-partition
     exchange on the fact table, bin counts exactly N/B +- 1.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are not observations (canonical stats rule; they
+    # also sort to opposite ends of the rank window in the two engines)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vals = ev.groupBy("value").agg(F.count("*").alias("cnt"))
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     ranked = vals.select(
@@ -1327,9 +1360,11 @@ LIMIT 15
 """
 
 ORACLE["value_histogram_equidepth"] = """
-WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+           WHERE value IS NOT NULL),
 vals AS (
-  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY value),
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY value),
 ranked AS (
   SELECT value, cnt,
          SUM(cnt) OVER (ORDER BY value) - cnt + 1 AS lo,
@@ -1818,11 +1853,19 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    # NULL prices are not observations (canonical stats rule: rank/
+    # percentile operators exclude NULL measurements — they would also
+    # sort to opposite ends of the cumulative-rank window in the two
+    # engines); the oracle applies the identical predicate
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     )
     per_v = orders.groupBy("cents").agg(F.count("*").alias("c"))
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
@@ -1872,7 +1915,7 @@ ORACLE["winsorized_price_stats"] = """
 WITH o AS (
   SELECT o_orderpriority,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM orders),
+  FROM orders WHERE o_totalprice IS NOT NULL),
 per_v AS (SELECT cents, COUNT(*) AS c FROM o GROUP BY cents),
 cum AS (
   SELECT cents, SUM(c) OVER (ORDER BY cents
@@ -1912,7 +1955,12 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     whose fan-out is bounded by the TYPE DOMAIN squared (never by
     events), two margin hash-aggs, TakeOrderedAndProject top-k.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # baskets belong to identified users with identified items: NULL
+    # user_id has no basket (and COUNT(DISTINCT user_id) would skip it
+    # anyway), NULL event_type is not an item
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     ut = ev.select("user_id", "event_type").distinct()
     n = ut.select("user_id").distinct().agg(F.count("*").alias("n"))
     margins = ut.groupBy("event_type").agg(F.count("*").alias("c"))
@@ -1965,7 +2013,8 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
 
 QUERIES["basket_lift_pairs"] = basket_lift_pairs
 ORACLE["basket_lift_pairs"] = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
 n AS (SELECT COUNT(DISTINCT user_id) AS n FROM ut),
 margins AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type),
 pairs AS (
@@ -2154,7 +2203,14 @@ def top_event_paths(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
             F.lead("event_type", 1).over(w).alias("e2"),
             F.lead("event_type", 2).over(w).alias("e3"),
         )
-        .filter(F.col("e3").isNotNull())
+        # all three steps must be observed: an unknown (NULL) type is
+        # not a path step — and the engines disagree on rendering it
+        # (concat_ws skips NULLs, SQL || nulls the whole string)
+        .filter(
+            F.col("e1").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(
             F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
         )
@@ -2181,7 +2237,9 @@ WITH seq AS (
   FROM events),
 paths AS (
   SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, COUNT(*) AS n
-  FROM seq WHERE e3 IS NOT NULL GROUP BY 1),
+  FROM seq
+  WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY 1),
 top AS (SELECT * FROM paths ORDER BY n DESC, path LIMIT 15)
 SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
        path, CAST(n AS BIGINT) AS n
@@ -2484,9 +2542,17 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    # NULL values are not observations (canonical stats rule; they
+    # would also sort to opposite window ends in the two engines)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     )
     a = ev.filter(F.col("event_type") == "purchase")
     b = ev.filter(F.col("event_type") == "view")
@@ -2545,7 +2611,8 @@ ORACLE["ks_two_sample"] = """
 WITH ev AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM events WHERE event_type IN ('purchase', 'view')),
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
 ca AS (SELECT cents, COUNT(*) AS ca FROM ev
        WHERE event_type = 'purchase' GROUP BY cents),
 cb AS (SELECT cents, COUNT(*) AS cb FROM ev
@@ -2820,8 +2887,12 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str, b_count: int = 
     |num_b|*den_obs >= |num_obs|*den_b. Shape: one B-way explode +
     one hash-agg per resample + a tiny final fold.
     """
+    # NULL values are not observations (canonical stats rule, same as
+    # the KS/MWU frames — a NULL cents row would shift na/nb but add
+    # nothing to the sums, i.e. silently bias every mean)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     ).select(
         "event_id",
         (F.col("event_type") == "purchase").alias("is_a"),
@@ -2908,7 +2979,8 @@ ORACLE["permutation_test_mean_diff"] = """
 WITH ev AS (
   SELECT event_id, event_type = 'purchase' AS is_a,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM events WHERE event_type IN ('purchase', 'view')),
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
 obs AS (
   SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
          SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb,
@@ -2965,9 +3037,17 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    # NULL values are not observations (canonical stats rule; they
+    # would also sort to opposite window ends in the two engines)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     )
     a = ev.filter(F.col("event_type") == "purchase")
     b = ev.filter(F.col("event_type") == "view")
@@ -3009,7 +3089,8 @@ ORACLE["mann_whitney_u"] = """
 WITH ev AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM events WHERE event_type IN ('purchase', 'view')),
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
 ca AS (SELECT cents, COUNT(*) AS ca FROM ev
        WHERE event_type = 'purchase' GROUP BY cents),
 cb AS (SELECT cents, COUNT(*) AS cb FROM ev

@@ -26,8 +26,12 @@ def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_raw_events(load_table(spark, sf_dir, "events"), as_of=AS_OF)
 
 
+# TRY_CAST(... AS JSON): the tolerant-parse twin of Spark's from_json/
+# get_json_object — NULL, '', and malformed payloads all yield NULL
+# fields (T3 semantics) instead of DuckDB's hard json parse error.
 _OPTIONAL_SQL = ",\n      ".join(
-    f"json_extract_string(props, '$.{f}') AS {f}" for f in OPTIONAL_FIELDS
+    f"json_extract_string(TRY_CAST(props AS JSON), '$.{f}') AS {f}"
+    for f in OPTIONAL_FIELDS
 )
 
 # DuckDB twin of enrich_raw_events + quality filter. Must stay in lockstep

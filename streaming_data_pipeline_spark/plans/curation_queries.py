@@ -40,8 +40,14 @@ from streaming_data_pipeline_spark.sources.batch import load_table
 
 
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic PII-bearing message per event (fixture has none)."""
-    ev = load_table(spark, sf_dir, "events")
+    """Deterministic PII-bearing message per event (fixture has none).
+    Synthesis requires non-NULL user/type (format_string would render
+    the whole message NULL while DuckDB's printf errors): a row without
+    an author or type has no message to scrub, so both engines exclude
+    it with the identical predicate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     return ev.select(
         "event_id",
         "event_type",
@@ -311,7 +317,12 @@ def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     true rank is within 2% of p" (guaranteed: the GK sketch bounds rank
     error by n/accuracy = 0.1% here). The oracle emits literal TRUE.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # NULL prices are not observations (canonical stats rule): the
+    # sketch already skips them, so n and le_cnt must count the same
+    # non-null population or the rank check drifts by the NULL fraction
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     approx = orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", _QPROBS, _ACCURACY).alias("avals"),
         F.count("*").alias("n"),
@@ -545,15 +556,26 @@ from streaming_data_pipeline_spark.plans.oracle_text import (
 )
 
 ORACLE = {
-    # The corruption is deterministic on event_id and the fixture has no
-    # NULL/empty fields (verified), so the oracle classifies by the same
-    # arithmetic without re-parsing JSON: truncation wins over key-drop
-    # wins over degradation, matching the Spark classifier's precedence.
+    # The corruption is deterministic on event_id, so the oracle
+    # classifies by the same arithmetic without re-parsing JSON:
+    # truncation wins over key-drop wins over degradation, matching the
+    # Spark classifier's precedence. ORGANIC dirt routes too (to_json
+    # omits NULL fields, so a NULL user_id/props/event_type parses back
+    # as a missing required key): user_id/props NULL -> missing unless
+    # the m83 degradation already replaced them; event_type NULL ->
+    # always missing. Preconditions that keep this arithmetic exact:
+    # ts is never NULL (warehouse contract) and a non-degraded row's
+    # user+timestamp alone score 50, so organic rows are never
+    # low_quality (only the m83 triple-degradation is).
     "etl_dead_letter_routing": """
     WITH classified AS (
       SELECT event_id,
              CASE WHEN event_id % 97 = 0 THEN 'malformed_json'
-                  WHEN event_id % 89 = 0 THEN 'missing_required'
+                  WHEN event_id % 89 = 0
+                       OR event_type IS NULL
+                       OR (event_id % 83 <> 0
+                           AND (user_id IS NULL OR props IS NULL))
+                    THEN 'missing_required'
                   WHEN event_id % 83 = 0 THEN 'low_quality'
                   ELSE 'ok' END AS reason
       FROM events
@@ -565,6 +587,7 @@ ORACLE = {
     "pii_redaction_stats": f"""
     WITH msgs AS (
       SELECT event_type, {_MSG_SQL} AS msg FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ), red AS (
       SELECT event_type, msg,
              regexp_replace(regexp_replace(regexp_replace(msg,
@@ -658,6 +681,7 @@ ORACLE = {
     "approx_quantiles_check": """
     SELECT o_orderpriority, p, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS rank_ok
     FROM orders, UNNEST([0.25, 0.5, 0.75]) AS u(p)
+    WHERE o_totalprice IS NOT NULL
     GROUP BY o_orderpriority, p
     ORDER BY o_orderpriority, p
     """,

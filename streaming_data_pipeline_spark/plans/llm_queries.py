@@ -272,7 +272,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's engine-specific tie rule), integer checksum of the codes,
     and the max absolute reconstruction error (max, not sum — order-
     independent float math)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # canonical NULL-vector rule (_emb)
+    )
     staged = (
         emb.withColumn("arr", F.transform("embedding", lambda x: x.cast("double")))
         .withColumn("amax", F.array_max(F.transform("arr", F.abs)))
@@ -468,7 +470,14 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 def _emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    """Embeddings with NULL vectors excluded — the canonical rule for
+    every vector operator (similarity tiers, near-dup CC, quantization,
+    k-means): a failed-encoder row has no geometry, so it is neither a
+    probe, a candidate, a centroid seed, nor a cluster node. Every
+    DuckDB oracle twin applies the identical `embedding IS NOT NULL`."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
 
 
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,7 +828,7 @@ ORACLE = {
     "doc_fingerprints": f"""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_fp,
-           md5(array_to_string(list_sort({_DTOKS}), ' ')) AS token_fp
+           md5(COALESCE(array_to_string(list_sort({_DTOKS}), ' '), '')) AS token_fp
     FROM documents ORDER BY doc_id
     """,
     "doc_quality_by_source": f"""
@@ -843,7 +852,7 @@ ORACLE = {
     FROM documents GROUP BY 1 ORDER BY fp
     """,
     "dedup_token_set": f"""
-    SELECT md5(array_to_string(list_sort({_DTOKS}), ' ')) AS fp,
+    SELECT md5(COALESCE(array_to_string(list_sort({_DTOKS}), ' '), '')) AS fp,
            CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS BIGINT) AS dup_count
     FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp
@@ -872,8 +881,12 @@ ORACLE = {
     ORDER BY id_a, id_b
     """,
     "similarity_topk_bruteforce": f"""
-    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < {N_PROBES}),
-    cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    WITH probes AS MATERIALIZED (
+        SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+        WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL),
+    cand AS MATERIALIZED (
+        SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+        WHERE embedding IS NOT NULL),
     scored AS (
       SELECT probe_id, cand_id,
              ({_sql_dot('pv', 'cv')})
@@ -887,10 +900,10 @@ ORACLE = {
     "similarity_ann_lsh": f"""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv,
                            {_sql_bucket('embedding', hyperplanes(8, DIM, 42))} AS bucket
-                    FROM embeddings WHERE vec_id < {N_PROBES}),
+                    FROM embeddings WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL),
     cand AS (SELECT vec_id AS cand_id, embedding AS cv,
                     {_sql_bucket('embedding', hyperplanes(8, DIM, 42))} AS bucket
-             FROM embeddings),
+             FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
       SELECT probe_id, cand_id,
              ({_sql_dot('pv', 'cv')})
@@ -903,7 +916,7 @@ ORACLE = {
     """,
     "similarity_ivf": f"""
     WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-                   WHERE vec_id < 8),
+                   WHERE vec_id < 8 AND embedding IS NOT NULL),
     assigned AS (
       SELECT cand_id, cand_vec, cent_id FROM (
         SELECT e.vec_id AS cand_id, e.embedding AS cand_vec, c.cent_id,
@@ -914,7 +927,7 @@ ORACLE = {
                              * sqrt({_sql_dot('c.cv', 'c.cv')})) DESC,
                           c.cent_id
                ) AS arank
-        FROM embeddings e CROSS JOIN cents c
+        FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL
       ) WHERE arank = 1
     ),
     probe_lists AS (
@@ -927,7 +940,8 @@ ORACLE = {
                              * sqrt({_sql_dot('c.cv', 'c.cv')})) DESC,
                           c.cent_id
                ) AS prank
-        FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < {N_PROBES}
+        FROM embeddings p CROSS JOIN cents c
+        WHERE p.vec_id < {N_PROBES} AND p.embedding IS NOT NULL
       ) WHERE prank <= 2
     ),
     scored AS (
@@ -945,7 +959,7 @@ ORACLE = {
     "embedding_near_dup_pairs": f"""
     WITH tagged AS (SELECT vec_id AS id, embedding AS v,
                            {_sql_bucket('embedding', hyperplanes(4, DIM, 7))} AS bucket
-                    FROM embeddings)
+                    FROM embeddings WHERE embedding IS NOT NULL)
     SELECT a.id AS id_a, b.id AS id_b,
            round(({_sql_dot('a.v', 'b.v')})
                  / (sqrt({_sql_dot('a.v', 'a.v')}) * sqrt({_sql_dot('b.v', 'b.v')})), 6) AS cosine
@@ -986,11 +1000,12 @@ ORACLE = {
     FROM dims ORDER BY doc_id
     """,
     "similarity_multiprobe_lsh": f"""
-    WITH cand AS (SELECT vec_id AS cand_id, embedding AS cv,
-                         {_sql_bucket('embedding', hyperplanes(8, DIM, 42))} AS bucket
-                  FROM embeddings),
+    WITH cand AS MATERIALIZED (
+        SELECT vec_id AS cand_id, embedding AS cv,
+               {_sql_bucket('embedding', hyperplanes(8, DIM, 42))} AS bucket
+        FROM embeddings WHERE embedding IS NOT NULL),
     probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
-               WHERE vec_id < {N_PROBES}),
+               WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL),
     pcodes AS (SELECT probe_id, unnest({_sql_probe_code_list('pv', hyperplanes(8, DIM, 42))}) AS bucket
                FROM probes),
     pairs AS (
@@ -1009,10 +1024,12 @@ ORACLE = {
     WHERE rank <= 10 ORDER BY probe_id, rank
     """,
     "similarity_multitable_lsh": f"""
-    WITH cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    WITH cand AS MATERIALIZED (
+        SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+        WHERE embedding IS NOT NULL),
     ccodes AS (SELECT cand_id, unnest({_sql_table_code_list('cv')}) AS bucket FROM cand),
     probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
-               WHERE vec_id < {N_PROBES}),
+               WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL),
     pcodes AS (SELECT probe_id, unnest({_sql_table_code_list('pv')}) AS bucket
                FROM probes),
     pairs AS (
@@ -1075,9 +1092,12 @@ def _sql_recall_oracle() -> str:
         "FROM assigned JOIN probe_lists USING (cent_id) WHERE probe_id <> cand_id"
     )
     return f"""
-    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
-                    WHERE vec_id < {N_PROBES}),
-    cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    WITH probes AS MATERIALIZED (
+        SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+        WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL),
+    cand AS MATERIALIZED (
+        SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+        WHERE embedding IS NOT NULL),
     bf AS ({topk.format(scored=bf_scored)}),
     lshp AS (SELECT probe_id, pv, {_sql_bucket('pv', p8)} AS bucket FROM probes),
     lshc AS (SELECT cand_id, cv, {_sql_bucket('cv', p8)} AS bucket FROM cand),
@@ -1096,7 +1116,8 @@ def _sql_recall_oracle() -> str:
       FROM mtp JOIN mtc USING (bucket) WHERE probe_id <> cand_id
     ),
     mt AS ({topk.format(scored=mt_scored)}),
-    cents AS (SELECT vec_id AS cent_id, embedding AS ctv FROM embeddings WHERE vec_id < 8),
+    cents AS (SELECT vec_id AS cent_id, embedding AS ctv FROM embeddings
+              WHERE vec_id < 8 AND embedding IS NOT NULL),
     assigned AS (
       SELECT cand_id, cand_vec, cent_id FROM (
         SELECT e.vec_id AS cand_id, e.embedding AS cand_vec, c.cent_id,
@@ -1107,7 +1128,7 @@ def _sql_recall_oracle() -> str:
                              * sqrt({_sql_dot('c.ctv', 'c.ctv')})) DESC,
                           c.cent_id
                ) AS arank
-        FROM embeddings e CROSS JOIN cents c
+        FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL
       ) WHERE arank = 1
     ),
     probe_lists AS (
@@ -1120,7 +1141,8 @@ def _sql_recall_oracle() -> str:
                              * sqrt({_sql_dot('c.ctv', 'c.ctv')})) DESC,
                           c.cent_id
                ) AS prank
-        FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < {N_PROBES}
+        FROM embeddings p CROSS JOIN cents c
+        WHERE p.vec_id < {N_PROBES} AND p.embedding IS NOT NULL
       ) WHERE prank <= 2
     ),
     ivf AS ({topk.format(scored=ivf_scored)}),
@@ -1154,7 +1176,9 @@ def _sql_int8_ctes(n_probes: int = N_PROBES, shortlist: int = 50) -> str:
     ``i8cand``/``i8qc``/``i8probes``/``i8approx``/``i8short`` and the
     final scored SELECT is left to the caller."""
     return f"""
-    i8cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    i8cand AS MATERIALIZED (
+        SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+        WHERE embedding IS NOT NULL),
     i8qc AS (
       SELECT cand_id, cv,
              list_transform(cv, x -> floor(CAST(x AS DOUBLE)
@@ -1163,7 +1187,7 @@ def _sql_int8_ctes(n_probes: int = N_PROBES, shortlist: int = 50) -> str:
                    list_max(list_transform(cv, y -> abs(CAST(y AS DOUBLE)))) AS amax
             FROM i8cand)),
     i8probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
-                 WHERE vec_id < {n_probes}),
+                 WHERE vec_id < {n_probes} AND embedding IS NOT NULL),
     i8approx AS (
       SELECT probe_id, cand_id, cv, pv,
              ({_sql_dot('pv', 'q')})
@@ -1408,7 +1432,7 @@ ORDER BY doc_id
 ORACLE["embedding_quantize_int8"] = """
 WITH s AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr
-  FROM embeddings),
+  FROM embeddings WHERE embedding IS NOT NULL),
 t AS (
   SELECT vec_id, arr, list_max(list_transform(arr, x -> abs(x))) AS amax
   FROM s),
@@ -1858,7 +1882,7 @@ edges AS (
   UNION
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
-nodes AS (SELECT DISTINCT vec_id AS node FROM embeddings),
+nodes AS (SELECT DISTINCT vec_id AS node FROM embeddings WHERE embedding IS NOT NULL),
 reach AS (
   SELECT node, node AS r FROM nodes
   UNION
@@ -2076,7 +2100,7 @@ QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
 ORACLE["dedup_keep_best_quality"] = f"""
 WITH base AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort({_DTOKS}), ' ')) AS fp,
+         md5(COALESCE(array_to_string(list_sort({_DTOKS}), ' '), '')) AS fp,
          CAST(
            CASE WHEN length(text) >= 20 AND length(text) <= 10000 THEN 4 ELSE 0 END
          + CASE WHEN (CASE WHEN length(text) > 0
@@ -2232,7 +2256,7 @@ QUERIES["dedup_unicode_normalized"] = dedup_unicode_normalized
 ORACLE["dedup_unicode_normalized"] = f"""
 WITH suffixed AS (
   SELECT doc_id,
-         array_to_string(list_sort({_DTOKS}), ' ')
+         COALESCE(array_to_string(list_sort({_DTOKS}), ' '), '')
            || CASE WHEN doc_id % 2 = 0
                    THEN ' caf' || chr(233)
                    ELSE ' cafe' || chr(769) END AS text
@@ -2307,7 +2331,7 @@ QUERIES["dedup_edit_distance_pairs"] = dedup_edit_distance_pairs
 ORACLE["dedup_edit_distance_pairs"] = f"""
 WITH d AS (
   SELECT doc_id, text,
-         md5(array_to_string(list_sort({_DTOKS}), ' ')) AS fp
+         md5(COALESCE(array_to_string(list_sort({_DTOKS}), ' '), '')) AS fp
   FROM documents),
 grp AS (SELECT fp, MIN(doc_id) AS canon_id FROM d GROUP BY fp
         HAVING COUNT(*) > 1)
@@ -2379,10 +2403,12 @@ def _sql_pq_ctes(
     adc = " + ".join(f"l{s}.v" for s in range(n_sub))
     return f"""
 pqcb AS (SELECT vec_id AS code, embedding AS cb_vec FROM embeddings
-         WHERE vec_id < {n_codes}),
-pqcand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         WHERE vec_id < {n_codes} AND embedding IS NOT NULL),
+pqcand AS MATERIALIZED (
+        SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+        WHERE embedding IS NOT NULL),
 pqprobes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
-             WHERE vec_id < {n_probes}),
+             WHERE vec_id < {n_probes} AND embedding IS NOT NULL),
 pqdists AS (
   {dist_selects}),
 pqenc0 AS (
@@ -3077,12 +3103,17 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    # median over docs WITH text: a NULL length is not an observation
+    # (and sorts to opposite ends of the rank window across engines)
+    with_text = docs.filter(F.col("text").isNotNull())
     med = (
-        docs.groupBy(F.length("text").alias("len"))
+        with_text.groupBy(F.length("text").alias("len"))
         .agg(F.count("*").alias("c"))
         .withColumn("cum", F.sum("c").over(w))
         .crossJoin(
-            F.broadcast(docs.agg(F.expr("(count(*) + 1) div 2").alias("half")))
+            F.broadcast(
+                with_text.agg(F.expr("(count(*) + 1) div 2").alias("half"))
+            )
         )
         .filter(F.col("cum") >= F.col("half"))
         .agg(F.array(row("median_chars", F.min("len"))).alias("rows"))
@@ -3115,8 +3146,9 @@ base AS (
     FROM (SELECT len, SUM(c) OVER (ORDER BY len
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM (SELECT length(text) AS len, COUNT(*) AS c
-                FROM documents GROUP BY 1)),
-         (SELECT (COUNT(*) + 1) // 2 AS half FROM documents)
+                FROM documents WHERE text IS NOT NULL GROUP BY 1)),
+         (SELECT (COUNT(*) + 1) // 2 AS half FROM documents
+          WHERE text IS NOT NULL)
     WHERE cum >= half)
 SELECT stat, value FROM base ORDER BY stat
 """
@@ -3298,7 +3330,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
 ORACLE["dup_cluster_size_histogram"] = f"""
 WITH fp AS (
-  SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+  SELECT md5(COALESCE(array_to_string(list_sort(list_distinct({_TOKS})), ' '), '')) AS fp
   FROM documents),
 sizes AS (SELECT fp, COUNT(*) AS sz FROM fp GROUP BY fp)
 SELECT CAST(sz AS BIGINT) AS cluster_size,
@@ -3480,7 +3512,7 @@ QUERIES["cross_source_dup_matrix"] = cross_source_dup_matrix
 ORACLE["cross_source_dup_matrix"] = f"""
 WITH fs AS (
   SELECT DISTINCT
-         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp,
+         md5(COALESCE(array_to_string(list_sort(list_distinct({_TOKS})), ' '), '')) AS fp,
          source
   FROM documents),
 pairs AS (

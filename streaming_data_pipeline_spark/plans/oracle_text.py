@@ -17,9 +17,10 @@ change to either side lands in exactly two places, both single-copy.
 from __future__ import annotations
 
 # DuckDB twin of functions.text.tokens (whitespace split, empties
-# dropped). Referenced by the analytics / curation / llm / training
-# plan modules as their local `_TOKS`.
-DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# dropped; NULL text = empty document — the canonical rule, see the
+# twin's docstring). Referenced by the analytics / curation / llm /
+# training plan modules as their local `_TOKS`.
+DUCK_TOKS = "list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')"
 
 
 def sql_minhash_sig(k: int = 16) -> str:

@@ -897,8 +897,10 @@ def kmeans_lloyd_iterations(
     """
     if iters < 1:
         raise ValueError("kmeans needs at least one Lloyd iteration")
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # canonical NULL-vector rule
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     cent = (
         emb.orderBy("vec_id")
@@ -947,7 +949,7 @@ QUERIES["kmeans_lloyd_iterations"] = kmeans_lloyd_iterations
 ORACLE["kmeans_lloyd_iterations"] = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings),
+  FROM embeddings WHERE embedding IS NOT NULL),
 c0 AS (
   SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
 d1 AS (
@@ -1086,7 +1088,12 @@ SELECT 2, event_type, CAST(COUNT(*) AS BIGINT), CAST(SUM(value) AS DOUBLE)
 FROM d GROUP BY event_type
 UNION ALL
 SELECT 3, event_type, CAST(COUNT(*) AS BIGINT), CAST(SUM(value) AS DOUBLE)
-FROM d WHERE event_type <> 'error' GROUP BY event_type
+FROM d
+-- v3 deletes exactly the error partition; the NULL-type partition
+-- (__HIVE_DEFAULT_PARTITION__) survives the commit, and a bare <>
+-- would silently drop it from the oracle's snapshot
+WHERE event_type <> 'error' OR event_type IS NULL
+GROUP BY event_type
 ORDER BY version, event_type
 """
 
@@ -1264,8 +1271,14 @@ def kll_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction is randomized — which is also why the estimate itself is
     not part of the output). Oracle: exact counts + literal TRUE.
     """
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.col("ts").cast("date")
+    # NULL values are not observations (the sketch skips them, so the
+    # rank check must count the same non-null population) and a NULL
+    # event_type would be silently dropped by the equi-join below —
+    # both excluded, with the identical predicate in the oracle
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .withColumn("event_date", F.col("ts").cast("date"))
     )
     daily = ev.groupBy("event_type", "event_date").agg(
         F.expr("kll_sketch_agg_double(value)").alias("sk")
@@ -1296,7 +1309,8 @@ def kll_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["kll_quantile_sketch_check"] = kll_quantile_sketch_check
 ORACLE["kll_quantile_sketch_check"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_rank_ok
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """
 
 

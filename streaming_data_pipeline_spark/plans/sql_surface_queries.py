@@ -185,7 +185,12 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cust = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # explicit NULLS LAST: Spark's ASC default is NULLS FIRST, DuckDB's
+    # is NULLS LAST, so an unknown balance silently shifted every rank
+    # in its segment; rank-family ordering must be pinned, not default
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     return (
         cust.select(
             "c_custkey",
@@ -287,8 +292,9 @@ ORACLE = {
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "json_props_extract": """
-    WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
-               FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL)
+    WITH k AS (SELECT CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k, value
+               FROM events
+               WHERE json_extract_string(TRY_CAST(props AS JSON), '$.k') IS NOT NULL)
     SELECT k % 10 AS k_bucket,
            CAST(COUNT(*) AS BIGINT) AS event_count,
            round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
@@ -297,7 +303,7 @@ ORACLE = {
     """,
     "collect_sources_per_lang": """
     SELECT lang,
-           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+           COALESCE(array_to_string(list_sort(list(DISTINCT source)), ','), '') AS sources,
            CAST(COUNT(*) AS BIGINT) AS doc_count
     FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -510,7 +516,7 @@ QUERIES["variant_nested_extract"] = variant_nested_extract
 ORACLE["variant_nested_extract"] = """
 SELECT event_type AS etype,
        CAST(COUNT(*) AS BIGINT) AS event_count,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(SUM(CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        CAST(COUNT(DISTINCT user_id % 100) AS BIGINT) AS uid_mod_groups
 FROM events
 GROUP BY event_type
@@ -778,7 +784,14 @@ def map_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-entity features without a column per key.
     """
     ev = _t(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # a map key cannot be NULL (NULL_MAP_KEY): a NULL event_type is not
+    # a feature, so it is excluded from the per-user map — the oracle
+    # applies the identical predicate
+    counts = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
     packed = counts.groupBy("user_id").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
@@ -798,11 +811,11 @@ QUERIES["map_column_roundtrip"] = map_column_roundtrip
 ORACLE["map_column_roundtrip"] = """
 WITH c AS (
   SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS type_count
-  FROM events GROUP BY user_id, event_type),
-n AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY user_id)
-SELECT c.user_id, n.n_types, c.event_type, c.type_count
-FROM c JOIN n USING (user_id)
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types,
+       event_type, type_count
+FROM c
 ORDER BY user_id, event_type
 """
 

@@ -523,7 +523,14 @@ ORACLE = {
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            CAST(COUNT(DISTINCT CAST("timestamp" AS DATE)) AS BIGINT) AS active_days
-    FROM enriched GROUP BY event_type ORDER BY event_type
+    FROM enriched
+    -- the WIRE path (unlike the batch enriched CTE) runs T5
+    -- validate_required: to_json omits NULL fields, so a NULL props /
+    -- user_id / event_type parses back as a missing required key and
+    -- the row is dropped before the sink
+    WHERE message IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
     """,
 }
 
@@ -754,9 +761,13 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     released — proving watermark-gated outer-null emission, not just
     join arithmetic.
     """
+    # identified users only: the symmetric-hash join state is keyed by
+    # user_id, and a NULL key can neither match nor be evicted sanely —
+    # Spark's streaming join drops such rows where the batch oracle's
+    # outer join would keep them; the oracle applies the same predicate
     views = (
         events_fixture_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        .filter((F.col("event_type") == "view") & F.col("user_id").isNotNull())
         .select(
             F.col("user_id").alias("v_user"),
             F.col("ts").cast("timestamp").alias("view_ts"),
@@ -765,7 +776,9 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     )
     purchases = (
         events_fixture_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").cast("timestamp").alias("purchase_ts"),
@@ -811,9 +824,13 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
     bounded exactly because those eviction rules also delete the
     buffered rows they emit.
     """
+    # identified users only: the symmetric-hash join state is keyed by
+    # user_id, and a NULL key can neither match nor be evicted sanely —
+    # Spark's streaming join drops such rows where the batch oracle's
+    # outer join would keep them; the oracle applies the same predicate
     views = (
         events_fixture_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        .filter((F.col("event_type") == "view") & F.col("user_id").isNotNull())
         .select(
             F.col("user_id").alias("v_user"),
             F.col("ts").cast("timestamp").alias("view_ts"),
@@ -822,7 +839,9 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
     )
     purchases = (
         events_fixture_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").cast("timestamp").alias("purchase_ts"),
@@ -884,10 +903,11 @@ ORDER BY p.user_id
 """
 ORACLE["streaming_stream_stream_left_join"] = """
 WITH views AS (
-  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+  SELECT user_id, ts AS view_ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL),
 purch AS (
   SELECT user_id, ts AS purchase_ts FROM events
-  WHERE event_type = 'purchase'),
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
 wm AS (
   SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'view'),
                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
@@ -953,10 +973,11 @@ ORDER BY s.window_start, s.event_type
 # first place to look.
 ORACLE["streaming_stream_stream_full_join"] = """
 WITH views AS (
-  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+  SELECT user_id, ts AS view_ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL),
 purch AS (
   SELECT user_id, ts AS purchase_ts FROM events
-  WHERE event_type = 'purchase'),
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
 wm AS (
   SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'view'),
                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))

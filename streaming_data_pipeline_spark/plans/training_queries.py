@@ -116,7 +116,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.6 s -> ~1.2 s at sf0.1; the compare is order-insensitive, so the
     sort bought nothing).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # canonical NULL-vector rule (_emb)
+    )
     # Plan-build-time dimension probe. Contract: the embedding column is
     # uniform-dimension (fixture schema guarantee) — a ragged shorter
     # row would NULL-pad zip_with and emit NULL projections rather than
@@ -440,9 +442,9 @@ QUERIES = {
 from streaming_data_pipeline_spark.plans.oracle_text import DUCK_TOKS as _TOKS
 
 ORACLE = {
-    "cdc_chunk_dedup": """
+    "cdc_chunk_dedup": f"""
     WITH toksets AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      SELECT doc_id, {_TOKS} AS ts
       FROM documents
     ),
     tok AS (
@@ -474,9 +476,9 @@ ORACLE = {
     FROM chunks JOIN counts USING (ch)
     GROUP BY doc_id ORDER BY doc_id
     """,
-    "heavy_hitter_bigrams": """
+    "heavy_hitter_bigrams": f"""
     WITH toksets AS (
-      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      SELECT {_TOKS} AS ts
       FROM documents
     ),
     bg AS (
@@ -797,10 +799,10 @@ def curriculum_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["curriculum_mix_schedule"] = curriculum_mix_schedule
-ORACLE["curriculum_mix_schedule"] = """
+ORACLE["curriculum_mix_schedule"] = f"""
 WITH tiers AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         CAST(len({_TOKS})
               AS BIGINT) AS n_tokens,
          CASE WHEN length(text) >= 350 THEN 'long'
               WHEN length(text) >= 200 THEN 'mid'
