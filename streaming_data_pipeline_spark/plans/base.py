@@ -90,7 +90,9 @@ def int_halfup_avg_sql(sum_expr: str, cnt_expr: str) -> str:
     )
 
 
-def with_empty_grouping_total(rolled: DataFrame, *total_row: Column) -> DataFrame:
+def with_empty_grouping_total(
+    rolled: DataFrame, base: DataFrame, *total_row: Column
+) -> DataFrame:
     """Standard GROUPING SETS semantics on a zero-row input.
 
     SQL's empty grouping set ``()`` aggregates like a global aggregate:
@@ -99,19 +101,20 @@ def with_empty_grouping_total(rolled: DataFrame, *total_row: Column) -> DataFram
     Expand-based ROLLUP/CUBE/GROUPING SETS implementation expands zero
     input rows to zero expanded rows and returns nothing instead.
 
-    This appends the caller-provided literal ``()``-row iff the rolled
-    output is empty: one left-anti join of a 1-row range against the
-    ALREADY-AGGREGATED frame (tiny at any input scale — its row count
-    is the number of surviving group tuples), so there is no second
-    scan of the base relation and the physical plan of the rollup
-    itself is untouched. On every non-empty input the anti-join emits
-    nothing and the result is provably byte-identical to the plain
-    rollup.
+    This appends the caller-provided literal ``()``-row iff ``base``
+    (the rollup's input relation) is empty — equivalent to probing the
+    rollup output, but the probe is ``base.limit(1)``: an
+    early-terminating O(one-task) existence check, NOT a second full
+    scan + Expand + aggregate (Spark does not reuse the rollup's
+    exchange across the union branches — measured: probing the rolled
+    frame itself doubled the base scans). The physical plan of the
+    rollup is untouched, and on every non-empty input the anti-join
+    emits nothing, so the result is provably byte-identical to the
+    plain rollup.
     """
     spark = rolled.sparkSession
+    probe = base.select(F.lit(1).alias("_one")).limit(1)
     fallback = (
-        spark.range(1)
-        .join(rolled.limit(1), F.lit(True), "left_anti")
-        .select(*total_row)
+        spark.range(1).join(probe, F.lit(True), "left_anti").select(*total_row)
     )
     return rolled.unionByName(fallback)

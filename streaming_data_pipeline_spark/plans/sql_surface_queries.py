@@ -58,6 +58,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_empty_grouping_total(
         rolled,
+        _t(spark, sf_dir, "orders"),
         F.lit(None).cast("string").alias("o_orderstatus"),
         F.lit(None).cast("string").alias("o_orderpriority"),
         F.lit(0).cast("long").alias("order_count"),

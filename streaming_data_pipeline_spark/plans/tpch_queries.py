@@ -256,6 +256,7 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_empty_grouping_total(
         rolled,
+        orders,
         F.lit(None).cast("string").alias("o_orderstatus"),
         F.lit(None).cast("string").alias("o_orderpriority"),
         F.lit(0).cast("long").alias("order_count"),
@@ -276,6 +277,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_empty_grouping_total(
         cubed,
+        li,
         F.lit(None).cast("string").alias("l_returnflag"),
         F.lit(None).cast("string").alias("l_linestatus"),
         F.lit(0).cast("long").alias("line_count"),

@@ -109,12 +109,16 @@ def test_grouping_total_helper_is_a_noop_on_nonempty_input(spark):
     ]
     plain = {tuple(r) for r in rolled.collect()}
     wrapped = {
-        tuple(r) for r in with_empty_grouping_total(rolled, *total_row).collect()
+        tuple(r)
+        for r in with_empty_grouping_total(rolled, df, *total_row).collect()
     }
     assert wrapped == plain
     # and on empty input it emits exactly the provided ()-row
-    empty_rolled = rolled.filter(F.lit(False))
-    only = with_empty_grouping_total(empty_rolled, *total_row).collect()
+    empty_base = df.filter(F.lit(False))
+    empty_rolled = empty_base.rollup("g").agg(
+        F.count("*").alias("n"), F.grouping_id().cast("long").alias("grp")
+    )
+    only = with_empty_grouping_total(empty_rolled, empty_base, *total_row).collect()
     assert [tuple(r) for r in only] == [(None, 0, 1)]
 
 
