@@ -968,15 +968,18 @@ ORACLE = {
           / (sqrt({_sql_dot('a.v', 'a.v')}) * sqrt({_sql_dot('b.v', 'b.v')})) >= 0.3
     ORDER BY id_a, id_b
     """,
+    # strlen, not length: the payload is the UTF-8 BYTES of the text
+    # (a stand-in media blob), so every derived quantity counts bytes;
+    # DuckDB length() counts characters and diverges on multibyte text
     "multimodal_decode_fake": """
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(length(text) % 640 + 1 AS BIGINT) AS fake_width,
-           CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS fake_height
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS BIGINT) AS fake_width,
+           CAST(strlen(text) * 7 % 480 + 1 AS BIGINT) AS fake_height
     FROM documents ORDER BY doc_id
     """,
     "multimodal_frame_sample": """
-    WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+    WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
     f AS (
       SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx, n
       FROM d, UNNEST(range(CAST((n + 63) // 64 AS BIGINT))) AS u(i)
@@ -989,8 +992,8 @@ ORACLE = {
     "multimodal_resize_plan": """
     WITH dims AS (
       SELECT doc_id,
-             CAST(length(text) % 640 + 1 AS BIGINT) AS fake_width,
-             CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS fake_height
+             CAST(strlen(text) % 640 + 1 AS BIGINT) AS fake_width,
+             CAST(strlen(text) * 7 % 480 + 1 AS BIGINT) AS fake_height
       FROM documents
     )
     SELECT doc_id, fake_width, fake_height,
