@@ -546,15 +546,22 @@ def simhash_packed(
         )
         .withColumn("h", F.md5("t"))
     )
-    nibs = [
-        F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"nib{i}")
-        for i in range(bits // 4)
+    # Decode the hex digest in 16-bit chunks (4 hex chars per conv), not
+    # per-nibble: the substring+conv string work per token drops 4x
+    # (bits/16 conv calls instead of bits/4) and the per-bit extraction
+    # becomes a pure integer shift on the chunk. Bit b of the digest is
+    # bit (3 - b%4) of hex char b//4, which inside chunk j = b//16 sits
+    # at shift 15 - b%16 — algebraically identical to the nibble form,
+    # so signatures are bit-for-bit unchanged (oracle untouched).
+    chunks_ = [
+        F.conv(F.substring("h", 4 * j + 1, 4), 16, 10).cast("int").alias(f"ch{j}")
+        for j in range(bits // 16)
     ]
-    nibbled = tok.select("doc_id", *nibs)
+    nibbled = tok.select("doc_id", *chunks_)
 
     def contrib(b: int):
         bit = (
-            F.shiftright(F.col(f"nib{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))
+            F.shiftright(F.col(f"ch{b // 16}"), 15 - b % 16).bitwiseAND(F.lit(1))
             * F.lit(2)
             - F.lit(1)
         )
@@ -1061,7 +1068,10 @@ def containment_pairs(
     # the documents scan is one split at small SF, and an explode that
     # multiplies rows ~len(text)-fold must run after a redistribution
     # (shuffling pre-amplification is len-times cheaper than after).
-    base = (
+    # base feeds three branches (the shingle explode plus both text
+    # sides of the final instr verify) — cached so the scan + spread
+    # shuffle of the full text runs once, not three times.
+    base = _cached(
         spread_small_scan(docs.filter(F.length(text_col) >= gram), id_col)
         .select(
             F.col(id_col).alias("cid"),

@@ -675,19 +675,33 @@ def pq_adc_topk(
             ).cast("double")
             v = term if v is None else v + term
         lut = lut.withColumn(f"l{s}", v)
-    scored = enc.crossJoin(
-        F.broadcast(pr.select("probe_id", "probe_vec", "pnrm"))
-    ).filter(F.col("probe_id") != F.col("cand_id"))
-    for s in range(n_sub):
-        piece = lut.select(
-            "probe_id",
-            F.col("code").alias(f"c{s}"),
-            F.col(f"l{s}").alias(f"lv{s}"),
-        )
-        scored = scored.join(F.broadcast(piece), ["probe_id", f"c{s}"])
+    # One lookup MAP per (probe, subspace) — code -> LUT dot — folded to
+    # a single row per probe, instead of n_sub successive broadcast-hash
+    # joins on (probe_id, c_s): the join tree was 8 sequential
+    # BroadcastExchange materializations (8 extra jobs per run) carrying
+    # the same tiny relation 8 ways; element_at on the broadcast map is
+    # the identical double (the map VALUES are the same l_s columns), so
+    # the ADC sum and every downstream row are bit-for-bit unchanged.
+    # Keys are the codebook's codes, and c_s is always drawn from that
+    # same codebook (struct-min over it), so every lookup hits — the
+    # inner-join semantics are preserved exactly.
+    lut_maps = lut.groupBy("probe_id").agg(
+        *[
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("code"), F.col(f"l{s}")))
+            ).alias(f"m{s}")
+            for s in range(n_sub)
+        ]
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(pr.select("probe_id", "probe_vec", "pnrm")))
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .join(F.broadcast(lut_maps), "probe_id")
+    )
     adc = None
     for s in range(n_sub):
-        adc = F.col(f"lv{s}") if adc is None else adc + F.col(f"lv{s}")
+        term = F.element_at(F.col(f"m{s}"), F.col(f"c{s}"))
+        adc = term if adc is None else adc + term
     scored = scored.withColumn("adc", adc)
     wa = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("cand_id"))
     short = scored.withColumn("arank", F.row_number().over(wa)).filter(

@@ -1188,11 +1188,22 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str, k: int = 15) -> Data
     lexicographic triple join — same triangle set, different algorithm,
     so the row is an algebraic cross-check of the orientation trick.
     """
+    from streaming_data_pipeline_spark.plans.base import (
+        plan_cached,
+        release_plan_caches,
+    )
+
+    release_plan_caches()
     docs = load_table(spark, sf_dir, "documents")
     from streaming_data_pipeline_spark.functions.text import all_word_ngrams
 
     pair = F.split(F.col("bg"), " ")
-    edges = (
+    # edges is referenced five times downstream (deg twice via the
+    # union, the two orientation joins, the wedge closer) — without the
+    # cache each reference re-runs the full bigram explode + count
+    # aggregate (the plan carried 50 Exchanges); cached, the explode
+    # runs once and every branch reads the collapsed edge list.
+    edges = plan_cached(
         docs.select(
             F.explode(all_word_ngrams(F.lower(F.col("text")), 2)).alias("bg")
         )
@@ -1206,7 +1217,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str, k: int = 15) -> Data
         .filter(F.col("c") >= 3)
         .select("u", "v")
     )
-    deg = (
+    deg = plan_cached(
         edges.select(F.col("u").alias("t"))
         .unionAll(edges.select(F.col("v").alias("t")))
         .groupBy("t")
@@ -1215,7 +1226,9 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str, k: int = 15) -> Data
     # Orient each edge from (deg, token)-min to (deg, token)-max; carry
     # the destination's order key so wedge endpoints can be ordered
     # without a global node ranking.
-    e = (
+    # e feeds three branches (both wedge sides + the closer): cache the
+    # oriented edge list too, so orientation runs once.
+    e = plan_cached(
         edges.join(deg.withColumnRenamed("t", "u").withColumnRenamed("deg", "du"), "u")
         .join(deg.withColumnRenamed("t", "v").withColumnRenamed("deg", "dv"), "v")
         .select(

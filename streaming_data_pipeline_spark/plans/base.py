@@ -20,6 +20,33 @@ from streaming_data_pipeline_spark.sources.batch import load_table
 # relative to this.
 AS_OF = "2024-01-31 00:00:00"
 
+# Cached intermediate frames from the most recent multi-reference plan —
+# the plans-side twin of operators/dedup._LIVE_CACHES (kept separate:
+# the evidence tooling pins dedup's registry literal). A query whose
+# plan references one heavy subtree N times otherwise re-executes that
+# subtree N times (Spark shares no work across DataFrame references
+# without an explicit cache); each entry point that uses plan_cached()
+# releases the previous query's frames up front, bounding live cache to
+# one query's worth across a multi-hundred-query sweep.
+_PLAN_CACHES: list[DataFrame] = []
+
+
+def release_plan_caches() -> None:
+    while _PLAN_CACHES:
+        try:
+            _PLAN_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def plan_cached(df: DataFrame) -> DataFrame:
+    """Register-and-cache an intermediate referenced by several
+    downstream branches (compute-once + fan-out). Lazy: materialized by
+    the query's own action, never by a separate job here."""
+    df = df.cache()
+    _PLAN_CACHES.append(df)
+    return df
+
 
 def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet -> full 19-column enriched table (quality-filtered)."""

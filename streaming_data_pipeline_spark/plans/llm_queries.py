@@ -1932,11 +1932,23 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_band_buckets,
     )
 
+    from streaming_data_pipeline_spark.plans.base import (
+        plan_cached,
+        release_plan_caches,
+    )
+
+    release_plan_caches()
     k, bands, rows = 32, 8, 4
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    members = (
+    # members / groups / sig each feed several downstream branches (the
+    # banding self-join reads sig twice, the scored join reads it twice
+    # more plus groups twice, the expansion reads members twice) — the
+    # same compute-once-fan-out caching minhash_lsh_pairs already does;
+    # uncached, every branch re-ran the tokenize + md5 + signature
+    # aggregate from the parquet scan.
+    members = plan_cached(
         docs.select(
             F.col("doc_id").alias("id"),
             F.array_sort(distinct_tokens(F.col("text"))).alias("toks"),
@@ -1944,21 +1956,27 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") > 0)
         .withColumn("fp", F.md5(F.concat_ws(" ", "toks")))
     )
-    groups = members.groupBy("fp").agg(
-        F.any_value("toks").alias("toks"), F.count("*").alias("cnt")
+    groups = plan_cached(
+        members.groupBy("fp").agg(
+            F.any_value("toks").alias("toks"), F.count("*").alias("cnt")
+        )
     )
     tok = groups.select("fp", F.explode("toks").alias("t")).withColumn(
         "x", F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("long")
     )
-    sig = tok.groupBy("fp").agg(
-        *[
-            F.min(
-                F.expr(f"({MINHASH_A[j]}L * x + {MINHASH_B[j]}L) div 2147483648L")
-            )
-            .cast("string")
-            .alias(f"h{j}")
-            for j in range(k)
-        ]
+    sig = plan_cached(
+        tok.groupBy("fp").agg(
+            *[
+                F.min(
+                    F.expr(
+                        f"({MINHASH_A[j]}L * x + {MINHASH_B[j]}L) div 2147483648L"
+                    )
+                )
+                .cast("string")
+                .alias(f"h{j}")
+                for j in range(k)
+            ]
+        )
     )
     bucketed = sig.select(
         "fp",
@@ -2764,6 +2782,8 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) 
         load_table(spark, sf_dir, "documents").filter(F.length("text") >= gram),
         "doc_id",
     )
+    from pyspark.sql import Window
+
     per_dg = (
         docs.select(
             "doc_id",
@@ -2783,9 +2803,16 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) 
         .groupBy("doc_id", "source", "g")
         .agg(F.count("*").alias("c"))
     )
-    gc = per_dg.groupBy("g").agg(F.sum("c").alias("tot"))
+    # Corpus-wide occurrence count as a window sum over the gram key:
+    # same value as the old aggregate-then-self-join (sum of c per g),
+    # but the gram explode + first aggregate execute ONCE — the join
+    # formulation re-derived the per_dg subtree on both sides of the
+    # join (Spark shares no work between DataFrame references), i.e.
+    # two full passes over the ~len(text)-fold gram blow-up. One
+    # exchange keyed on g replaces agg + join, exactly the §2.4
+    # "share one exchange between operations keyed the same way" move.
     per_doc = (
-        per_dg.join(gc, "g")
+        per_dg.withColumn("tot", F.sum("c").over(Window.partitionBy("g")))
         .groupBy("doc_id", "source")
         .agg(
             F.sum("c").alias("positions"),
@@ -3000,6 +3027,12 @@ def langid_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both frames bounded by the label-domain squared). All ratios are
     integer ppm divisions.
     """
+    from streaming_data_pipeline_spark.plans.base import (
+        plan_cached,
+        release_plan_caches,
+    )
+
+    release_plan_caches()
     # the per-doc lang_id heuristic is the heavy map work — spread the
     # narrow scan so it doesn't run single-task
     docs = spread_small_scan(
@@ -3009,7 +3042,12 @@ def langid_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual"),
         lang_id(F.col("text")).alias("predicted"),
     )
-    cells = pred.groupBy("actual", "predicted").agg(F.count("*").alias("c"))
+    # cells feeds three margins (support, predicted_n, diag) — cache the
+    # label-domain-squared confusion table so the per-doc lang_id map
+    # runs once, not three times (the plan carried 18 Exchanges).
+    cells = plan_cached(
+        pred.groupBy("actual", "predicted").agg(F.count("*").alias("c"))
+    )
     support = cells.groupBy("actual").agg(F.sum("c").alias("support"))
     predicted_n = cells.groupBy("predicted").agg(F.sum("c").alias("pred_n"))
     diag = cells.filter(F.col("actual") == F.col("predicted")).select(

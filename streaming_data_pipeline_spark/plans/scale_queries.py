@@ -915,6 +915,12 @@ def kmeans_lloyd_iterations(
     best = None
     for _ in range(iters):
         a = emb.crossJoin(F.broadcast(cent)).withColumn("dist", dist)
+        # NOTE(r11 optimization round): caching best/means per iteration
+        # was tried and REVERTED — at iters=2 the recomputed lineage is
+        # two cheap scans, while the cache materialization barriers cost
+        # ~2x the whole query (measured 1.87 s -> 3.69 s at sf0.1).
+        # Deep-iteration runs should localCheckpoint cent per round
+        # instead; at iters=2 the plain lineage is fastest.
         best = (
             a.groupBy("vec_id")
             .agg(F.min(F.struct("dist", "cid")).alias("m"))

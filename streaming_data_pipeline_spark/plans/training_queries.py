@@ -922,6 +922,11 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
     )
+    # NOTE(r11 optimization round): caching per_doc (it fans out to four
+    # branches) was tried and REVERTED — the four re-derived branches
+    # are cheap relative to the cache materialization barrier (measured
+    # 1.52 s -> 2.43 s at sf0.1); exchange reuse already shares the
+    # token-explode shuffle between them.
     per_doc = (
         tok.groupBy("doc_id", "source", "t")
         .agg(F.count("*").alias("c"))

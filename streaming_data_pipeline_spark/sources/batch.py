@@ -96,7 +96,21 @@ def spread_small_scan(df: DataFrame, *keys: str) -> DataFrame:
             "spark.sql.shuffle.partitions for the stateful exchange."
         )
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Target = one wave of the cluster's cores (defaultParallelism =
+    # total executor cores on a real cluster), capped by the session's
+    # shuffle parallelism. The amplified work is CPU-bound, so one task
+    # per core is the right spread; the old target (shuffle.partitions,
+    # 2x cores) doubled the task count — and an EXPLICIT repartition(n)
+    # is never AQE-coalesced, so every amplification stage paid ~2x the
+    # per-task fixed cost for zero extra parallelism (measured at sf0.1:
+    # repartition(64) noop 574 ms vs repartition(32) 167 ms on 32
+    # cores; the guide's §2.2 "fewer, larger tasks" applied to the map
+    # side). Scale-adaptive by construction: grows with the cluster,
+    # never exceeds the session's configured shuffle width.
+    n = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        spark.sparkContext.defaultParallelism,
+    )
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
