@@ -263,57 +263,61 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _encode_png(doc_id: int) -> bytes:
+    """One spec-valid grayscale PNG for a doc (see synth_png_payloads)."""
+    import struct
+    import zlib
+
+    px = _png_pixels(doc_id)
+    h, w = len(px), len(px[0])
+    raw = bytearray()
+    prev = [0] * w
+    for r in range(h):
+        row = px[r]
+        f = r % 5
+        raw.append(f)
+        for i in range(w):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            c = row[i]
+            if f == 0:
+                v = c
+            elif f == 1:
+                v = c - left
+            elif f == 2:
+                v = c - up
+            elif f == 3:
+                v = c - (left + up) // 2
+            else:
+                v = c - _paeth(left, up, ul)
+            raw.append(v % 256)
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL PNG per row: signature + IHDR/IDAT/IEND chunks with
     correct CRCs, scanlines filtered with the full PNG filter set
     (None/Sub/Up/Average/Paeth cycling by row — so decoding must
     implement every predictor), zlib-compressed. Only stdlib zlib +
     struct; the output is a spec-valid grayscale PNG any reader opens."""
-    import struct
-    import zlib
-
-    def encode(doc_id: int) -> bytes:
-        px = _png_pixels(doc_id)
-        h, w = len(px), len(px[0])
-        raw = bytearray()
-        prev = [0] * w
-        for r in range(h):
-            row = px[r]
-            f = r % 5
-            raw.append(f)
-            for i in range(w):
-                left = row[i - 1] if i else 0
-                up = prev[i]
-                ul = prev[i - 1] if i else 0
-                c = row[i]
-                if f == 0:
-                    v = c
-                elif f == 1:
-                    v = c - left
-                elif f == 2:
-                    v = c - up
-                elif f == 3:
-                    v = c - (left + up) // 2
-                else:
-                    v = c - _paeth(left, up, ul)
-                raw.append(v % 256)
-            prev = row
-
-        def chunk(typ: bytes, data: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(data))
-                + typ
-                + data
-                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-            )
-
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
-            + chunk(b"IEND", b"")
-        )
+    encode = _encode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -475,26 +479,114 @@ def dhash_png(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "h_lo": [], "h_hi": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, rows = _decode_png(bytes(payload))
-                grid = [
-                    [rows[r * h // 8][c * w // 9] for c in range(9)]
-                    for r in range(8)
-                ]
-                lo = hi = 0
-                for r in range(8):
-                    for c in range(8):
-                        if grid[r][c + 1] > grid[r][c]:
-                            k = r * 8 + c
-                            if k < 32:
-                                lo |= 1 << k
-                            else:
-                                hi |= 1 << (k - 32)
+                lo, hi = _dhash_of(bytes(payload))
                 out["doc_id"].append(doc_id)
                 out["h_lo"].append(lo)
                 out["h_hi"].append(hi)
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, DHASH_SCHEMA)
+
+
+def _dhash_of(payload: bytes) -> tuple[int, int]:
+    """Decode one PNG payload and compute its packed 64-bit dHash
+    (the per-payload body of :func:`dhash_png`)."""
+    w, h, rows = _decode_png(payload)
+    grid = [
+        [rows[r * h // 8][c * w // 9] for c in range(9)] for r in range(8)
+    ]
+    lo = hi = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c + 1] > grid[r][c]:
+                k = r * 8 + c
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return lo, hi
+
+
+def synth_dhash_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth -> decode -> dHash in ONE Python stage: the PNG is
+    still encoded (full filter set, CRCs) and fully decoded by the same
+    `_encode_png` / `_dhash_of` code paths as the two-stage
+    ``dhash_png(synth_png_payloads(df))`` composition — but the payload
+    bytes never cross the JVM<->Python boundary between the stages, and
+    the plan carries one MapInPandas node instead of two chained Python
+    evaluations (guide §4.1: you control how many columns cross and how
+    often; the composition shipped every payload out of Python and
+    straight back in)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "h_lo": [], "h_hi": []}
+            for doc_id in pdf[id_col]:
+                lo, hi = _dhash_of(_encode_png(int(doc_id)))
+                out["doc_id"].append(doc_id)
+                out["h_lo"].append(lo)
+                out["h_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(run, DHASH_SCHEMA)
+
+
+def synth_decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth -> decode -> features twin of
+    ``decode_png_features(synth_png_payloads(df))`` — same codec code
+    paths, one Python stage instead of two (see synth_dhash_png)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+                "corner": [],
+            }
+            for doc_id in pdf[id_col]:
+                w, h, px = _decode_png(_encode_png(int(doc_id)))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(sum(r) for r in px))
+                rows["corner"].append(px[-1][-1])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+def synth_resize_png_pixels(
+    df: DataFrame, out_w: int = 8, out_h: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused synth -> decode -> resample twin of
+    ``resize_png_pixels(synth_png_payloads(df))`` — same codec code
+    paths, one Python stage instead of two (see synth_dhash_png)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "out_w": [],
+                "out_h": [],
+                "resized_sum": [],
+                "resized_corner": [],
+            }
+            for doc_id in pdf[id_col]:
+                w, h, px = _decode_png(_encode_png(int(doc_id)))
+                resized = [
+                    [px[r * h // out_h][c * w // out_w] for c in range(out_w)]
+                    for r in range(out_h)
+                ]
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized_sum"].append(sum(sum(r) for r in resized))
+                out["resized_corner"].append(resized[-1][-1])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(run, RESIZE_FEATURE_SCHEMA)
 
 
 WAV_FRAME_SCHEMA = (

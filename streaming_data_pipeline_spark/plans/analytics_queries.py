@@ -3062,15 +3062,26 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    a = ev.filter(F.col("event_type") == "purchase")
-    b = ev.filter(F.col("event_type") == "view")
-    ca = a.groupBy("cents").agg(F.count("*").alias("ca"))
-    cb = b.groupBy("cents").agg(F.count("*").alias("cb"))
-    merged = ca.join(cb, "cents", "full_outer").select(
-        "cents",
-        F.coalesce("ca", F.lit(0)).alias("ca"),
-        F.coalesce("cb", F.lit(0)).alias("cb"),
-    ).withColumn("eq", F.col("ca") + F.col("cb"))
+    # One conditional aggregation over the two groups replaces the old
+    # two-aggregate + full-outer-join shape: rows grouped by value once
+    # (one scan, one exchange instead of two of each + a join exchange);
+    # the group keys are exactly the distinct cents present in either
+    # group, and sum-of-indicator == the per-group counts with 0 where
+    # a group is absent — identical to the old COALESCE(ca/cb, 0)
+    # (guide §2.4 remove shuffles outright).
+    merged = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("cents")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("cb"),
+        )
+        .withColumn("eq", F.col("ca") + F.col("cb"))
+    )
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
     cum = merged.withColumn(
         "below", F.coalesce(F.sum("eq").over(w), F.lit(0))

@@ -1559,14 +1559,15 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips rows red. With `multimodal_wav_decode` this makes BOTH image
     and audio decode real, stdlib-only."""
     from streaming_data_pipeline_spark.operators.multimodal import (
-        decode_png_features,
-        synth_png_payloads,
+        synth_decode_png_features,
     )
 
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
-    return decode_png_features(synth_png_payloads(docs)).orderBy("doc_id")
+    # Fused synth->decode stage: same codec code paths, one Python
+    # crossing instead of two (guide §4; see synth_dhash_png).
+    return synth_decode_png_features(docs).orderBy("doc_id")
 
 
 QUERIES["multimodal_png_decode"] = multimodal_png_decode
@@ -1594,14 +1595,14 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula — decode, unfiltering, AND the resample must all be exact
     for the row to stay green."""
     from streaming_data_pipeline_spark.operators.multimodal import (
-        resize_png_pixels,
-        synth_png_payloads,
+        synth_resize_png_pixels,
     )
 
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
-    return resize_png_pixels(synth_png_payloads(docs)).orderBy("doc_id")
+    # Fused synth->decode->resample stage (guide §4; one crossing).
+    return synth_resize_png_pixels(docs).orderBy("doc_id")
 
 
 QUERIES["multimodal_png_resize"] = multimodal_png_resize
@@ -1709,8 +1710,7 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     have to be exact for the row to stay green."""
     from streaming_data_pipeline_spark.operators.dedup import phash_near_dup_pairs
     from streaming_data_pipeline_spark.operators.multimodal import (
-        dhash_png,
-        synth_png_payloads,
+        synth_dhash_png,
     )
 
     # Redistribute before the per-row Python encode/decode stages: the
@@ -1719,7 +1719,8 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
-    sig = dhash_png(synth_png_payloads(docs))
+    # Fused synth->decode->dHash stage (guide §4; one crossing).
+    sig = synth_dhash_png(docs)
     return phash_near_dup_pairs(sig, max_hamming=3).orderBy("id_a", "id_b")
 
 
@@ -1771,14 +1772,14 @@ def image_phash_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dHash, grouping, and both edge classes in SQL."""
     from streaming_data_pipeline_spark.operators.dedup import phash_near_dup_pairs
     from streaming_data_pipeline_spark.operators.multimodal import (
-        dhash_png,
-        synth_png_payloads,
+        synth_dhash_png,
     )
 
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
-    sig = dhash_png(synth_png_payloads(docs))
+    # Fused synth->decode->dHash stage (guide §4; one crossing).
+    sig = synth_dhash_png(docs)
     return phash_near_dup_pairs(sig, max_hamming=3, emit="star").orderBy(
         "id_a", "id_b"
     )

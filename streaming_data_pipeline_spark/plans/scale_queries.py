@@ -1521,14 +1521,31 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from streaming_data_pipeline_spark.plans.base import (
+        plan_cached,
+        release_plan_caches,
+    )
+
+    release_plan_caches()
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_tok(F.col("text"))).alias("t"))
-    exact = tok.groupBy("t").agg(F.count("*").cast("long").alias("exact_count"))
+    # exact feeds BOTH the probe ranking and the sketch cells — cached
+    # so the tokenize explode + count aggregate runs once. The cells are
+    # derived from the per-DISTINCT-token counts, not the raw occurrence
+    # stream: every occurrence of t lands in the same 4 cells, so
+    # cell[j][b] = sum of exact_count over tokens hashing there —
+    # identical values, but the 4x md5 band hashing runs per distinct
+    # token instead of per occurrence (the duplication factor at corpus
+    # scale), and the second full explode pass disappears (guide §2.3
+    # aggregate-before-you-shuffle / shuffle keys not payloads).
+    exact = plan_cached(
+        tok.groupBy("t").agg(F.count("*").cast("long").alias("exact_count"))
+    )
     cells = (
-        tok.select(_rb(F.col("t")).alias("rb"))
-        .select("rb.row", "rb.bucket")
+        exact.select(_rb(F.col("t")).alias("rb"), "exact_count")
+        .select("rb.row", "rb.bucket", "exact_count")
         .groupBy("row", "bucket")
-        .agg(F.count("*").cast("long").alias("cell"))
+        .agg(F.sum("exact_count").cast("long").alias("cell"))
     )
     w = Window.orderBy(F.desc("exact_count"), F.asc("t"))
     probes = exact.withColumn("rank", F.row_number().over(w).cast("long")).filter(

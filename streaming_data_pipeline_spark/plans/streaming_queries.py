@@ -1228,9 +1228,10 @@ FROM joined GROUP BY asof_state ORDER BY asof_state
 def streaming_multimodal_phash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode ON THE STREAMING PATH: the documents table
     replayed through the micro-batch engine, real PNG payloads
-    synthesized and DECODED per batch in the same Arrow ``mapInPandas``
-    stages the batch path uses (operators/multimodal.py:synth_png_payloads
-    / dhash_png — spec-valid PNGs, full filter set, perceptual dHash),
+    synthesized and DECODED per batch in the same fused Arrow
+    ``mapInPandas`` stage the batch path uses
+    (operators/multimodal.py:synth_dhash_png — spec-valid PNGs, full
+    filter set, perceptual dHash, one Python crossing),
     then a stateful rollup over the 64-bit hash space (16 buckets of
     h_lo). Proves the §2.9 Arrow escape hatch composes with Structured
     Streaming unchanged — the decode stage is batch/stream symmetric,
@@ -1238,8 +1239,7 @@ def streaming_multimodal_phash_rollup(spark: SparkSession, sf_dir: str) -> DataF
     oracle regenerates pixels, dHash bits, packed hashes, and the
     rollup in SQL."""
     from streaming_data_pipeline_spark.operators.multimodal import (
-        dhash_png,
-        synth_png_payloads,
+        synth_dhash_png,
     )
 
     docs = (
@@ -1249,7 +1249,8 @@ def streaming_multimodal_phash_rollup(spark: SparkSession, sf_dir: str) -> DataF
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    sig = dhash_png(synth_png_payloads(docs))
+    # Fused synth->decode->dHash stage (guide §4; one crossing).
+    sig = synth_dhash_png(docs)
     agg = sig.groupBy(F.pmod(F.col("h_lo"), F.lit(16)).alias("bucket")).agg(
         F.count("*").alias("n_images"),
         F.sum("h_lo").alias("h_lo_sum"),

@@ -93,8 +93,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -105,20 +105,47 @@ class _Staged(WriterCommitMessage):
     rows: int
 
 
-def _stage_partition(path: str, iterator) -> _Staged:
-    """Task side: serialize the partition to one staged JSONL file."""
+def _open_staged(path: str) -> tuple[str, str]:
     staging = os.path.join(path, "_staging")
     os.makedirs(staging, exist_ok=True)
     name = f"part-{uuid.uuid4().hex}.jsonl"
+    return name, os.path.join(staging, name)
+
+
+def _wire_line(d: dict) -> str:
+    for k, v in d.items():
+        if hasattr(v, "isoformat"):
+            d[k] = v.isoformat()
+    return json.dumps(d, sort_keys=True) + "\n"
+
+
+def _stage_partition(path: str, iterator) -> _Staged:
+    """Task side: serialize the partition to one staged JSONL file
+    (pickled-Row iterator form — kept for direct callers/tests; the
+    writers use the Arrow form below)."""
+    name, full = _open_staged(path)
     n = 0
-    with open(os.path.join(staging, name), "w") as f:
+    with open(full, "w") as f:
         for row in iterator:
-            d = row.asDict(recursive=True)
-            for k, v in d.items():
-                if hasattr(v, "isoformat"):
-                    d[k] = v.isoformat()
-            f.write(json.dumps(d, sort_keys=True) + "\n")
+            f.write(_wire_line(row.asDict(recursive=True)))
             n += 1
+    return _Staged(filename=name, rows=n)
+
+
+def _stage_partition_arrow(path: str, batches) -> _Staged:
+    """Arrow-batch twin of :func:`_stage_partition`: rows cross the
+    JVM->Python boundary as Arrow record batches (no per-row pickle /
+    Row construction), then serialize through the SAME `_wire_line`
+    encoder — `RecordBatch.to_pylist` yields the same Python values
+    (int/float/str/None/datetime) as the pickled-Row `asDict` path, so
+    the staged JSONL bytes are identical."""
+    name, full = _open_staged(path)
+    n = 0
+    with open(full, "w") as f:
+        for batch in batches:
+            rows = batch.to_pylist()
+            f.writelines(_wire_line(d) for d in rows)
+            n += len(rows)
     return _Staged(filename=name, rows=n)
 
 
@@ -210,7 +237,7 @@ def _discard(path: str, messages) -> None:
             pass
 
 
-class _WireBatchWriter(DataSourceWriter):
+class _WireBatchWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
         self.overwrite = overwrite
@@ -219,7 +246,7 @@ class _WireBatchWriter(DataSourceWriter):
         self.job_key = f"batch-{uuid.uuid4().hex}"
 
     def write(self, iterator) -> _Staged:
-        return _stage_partition(self.path, iterator)
+        return _stage_partition_arrow(self.path, iterator)
 
     def commit(self, messages) -> None:
         _promote(
@@ -230,12 +257,12 @@ class _WireBatchWriter(DataSourceWriter):
         _discard(self.path, messages)
 
 
-class _WireStreamWriter(DataSourceStreamWriter):
+class _WireStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
 
     def write(self, iterator) -> _Staged:
-        return _stage_partition(self.path, iterator)
+        return _stage_partition_arrow(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         _promote(self.path, messages, ledger_key=f"epoch-{batchId}")
