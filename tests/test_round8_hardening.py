@@ -80,9 +80,13 @@ def test_closure_covers_import_bindings():
         return "\n".join(parts)
 
     # (a) image_phash_near_dup imports its engine ops INSIDE the fn body
+    # (the r11 fusion replaced dhash_png(synth_png_payloads(..)) with the
+    # single-stage synth_dhash_png; its codec helpers must still fold)
     phash_parts = parts_of("image_phash_near_dup")
     assert "def phash_near_dup_pairs" in phash_parts
-    assert "def dhash_png" in phash_parts
+    assert "def synth_dhash_png" in phash_parts
+    assert "def _dhash_of" in phash_parts
+    assert "def _encode_png" in phash_parts
 
     # (b) cube_returnflag_status uses tpch_shared's D6 without calling
     # any tpch_shared function — the constant's source assignment must
