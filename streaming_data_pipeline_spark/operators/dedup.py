@@ -284,10 +284,23 @@ def _minhash_group_stage(
     # (fewer certainly-unshared bits), never violate it — output is
     # provably unchanged; same t' slack as size_ok.
     t_lo = threshold - 1e-4
-    mask_ok = F.expr(
-        "least(a.sz - bit_count(a.mask & ~b.mask),"
-        "      b.sz - bit_count(b.mask & ~a.mask)) >= "
-        f"{t_lo} * (a.sz + b.sz) / (1 + {t_lo})"
+    # DOUBLE arithmetic only (r11): the previous F.expr form rendered
+    # t_lo as a bare SQL literal, which parses as DECIMAL — so every
+    # candidate row evaluated in the join condition paid an interpreted
+    # BigDecimal multiply+divide (thread dumps showed
+    # MutableBigInteger.divideMagnitude hot inside bhj_doConsume). The
+    # cutoff constant is folded in Python; its double rounding (~1e-16
+    # relative) is dwarfed by the 1e-4 slack between t_lo and the
+    # verify threshold, so the prefilter stays provably conservative
+    # and the verified output is byte-identical.
+    mask_bound = F.least(
+        F.col("a.sz")
+        - F.bit_count(F.col("a.mask").bitwiseAND(F.bitwise_not(F.col("b.mask")))),
+        F.col("b.sz")
+        - F.bit_count(F.col("b.mask").bitwiseAND(F.bitwise_not(F.col("a.mask")))),
+    )
+    mask_ok = mask_bound.cast("double") >= F.lit(t_lo / (1.0 + t_lo)) * (
+        F.col("a.sz") + F.col("b.sz")
     )
     cand = (
         bucketed.alias("a")

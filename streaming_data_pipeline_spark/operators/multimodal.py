@@ -239,6 +239,51 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, WAV_FEATURE_SCHEMA)
 
 
+def synth_decode_wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth -> decode -> features twin of
+    ``decode_wav_features(synth_wav_payloads(df))`` — the RIFF container
+    is still written by stdlib ``wave`` and re-parsed by the same
+    ``wave`` read path, but the payload bytes never cross the
+    JVM<->Python boundary between the stages (guide §4.1; same fusion as
+    ``synth_dhash_png``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "sum_sq": [],
+                "peak": [],
+            }
+            for doc_id in pdf[id_col]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(_pcm_samples(int(doc_id)).tobytes())
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError("expected mono 16-bit PCM")
+                    rate = w.getframerate()
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype=np.int16
+                    ).astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(pcm))
+                rows["sum_sq"].append(int((pcm * pcm).sum()))
+                rows["peak"].append(int(np.abs(pcm).max()) if len(pcm) else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(run, WAV_FEATURE_SCHEMA)
+
+
 PNG_FEATURE_SCHEMA = (
     "doc_id long, width long, height long, pixel_sum long, corner long"
 )
@@ -632,6 +677,52 @@ def decode_wav_frames(df: DataFrame, frame: int = 50) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(run, WAV_FRAME_SCHEMA)
+
+
+def synth_decode_wav_frames(
+    df: DataFrame, frame: int = 50, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused synth -> decode -> framed-features twin of
+    ``decode_wav_frames(synth_wav_payloads(df))`` — same ``wave``
+    write/read code paths, one Python stage instead of two (guide §4.1;
+    see synth_decode_wav_features)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n": [],
+                "sum_sq": [],
+                "peak": [],
+            }
+            for doc_id in pdf[id_col]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(_pcm_samples(int(doc_id)).tobytes())
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError("expected mono 16-bit PCM")
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype=np.int16
+                    ).astype(np.int64)
+                for k in range(0, len(pcm), frame):
+                    seg = pcm[k : k + frame]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k // frame)
+                    rows["n"].append(len(seg))
+                    rows["sum_sq"].append(int((seg * seg).sum()))
+                    rows["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(run, WAV_FRAME_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1075,3 +1166,48 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, JPEG_FEATURE_SCHEMA)
+
+
+def synth_decode_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth -> decode -> features twin of
+    ``decode_jpeg_features(synth_jpeg_payloads(df))`` — the spec-valid
+    JFIF bytes are still produced by ``_jpeg_encode`` and fully re-parsed
+    by ``_decode_jpeg`` (container, Huffman, dezigzag, dequant, integer
+    IDCT), but the payload never crosses the JVM<->Python boundary
+    between the stages (guide §4.1; same fusion as synth_dhash_png)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_blocks": [],
+                "dc_dequant_sum": [], "ac_dequant_sum": [], "flat_pixel_sum": [],
+            }
+            for d in pdf[id_col]:
+                did = int(d)
+                wb0, hb0 = 2 + did % 3, 1 + did % 2
+                w0, h0 = 8 * wb0 - did % 4, 8 * hb0 - did % 3
+                payload = _jpeg_encode(w0, h0, _jpeg_coef_blocks(did, wb0, hb0))
+                w, h, coefs, pixels, q = _decode_jpeg(payload)
+                wb = (w + 7) // 8
+                dc_sum = ac_sum = flat_sum = 0
+                for b, zz in enumerate(coefs):
+                    dc_sum += zz[0] * q[0]
+                    ac_sum += sum(
+                        zz[k] * q[_ZIGZAG[k]] for k in range(1, 64)
+                    )
+                    if b % 2 == 0:
+                        bx, by = b % wb, b // wb
+                        vis = pixels[b][
+                            : min(8, h - 8 * by), : min(8, w - 8 * bx)
+                        ]
+                        flat_sum += int(vis.sum())
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_blocks"].append(len(coefs))
+                out["dc_dequant_sum"].append(dc_sum)
+                out["ac_dequant_sum"].append(ac_sum)
+                out["flat_pixel_sum"].append(flat_sum)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(run, JPEG_FEATURE_SCHEMA)

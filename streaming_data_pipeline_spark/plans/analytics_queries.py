@@ -1525,6 +1525,12 @@ def k_core_peel_rounds(spark: SparkSession, sf_dir: str, k: int = 3, rounds: int
             .coalesce(8)
             .localCheckpoint(eager=True)
         )
+        # No checkpoint on the per-round stats: each references the
+        # round's ALREADY-checkpointed edge set, so deferring them to
+        # the final union costs four tiny one-row aggs in ONE job
+        # instead of four extra eager-checkpoint jobs (r11 — the
+        # per-job fixed overhead was the dominant cost of this query
+        # at small SF, and at scale four fewer driver round-trips).
         stats = (
             edges.select(F.col("u").alias("n"))
             .unionByName(edges.select(F.col("v").alias("n")))
@@ -1533,7 +1539,6 @@ def k_core_peel_rounds(spark: SparkSession, sf_dir: str, k: int = 3, rounds: int
                 F.countDistinct("n").cast("long").alias("nodes"),
                 (F.count("*") / 2).cast("long").alias("edges"),
             )
-            .localCheckpoint(eager=True)
         )
         outs.append(stats)
     out = outs[0]

@@ -1163,53 +1163,45 @@ def within_doc_dedup(spark: SparkSession, sf_dir: str, chunk: int = 2) -> DataFr
     half of repetition cleaning (the corpus-frequency half is
     `boilerplate_chunk_removal`; together they are the C4-style pair).
 
-    Shape: posexplode -> per-(doc, chunk) min-position hash-agg ->
-    semi-join back on (doc, chunk, pos) -> position-ordered reassembly
-    inside a per-doc window-free groupBy (sort_array over the struct
-    array). Everything keys on doc_id or (doc_id, chunk); no global
-    ordering, no driver text. Output carries the cleaned text's md5 so
-    the oracle checks exact reassembly.
+    Shape (r11): pure per-doc ARRAY expressions — ``array_distinct``
+    over the chunk array IS the keep-first-occurrence rule (it preserves
+    first-occurrence order, exactly the min-position / order-by-position
+    reassembly the posexplode formulation computed), so the whole query
+    is one narrow scan + the final doc_id sort. The previous shape
+    (posexplode -> two hash-aggs -> join back to the base scan) paid
+    three exchanges and re-read the documents scan to recover n_chunks
+    (guide §2.4: remove shuffles outright). Output rows are identical:
+    docs with zero tokens produce no chunks and are excluded in both
+    formulations (the old inner join dropped them; the filter here does
+    the same), and the oracle is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
-    # Zero-token guard: sequence(0, -1) would manufacture two phantom
-    # ''-chunks for an empty doc (see boilerplate_chunk_removal).
-    chunk_arr = F.when(
-        F.size(toks) == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+
+    # Let-binding via a 1-element outer transform (see word_shingles):
+    # the lambda variable ``a`` holds the token array evaluated ONCE per
+    # row instead of once per reference inside the interpreted HOFs.
+    def per_doc(a):
+        n_chunks = F.ceil(F.size(a) / F.lit(chunk))
+        chunk_arr = F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.array_join(F.slice(a, i * chunk + 1, chunk), " "),
         )
-    )
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(chunk_arr).alias("pos", "chunk"),
-    )
-    firsts = chunks.groupBy("doc_id", "chunk").agg(F.min("pos").alias("pos"))
+        kept = F.array_distinct(chunk_arr)
+        return F.struct(
+            n_chunks.cast("long").alias("n_chunks"),
+            F.size(kept).cast("long").alias("kept_chunks"),
+            F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+        )
+
+    s = F.element_at(F.transform(F.array(toks), per_doc), 1)
     return (
-        firsts.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("kept_chunks"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                        lambda s: s.chunk,
-                    ),
-                    " ",
-                )
-            ).alias("clean_md5"),
-        )
-        .join(
-            docs.select(
-                "doc_id",
-                F.ceil(F.size(toks) / F.lit(chunk)).cast("long").alias("n_chunks"),
-            ),
-            "doc_id",
-        )
-        .select("doc_id", "n_chunks", "kept_chunks", "clean_md5")
+        # Zero-token docs yield no chunks -> no output row (same as the
+        # old posexplode-of-empty-array + inner-join semantics), and the
+        # filter keeps sequence(0, -1) off the evaluated path.
+        docs.filter(F.size(toks) > 0)
+        .select("doc_id", s.alias("s"))
+        .select("doc_id", "s.n_chunks", "s.kept_chunks", "s.clean_md5")
         .orderBy("doc_id")
     )
 
@@ -1440,16 +1432,44 @@ def linear_model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration in the same query.
     """
     docs = load_table(spark, sf_dir, "documents")
-    per_token = (
-        docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("t"))
-        .groupBy("doc_id", "source", "t")
-        .agg(F.count("*").alias("c"), F.sum(F.length("t")).alias("chars"))
-    )
-    per_doc = per_token.groupBy("doc_id", "source").agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_types"),
-        F.sum("chars").alias("chars"),
-        F.max("c").alias("mx"),
+
+    # Per-doc stats as pure ARRAY expressions (r11) — the same
+    # stream-safe shape streaming_quality_gate already uses: n_words /
+    # n_types / chars / mx all fold inside HOFs over the token array
+    # (the dominance count is O(tokens^2) worst-case but tokens-per-doc
+    # is document-bounded, not corpus-bounded). The previous shape
+    # shuffled every token twice (groupBy (doc, source, t) then
+    # (doc, source)) just to recover per-doc scalars; this removes both
+    # token-keyed exchanges (guide §2.4) and leaves one scan + the final
+    # per-source agg. Zero-token docs are excluded in both forms (the
+    # explode produced no rows for them; the filter here does the same).
+    def per_doc_stats(a):
+        dist = F.array_distinct(a)
+        return F.struct(
+            F.size(a).cast("long").alias("n_words"),
+            F.size(dist).cast("long").alias("n_types"),
+            F.aggregate(
+                F.transform(a, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("chars"),
+            F.array_max(
+                F.transform(
+                    dist, lambda t: F.size(F.filter(a, lambda x: x == t))
+                )
+            ).cast("long").alias("mx"),
+        )
+
+    toks = tokens(F.col("text"))
+    per_doc = (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "source",
+            F.element_at(
+                F.transform(F.array(toks), per_doc_stats), 1
+            ).alias("s"),
+        )
+        .select("source", "s.n_words", "s.n_types", "s.chars", "s.mx")
     )
     w = _LINGATE_W
     feats = per_doc.select(

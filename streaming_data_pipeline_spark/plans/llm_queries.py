@@ -1524,14 +1524,16 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python-feasible codec (H.264/AV1) remain documented stubs.
     """
     from streaming_data_pipeline_spark.operators.multimodal import (
-        decode_wav_features,
-        synth_wav_payloads,
+        synth_decode_wav_features,
     )
 
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
-    return decode_wav_features(synth_wav_payloads(docs)).orderBy("doc_id")
+    # Fused synth+decode stage (guide §4.1): same wave write/read code
+    # paths as decode_wav_features(synth_wav_payloads(..)), but the RIFF
+    # bytes never cross the JVM<->Python boundary between stages.
+    return synth_decode_wav_features(docs).orderBy("doc_id")
 
 
 QUERIES["multimodal_wav_decode"] = multimodal_wav_decode
@@ -1641,17 +1643,19 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     With `multimodal_wav_decode` and `multimodal_png_decode` all three
     dominant training-data modalities decode for real, stdlib-only."""
     from streaming_data_pipeline_spark.operators.multimodal import (
-        decode_jpeg_features,
-        synth_jpeg_payloads,
+        synth_decode_jpeg_features,
     )
 
     # The documents scan is one split at small SF; redistribute BEFORE
-    # the per-row Python encode/decode stages so the Arrow batches run
+    # the per-row Python encode/decode stage so the Arrow batches run
     # on every core (same rule as the repartition-before-explode plans).
+    # Fused synth+decode (guide §4.1): same _jpeg_encode/_decode_jpeg
+    # code paths, one MapInPandas node instead of two — the JFIF bytes
+    # never cross the JVM<->Python boundary between stages.
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
-    return decode_jpeg_features(synth_jpeg_payloads(docs)).orderBy("doc_id")
+    return synth_decode_jpeg_features(docs).orderBy("doc_id")
 
 
 QUERIES["multimodal_jpeg_decode"] = multimodal_jpeg_decode
@@ -2693,11 +2697,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, steps: int = 5) -> DataFr
             .groupBy("pair")
             .agg(F.sum("n").cast("long").alias("c"))
         )
-        top = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1)
+        # Checkpoint the winning pair ONCE and derive both consumers
+        # from the checkpoint (r11): previously the output row was
+        # checkpointed but ``ab`` re-derived from the lazy ``top``, so
+        # the vocabulary-sized pair aggregation executed twice per round
+        # (once for the outs checkpoint, again inside the next state
+        # checkpoint via the broadcast build).
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         outs.append(
             top.select(
                 F.lit(step).cast("long").alias("step"), "pair", F.col("c")
-            ).localCheckpoint(eager=True)
+            )
         )
         ab = top.select(
             F.expr("split_part(pair, ' ', 1)").alias("a"),
@@ -2881,12 +2895,15 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder flips rows red.
     """
     from streaming_data_pipeline_spark.operators.multimodal import (
-        decode_wav_frames,
-        synth_wav_payloads,
+        synth_decode_wav_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    frames = decode_wav_frames(synth_wav_payloads(docs))
+    # Fused synth+decode stage (guide §4.1) over a redistributed scan —
+    # the documents scan is one split at small SF and the per-doc
+    # encode/decode must not run single-task (same rule as the other
+    # media queries).
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    frames = synth_decode_wav_frames(docs)
     return (
         frames.groupBy("doc_id")
         .agg(
