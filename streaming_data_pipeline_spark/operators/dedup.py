@@ -188,19 +188,32 @@ def _minhash_group_stage(
 
     # All toks arrays within a group are identical (sorted same set), so
     # any() is deterministic in content.
+    # 256-bit token bitmask, 4 longs (bit_or of hashed token bits):
+    # powers a SAFE intersection upper bound at candidate time — see
+    # the mask_ok pruner below. r11: widened from one 64-bit word —
+    # with ~25-token sets the 64-bit mask's collision slack (each side
+    # sets ~1/3 of the bits) left the bound too loose to prune the
+    # near-threshold candidates, which are the bulk of the false ones:
+    # measured at sf0.1, 4 words cut the verify stage's input from
+    # 1.375M to 0.605M candidate pairs against 594k truly-verified
+    # (98% prefilter precision vs 43%). Token t sets bit
+    # pmod(xxhash64(t),256): word div 64, bit-in-word mod 64 (equal to
+    # pmod(xxhash64(t),64) since 64 divides 256).
+    _mask_words = 4
     groups = _cached(
         members.groupBy("fp")
         .agg(F.any_value("toks").alias("toks"), F.count("*").alias("cnt"))
         .withColumn("sz", F.size("toks"))
-        # 64-bit token bitmask (bit_or of hashed token bits): powers a
-        # SAFE intersection upper bound at candidate time — see the
-        # mask_ok pruner below.
-        .withColumn(
-            "mask",
-            F.expr(
-                "aggregate(toks, 0L, (acc, t) -> "
-                "acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))"
-            ),
+        .select(
+            "*",
+            *[
+                F.expr(
+                    f"aggregate(filter(toks, t -> pmod(xxhash64(t), 256) div 64 = {w}), "
+                    "0L, (acc, t) -> "
+                    "acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))"
+                ).alias(f"m{w}")
+                for w in range(_mask_words)
+            ],
         )
     )
 
@@ -252,11 +265,12 @@ def _minhash_group_stage(
     # here cut steady-state sf0.1 wall time from ~6.5s to ~4.4s and
     # cold-run from ~13s to ~11s). The table is one row per (group,
     # band) — bands x distinct-token-sets — so the cache is tiny.
+    _mask_cols = [f"m{w}" for w in range(_mask_words)]
     bucketed = _cached(
-        sig.join(groups.select("fp", "sz", "mask"), "fp").select(
+        sig.join(groups.select("fp", "sz", *_mask_cols), "fp").select(
             "fp",
             "sz",
-            "mask",
+            *_mask_cols,
             F.explode(
                 lsh_band_buckets(
                     F.array(*[F.col(f"h{j}") for j in range(k)]), bands, rows
@@ -293,11 +307,20 @@ def _minhash_group_stage(
     # relative) is dwarfed by the 1e-4 slack between t_lo and the
     # verify threshold, so the prefilter stays provably conservative
     # and the verified output is byte-identical.
+    # The per-word unshared-bit counts sum safely: tokens partition by
+    # target word, so each word's bit_count lower-bounds that class's
+    # certainly-unshared tokens and the sum lower-bounds |A\B| overall.
+    def _unshared(x: str, y: str):
+        return sum(
+            F.bit_count(
+                F.col(f"{x}.m{w}").bitwiseAND(F.bitwise_not(F.col(f"{y}.m{w}")))
+            )
+            for w in range(_mask_words)
+        )
+
     mask_bound = F.least(
-        F.col("a.sz")
-        - F.bit_count(F.col("a.mask").bitwiseAND(F.bitwise_not(F.col("b.mask")))),
-        F.col("b.sz")
-        - F.bit_count(F.col("b.mask").bitwiseAND(F.bitwise_not(F.col("a.mask")))),
+        F.col("a.sz") - _unshared("a", "b"),
+        F.col("b.sz") - _unshared("b", "a"),
     )
     mask_ok = mask_bound.cast("double") >= F.lit(t_lo / (1.0 + t_lo)) * (
         F.col("a.sz") + F.col("b.sz")
@@ -535,12 +558,13 @@ def simhash_packed(
     exchange, substring+conv decode at verify).
 
     All bit-sums run in ONE whole-stage-codegen hash aggregate over
-    exploded tokens (md5 computed once per token, nibble decoded once,
-    ``bits`` integer sum() columns). The aggregate()-HOF formulation —
-    64 interpreted lambda passes over the token array per document —
-    was ~20x slower at sf0.1. explode_outer keeps empty/null-token
-    documents as all-zero-contribution rows, so they still get the
-    all-zero signature.
+    exploded tokens (md5 computed once per token, decoded once, bit
+    one-counts packed 4-per-long into ``bits/4`` sum() columns — see
+    the lane-packing comment in the body; r11). The aggregate()-HOF
+    formulation — 64 interpreted lambda passes over the token array per
+    document — was ~20x slower at sf0.1. explode_outer keeps
+    empty/null-token documents as all-zero-contribution rows, so they
+    still get the all-zero signature.
     """
     if bits not in (64, 128):
         raise ValueError(
@@ -567,22 +591,56 @@ def simhash_packed(
     # at shift 15 - b%16 — algebraically identical to the nibble form,
     # so signatures are bit-for-bit unchanged (oracle untouched).
     chunks_ = [
-        F.conv(F.substring("h", 4 * j + 1, 4), 16, 10).cast("int").alias(f"ch{j}")
+        F.conv(F.substring("h", 4 * j + 1, 4), 16, 10).cast("long").alias(f"ch{j}")
         for j in range(bits // 16)
     ]
-    nibbled = tok.select("doc_id", *chunks_)
+    nibbled = tok.select(
+        "doc_id", F.col("t").isNotNull().cast("long").alias("one"), *chunks_
+    )
 
-    def contrib(b: int):
-        bit = (
-            F.shiftright(F.col(f"ch{b // 16}"), 15 - b % 16).bitwiseAND(F.lit(1))
-            * F.lit(2)
-            - F.lit(1)
-        )
-        return F.coalesce(bit, F.lit(0))
+    # r11: the bit-sums are aggregated as PACKED 16-bit lane counters —
+    # 4 one-counters per 64-bit sum column (bits/4 agg columns instead
+    # of one per bit). The per-bit ±1 sum s_b relates to the packed form
+    # by s_b = 2*ones_b - n (n = non-null token count, the explode_outer
+    # NULL row contributes 0 on both sides), so the sign test s_b > 0 is
+    # exactly 2*ones_b > n. Why packed: the one-column-per-bit aggregate
+    # put 128 (resp. 64) sum columns in the hash-agg — past codegen's
+    # 100-field limit, so the whole signature stage evaluated interpreted
+    # (~8x the CPU, measured; the maxFields-200 A/B didn't recover it),
+    # and every input row paid one buffer update per BIT. 16-bit lanes
+    # keep the aggregate at 32 (resp. 16) columns — whole-stage codegen
+    # compiles again — and each update is one shift-or-mask sum per 4
+    # bits. Signatures are bit-for-bit identical (equality-tested against
+    # the per-bit form); lane width bounds distinct tokens per document
+    # at 65535, guarded loudly below (a counter overflow would corrupt
+    # the neighboring lane's count silently).
+    def lane_pack(j: int, g: int):
+        ch = F.col(f"ch{j}")
+        acc = None
+        for i in range(4):
+            p = 4 * g + i  # bit p of chunk j = digest bit 16j + p
+            term = F.shiftleft(
+                F.shiftright(ch, 15 - p).bitwiseAND(F.lit(1)), 16 * i
+            )
+            acc = term if acc is None else acc + term
+        return F.coalesce(acc, F.lit(0))
 
     sums = nibbled.groupBy("doc_id").agg(
-        *[F.sum(contrib(b)).alias(f"s{b}") for b in range(bits)]
+        F.sum("one").alias("ntok"),
+        *[
+            F.sum(lane_pack(j, g)).alias(f"p{j}_{g}")
+            for j in range(bits // 16)
+            for g in range(4)
+        ],
     )
+    guard = F.when(
+        F.col("ntok") > 0xFFFF,
+        F.expr(
+            "raise_error('simhash_packed: more than 65535 distinct tokens "
+            "in one document overflows the packed 16-bit lane counters — "
+            "split the document or widen the lanes')"
+        ).cast("long"),
+    ).otherwise(F.lit(0))
 
     def word(w: int):
         # Left-to-right sum of shiftleft terms: the j=0 term (bit at the
@@ -591,16 +649,23 @@ def simhash_packed(
         # overflow error); every partial sum of {<=1 term >= -2^63} +
         # {positives totalling < 2^63} stays in signed-long range, so
         # the packing is ANSI-safe under any evaluation order.
-        terms = [
-            F.shiftleft(
-                F.when(F.col(f"s{64 * w + j}") > 0, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("long"),
-                63 - j,
+        terms = []
+        for j64 in range(64):
+            b = 64 * w + j64
+            j, p = b // 16, b % 16
+            g, i = p // 4, p % 4
+            ones = F.shiftright(F.col(f"p{j}_{g}"), 16 * i).bitwiseAND(
+                F.lit(0xFFFF)
             )
-            for j in range(64)
-        ]
-        acc = terms[0]
+            terms.append(
+                F.shiftleft(
+                    F.when(ones * 2 > F.col("ntok"), F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                    63 - j64,
+                )
+            )
+        acc = terms[0] + guard
         for t in terms[1:]:
             acc = acc + t
         return acc

@@ -404,19 +404,31 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
         "doc_id", word_shingles(F.col("text"), 5).alias("grams")
     )
-    hits = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
+    # ONE corpus pass (r11, guide §2.4): total and overlap come out of
+    # the same explode — size() rides along the exploded rows and one
+    # hash-agg keyed doc_id replaces the old {explode+agg} ⋈ {second
+    # corpus scan} plan (the shingle split ran twice and the totals
+    # joined back). explode_outer keeps zero-gram docs as one NULL-gram
+    # row, which the left broadcast join scores 0 — exactly the rows
+    # the old left join re-attached with coalesce(...,0).
+    hit = (
+        corpus.select(
+            "doc_id",
+            F.size("grams").cast("long").alias("total_ngrams"),
+            F.explode_outer("grams").alias("gram"),
+        )
+        .join(F.broadcast(bench_grams.withColumn("bhit", F.lit(1))), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("overlap_ngrams"))
+        .agg(
+            F.any_value("total_ngrams").alias("total_ngrams"),
+            F.sum(F.coalesce(F.col("bhit"), F.lit(0))).alias("overlap_ngrams"),
+        )
     )
     return (
-        corpus.select("doc_id", F.size("grams").cast("long").alias("total_ngrams"))
-        .join(hits, "doc_id", "left")
-        .select(
+        hit.select(
             "doc_id",
             "total_ngrams",
-            F.coalesce("overlap_ngrams", F.lit(0)).cast("long").alias("overlap_ngrams"),
+            F.col("overlap_ngrams").cast("long").alias("overlap_ngrams"),
         )
         .withColumn(
             "contamination_frac",
@@ -2056,7 +2068,12 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("m") * F.col("u") - 32 * F.col("i")).alias("err_num"),
             (32 * F.col("u")).alias("err_den"),
         )
-        .orderBy("id_a", "id_b")
+        # No orderBy (r11): the driver's value compare is order-
+        # insensitive (same contract dedup_near_minhash_lsh relies on),
+        # and a total sort here cost DOUBLE the expansion plan — the
+        # range partitioner's sampling job executes the whole
+        # candidate-score-expand tree once before the sort itself runs
+        # it again.
     )
 
 

@@ -492,7 +492,16 @@ def backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="spark_graft_backfill_")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        # Cluster by the partition key before the partitioned write
+        # (guide §6): without it every scan task opens one file PER day
+        # directory (tasks x 30 files — at sf0.1 the whole table is one
+        # split, so a single task wrote all 30 partitions sequentially);
+        # hash-distributed, each day is one task writing one right-sized
+        # file, the write parallelizes across the 30 days, and the
+        # read-back lists 30 files instead of tasks x 30.
+        ev.repartition(F.col("event_date")).write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(base)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         corrected = ev.filter(F.col("event_date") == "2024-01-10").withColumn(
             "value", F.col("value") * 2.0

@@ -124,11 +124,22 @@ class _SynthReaderBase(DataSourceReader):
             _RangePartition(s, min(s + span, hi)) for s in range(lo, hi, span)
         ] or [_RangePartition(lo, lo)]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+    def read(self, partition: _RangePartition):
+        # r11 (guide §4.1): the range is generated as Arrow RecordBatches
+        # (Spark 4 Python DataSource readers may yield pyarrow batches
+        # instead of tuples), so 2 of the 3 per-row costs — Python tuple
+        # construction and row pickling across the worker boundary —
+        # vanish and the numeric columns are built vectorized. Values
+        # are bit-identical to the old per-row generator: same integer
+        # formulas in int64, the same IEEE double division, timestamps
+        # as microseconds-since-the-naive-base (exactly what the
+        # datetime path serialized).
+        import numpy as np
+        import pyarrow as pa
+
         want = self.event_type
         if want is None:
-            for i in range(partition.start, partition.end):
-                yield _row(i)
+            idx = np.arange(partition.start, partition.end, dtype=np.int64)
         else:
             # Pushed event_type equality: the type cycles with period 7,
             # so step straight over the 6/7 non-matching indices.
@@ -137,8 +148,31 @@ class _SynthReaderBase(DataSourceReader):
             except ValueError:
                 return
             first = partition.start + (r - partition.start) % 7
-            for i in range(first, partition.end, 7):
-                yield _row(i)
+            idx = np.arange(first, partition.end, 7, dtype=np.int64)
+        base_us = int(
+            (_BASE_TS - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        types = pa.array(EVENT_TYPES, type=pa.string())
+        for s in range(0, len(idx), 65536):
+            i = idx[s : s + 65536]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i, type=pa.int64()),
+                    types.take(pa.array(i % 7, type=pa.int64())),
+                    pa.array(["user_%d" % u for u in 1 + (i * 31 + 7) % 50]),
+                    pa.array(["synthetic event #%d" % v for v in i]),
+                    pa.array((i * 7919 + 13) % 9900 / 100.0 + 1.0),
+                    pa.array(base_us + i * 1_000_000, type=pa.timestamp("us")),
+                ],
+                names=[
+                    "event_id",
+                    "event_type",
+                    "user_id",
+                    "message",
+                    "value",
+                    "event_ts",
+                ],
+            )
 
 
 class _SynthReader(_SynthReaderBase):

@@ -67,7 +67,14 @@ def test_filter_pushdown_prunes_generation(spark):
     assert leftover == []  # everything accepted
     parts = reader.partitions()
     assert parts[0].start == 700 and parts[-1].end == 1400
-    got = sorted(i for p in parts for (i, *_rest) in reader.read(p))
+    # read() yields Arrow RecordBatches (r11): the pushed equality steps
+    # the generated index by 7 inside each batch build.
+    got = sorted(
+        i
+        for p in parts
+        for batch in reader.read(p)
+        for i in batch.column("event_id").to_pylist()
+    )
     assert got == want
 
 
