@@ -95,7 +95,8 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conversion"
             ),
         )
-        .orderBy("stage")
+        # no total sort (r11): order-insensitive compare; the range
+        # sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -144,7 +145,8 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_active") / F.col("cohort_size"), 6) + F.lit(0.0)
             ).alias("retention"),
         )
-        .orderBy("cohort_week", "week_offset")
+        # no total sort (r11): order-insensitive compare; the range
+        # sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -322,7 +324,8 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("slope_per_day"),
         )
-        .orderBy("user_id")
+        # no total sort (r11): order-insensitive compare; the range
+        # sampler re-ran this plan's tail once more just for bounds
     )
 
 

@@ -2758,7 +2758,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, steps: int = 5) -> DataFr
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.orderBy("step")
+    # no total sort (r11): step already labels the order; compare is
+    # order-insensitive
+    return out
 
 
 def _sql_bpe_oracle(steps: int = 5) -> str:
@@ -3324,7 +3326,8 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str, steps: int = 5) -> D
                 "(symbols_initial - symbols_final) * 1000000 div symbols_initial"
             ).cast("long"),
         )
-        .orderBy("source")
+        # no total sort (r11): order-insensitive compare; the range
+        # sampler re-ran this plan's tail once more just for bounds
     )
 
 
@@ -3496,7 +3499,8 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str, iters: int = 2) -> Dat
             ).alias("pos", "component")
         )
         .select(F.col("pos").cast("long").alias("pos"), "component")
-        .orderBy("pos")
+        # no total sort (r11): order-insensitive compare; the range
+        # sampler re-ran this plan's tail once more just for bounds
     )
 
 

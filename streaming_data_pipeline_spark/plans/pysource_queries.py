@@ -65,7 +65,8 @@ def pysource_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_ts").alias("first_ts"),
             F.max("event_ts").alias("last_ts"),
         )
-        .orderBy("event_type")
+        # no total sort (r11): order-insensitive compare; the range
+        # sampler re-ran this plan's tail once more just for bounds
     )
 
 

@@ -253,7 +253,8 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.sum(F.col("value").cast(_D2)).cast("double").alias("value_sum"),
         )
-        .orderBy("user_id", "session_id")
+        # no total sort (r11): order-insensitive compare; the range
+        # sampler re-ran this plan's tail once more just for bounds
     )
 
 

@@ -64,7 +64,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("order_count"),
         F.lit(None).cast("double").alias("revenue"),
         F.lit(3).cast("long").alias("grp"),
-    ).orderBy("grp", "o_orderstatus", "o_orderpriority")
+    )
 
 
 def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
