@@ -336,15 +336,16 @@ def test_sweep_head_not_already_stamped():
         )
 
 
-def test_r11_window_is_the_stalest_50_as_of_r10():
-    """Content + position lock for THIS round's window (r10 verdict
-    task 1): the head 50 must be exactly the 50 stalest driver rows by
-    (evidence_round, name) over the committed CORRECTNESS_r01..r10
-    evidence — pinned to rounds <= 10 so the assertion stays stable
-    after the driver lands CORRECTNESS_r11 (the dynamic freshness check
-    is test_sweep_head_not_already_stamped above). Also asserts the
-    rotation's outcome: zero pre-r4 rows survive outside the window
-    (the r10 rotation retired r2/r3; this one retires most of r4)."""
+def test_r12_window_is_the_stalest_50_as_of_r11():
+    """Content + position lock for THIS round's window: the head 50
+    must be exactly the 50 stalest driver rows by (evidence_round,
+    name) over the committed CORRECTNESS_r01..r11 evidence — pinned to
+    rounds <= 11 so the assertion stays stable after the driver lands
+    CORRECTNESS_r12 (the dynamic freshness check is
+    test_sweep_head_not_already_stamped above). Also asserts the
+    rotation's outcome: zero pre-r7 rows survive outside the window
+    (the r11 rotation retired r4; this one retires r5/r6 and most of
+    r7)."""
     import json
 
     import __spark_entry__ as entry
@@ -352,7 +353,7 @@ def test_r11_window_is_the_stalest_50_as_of_r10():
     ev: dict[str, int] = {}
     for path in _correctness_files():
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 10:
+        if rnd > 11:
             continue
         for name, row in json.load(open(path)).items():
             ok = bool(row.get("hash_match") or row.get("rows_match")) and not row.get("err")
@@ -363,9 +364,9 @@ def test_r11_window_is_the_stalest_50_as_of_r10():
     expected = sorted(names, key=lambda q: (ev[q], q))[:50]
     head = names[:50]
     assert head == expected, (head[:5], expected[:5])
-    # every pre-r4 row is already retired; the tail floor is r4
-    assert all(ev[q] >= 4 for q in names[50:]), [
-        q for q in names[50:] if ev[q] < 4
+    # every pre-r7 row is already retired; the tail floor is r7
+    assert all(ev[q] >= 7 for q in names[50:]), [
+        q for q in names[50:] if ev[q] < 7
     ][:5]
 
 

@@ -436,18 +436,18 @@ def test_ann_tiers_at_clustered_operating_point(spark):
     truth.unpersist()
 
 
-def test_r12_queue_is_the_evidence_tool_output():
-    """The hand-maintained queue comments were right seven rounds
+def test_r13_queue_is_the_evidence_tool_output():
+    """The hand-maintained queue comments were right eight rounds
     running but won't survive a careless round (r6 verdict task 6):
-    the staged round-12 section of _SWEEP_PRIORITY must be EXACTLY what
+    the staged round-13 section of _SWEEP_PRIORITY must be EXACTLY what
     tools/evidence_age.py emits — next-stalest first, assuming the
-    staged r11 window lands its driver rows — and the recorded
+    staged r12 window lands its driver rows — and the recorded
     fingerprint baseline must still match the code (stale set empty;
     editing query-reachable code without re-running the full sweep +
     --record breaks this test, which is the point — it caught exactly
     that drift in round 7). Window position/content and the
     re-stamp recurrence are locked separately in
-    tests/test_round11_hardening.py and test_round10_hardening.py."""
+    tests/test_round10_hardening.py."""
     import re
     import sys as _sys
 
@@ -457,7 +457,7 @@ def test_r12_queue_is_the_evidence_tool_output():
     if not os.path.exists(ea.FP_PATH):
         pytest.skip("fingerprint baseline not recorded yet (pre-sweep tree)")
 
-    report = ea.compute(assume_round=11)
+    report = ea.compute(assume_round=12)
     assert report["never_checked"] == []
     stale = [r["query"] for r in report["stale"]]
     assert stale == [], f"code drifted since the recorded full sweep: {stale}"
@@ -466,12 +466,12 @@ def test_r12_queue_is_the_evidence_tool_output():
         os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
     ).read()
     m = re.search(
-        r"# ---- round-12 queue \(regenerated by tools/evidence_age\.py\).*?----\n"
-        r"(.*?)# ---- end round-12 queue ----",
+        r"# ---- round-13 queue \(regenerated by tools/evidence_age\.py\).*?----\n"
+        r"(.*?)# ---- end round-13 queue ----",
         entry_src,
         re.S,
     )
-    assert m, "round-12 queue markers missing from _SWEEP_PRIORITY"
+    assert m, "round-13 queue markers missing from _SWEEP_PRIORITY"
     staged = re.findall(r'"([a-z0-9_]+)"', m.group(1))
 
     import __spark_entry__ as entry
