@@ -344,7 +344,7 @@ def normalized_total(
 
 # The driver keeps the last 2000 chars of stdout; the summary line must
 # fit with margin even with every numeric field populated.
-_SUMMARY_MAX_CHARS = 1200
+_SUMMARY_MAX_CHARS = 1900
 
 # Fields the summary line repeats from the full artifact: the driver
 # contract keys first (metric/value/unit/sf) so a parser that reads only
@@ -378,9 +378,34 @@ def summary_line(full: dict) -> dict:
     characters and those fields sat before the 122-entry query dict.
     Repeats the driver-contract keys plus every summary number; bounded
     size is asserted so a field addition can't silently push the line
-    back over the truncation horizon."""
+    back over the truncation horizon.
+
+    r12 (r11 verdict task 1): the line now also carries a compact
+    per-query map — the driver's PERF comparator and its per-query
+    core-scaling audit parse only this final line, so two rounds of
+    artifacts had `per_query: {}` / `n_common: 0` while the full
+    122-entry dict sat un-captured on the preceding line. `queries`
+    holds the SLOWEST queries first at 2-decimal raw seconds, greedily
+    filled until the encoded line reaches the budget (hard-capped well
+    under the 2000-char tail); `queries_omitted` counts what didn't
+    fit, so truncation is explicit, never silent. The full-precision
+    complete dict still leads the preceding full-artifact line — no
+    measurement changed, only where a copy of it is printed."""
     out = {k: full[k] for k in _SUMMARY_KEYS if k in full}
     out["summary_of"] = "full artifact on the preceding stdout line"
+    timings = full.get("queries") or {}
+    compact: dict[str, float] = {}
+    out["queries"] = compact
+    out["queries_omitted"] = len(timings)
+    base_len = len(json.dumps(out)) + len(str(len(timings)))
+    budget = _SUMMARY_MAX_CHARS - base_len
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        entry = len(f'"{name}": {round(sec, 2)}, ')
+        if entry > budget:
+            break
+        compact[name] = round(sec, 2)
+        budget -= entry
+    out["queries_omitted"] = len(timings) - len(compact)
     encoded = json.dumps(out)
     assert len(encoded) <= _SUMMARY_MAX_CHARS, (
         f"summary line {len(encoded)} chars > {_SUMMARY_MAX_CHARS} — "

@@ -97,14 +97,20 @@ def test_summary_line_is_compact_and_complete():
     """The summary record must carry every field the r10 verdict listed
     as truncation-lost (headline_total via metric/value, normalized
     total, host_noisy, steal factors, vs-r10 ratios, flag count) and
-    encode well under the driver's 2000-char stdout tail."""
+    encode well under the driver's 2000-char stdout tail.
+
+    r12 (r11 verdict task 1): it must ALSO carry a compact slowest-first
+    per-query map — the driver's PERF comparator and core-scaling audit
+    parse only the final line, so without it per_query/n_common came
+    back empty two rounds running — with explicit truncation accounting
+    (`queries_omitted`) and the hard size cap still holding."""
     import bench
 
     full = {
         "metric": "headline_total",
         "value": 187.234,
         "unit": "sec",
-        "queries": {f"q{i}": 1.234 for i in range(122)},  # bulk, excluded
+        "queries": {f"q{i}": float(i) / 10 for i in range(122)},
         "cold_queries": {f"q{i}": 2.345 for i in range(122)},
         "per_query_over_1p5x_vs_r10": {},
         "probe_samples": [{"scalar": 0.66, "shuffle": 0.7}],
@@ -126,7 +132,7 @@ def test_summary_line_is_compact_and_complete():
     }
     line = bench.summary_line(full)
     encoded = json.dumps(line)
-    assert len(encoded) <= bench._SUMMARY_MAX_CHARS <= 1800
+    assert len(encoded) <= bench._SUMMARY_MAX_CHARS <= 1900
     for key in (
         "metric",
         "value",
@@ -139,8 +145,21 @@ def test_summary_line_is_compact_and_complete():
         "flagged_over_1p5x_vs_r10_count",
     ):
         assert key in line, key
-    # bulk dicts must never leak into the summary
-    assert "queries" not in line and "cold_queries" not in line
+    # per-query map: slowest-first prefix, explicit truncation count,
+    # values at 2-decimal precision of the full dict's entries
+    assert line["queries"], "summary line lost its per-query map"
+    assert len(line["queries"]) + line["queries_omitted"] == 122
+    slowest = sorted(full["queries"].items(), key=lambda kv: -kv[1])
+    expected_prefix = [k for k, _ in slowest[: len(line["queries"])]]
+    assert list(line["queries"]) == expected_prefix
+    assert all(
+        line["queries"][k] == round(full["queries"][k], 2)
+        for k in line["queries"]
+    )
+    # enough coverage for the driver's comparator to pair rounds
+    assert len(line["queries"]) >= 40, len(line["queries"])
+    # the cold bulk dict must never leak into the summary
+    assert "cold_queries" not in line
     # the driver-contract keys a last-line-only parser needs
     assert line["metric"] == "headline_total" and line["unit"] == "sec"
 
