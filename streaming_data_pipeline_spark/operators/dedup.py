@@ -481,13 +481,29 @@ def simhash_near_dup_pairs(
     banded = groups.select("simhash", F.explode(chunk_arr).alias("c")).select(
         "simhash", "c.pos", "c.chunk"
     )
+    # Exact-Hamming verification INSIDE the join condition (r12, guide
+    # §2.3 shuffle fewer bytes): bit_count(xor) per packed word is a
+    # handful of codegen instructions per probed row, while the chunk
+    # pigeonhole alone passes mostly-false candidates whose only job is
+    # to die at the verify filter — measured 98% false (497,918 of
+    # 506,664 at sf0.1; 6.73M of 6.88M at 10x, growth exponent 1.13,
+    # SCALING_AUDIT r11). Filtering at the join's consume kills them
+    # before they are ever emitted into the distinct's exchange, so the
+    # dedup shuffle carries only true near-dup pairs (~linear in corpus
+    # size). Output is provably unchanged: the predicate is exactly the
+    # verify filter, and a value-only filter commutes with distinct.
+    ham_join = sum(
+        F.bit_count(F.col("a.simhash")[w].bitwiseXOR(F.col("b.simhash")[w]))
+        for w in range(bits // 64)
+    )
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.pos") == F.col("b.pos"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
+            & (F.col("a.simhash") < F.col("b.simhash"))
+            & (ham_join <= F.lit(max_hamming)),
         )
         .select(F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
         .distinct()
@@ -497,7 +513,11 @@ def simhash_near_dup_pairs(
     # decode join — the signature IS the integer form (r8 verdict task
     # 2: the 128-char string signature + substring/conv decode was the
     # dominant cost of the 128-bit query; packed words cut both the
-    # compute and the exchange width several-fold).
+    # compute and the exchange width several-fold). The filter is now
+    # redundant with the join predicate above (kept as the declared
+    # verify stage — idempotent on the surviving pairs, and the
+    # candidate observer still sees a frame whose contract is
+    # "candidates entering verification").
     hamming = sum(
         F.bit_count(F.col("sh_a")[w].bitwiseXOR(F.col("sh_b")[w]))
         for w in range(bits // 64)
@@ -559,8 +579,8 @@ def simhash_packed(
 
     All bit-sums run in ONE whole-stage-codegen hash aggregate over
     exploded tokens (md5 computed once per token, decoded once, bit
-    one-counts packed 4-per-long into ``bits/4`` sum() columns — see
-    the lane-packing comment in the body; r11). The aggregate()-HOF
+    one-counts packed 3-per-long into ``ceil(bits/3)`` sum() columns —
+    see the lane-packing comment in the body; r11/r12). The aggregate()-HOF
     formulation — 64 interpreted lambda passes over the token array per
     document — was ~20x slower at sf0.1. explode_outer keeps
     empty/null-token documents as all-zero-contribution rows, so they
@@ -598,40 +618,50 @@ def simhash_packed(
         "doc_id", F.col("t").isNotNull().cast("long").alias("one"), *chunks_
     )
 
-    # r11: the bit-sums are aggregated as PACKED 16-bit lane counters —
-    # 4 one-counters per 64-bit sum column (bits/4 agg columns instead
-    # of one per bit). The per-bit ±1 sum s_b relates to the packed form
-    # by s_b = 2*ones_b - n (n = non-null token count, the explode_outer
+    # r11: the bit-sums are aggregated as PACKED 16-bit lane counters
+    # (one-counters sharing a 64-bit sum column instead of one column
+    # per bit). The per-bit ±1 sum s_b relates to the packed form by
+    # s_b = 2*ones_b - n (n = non-null token count, the explode_outer
     # NULL row contributes 0 on both sides), so the sign test s_b > 0 is
     # exactly 2*ones_b > n. Why packed: the one-column-per-bit aggregate
     # put 128 (resp. 64) sum columns in the hash-agg — past codegen's
     # 100-field limit, so the whole signature stage evaluated interpreted
     # (~8x the CPU, measured; the maxFields-200 A/B didn't recover it),
-    # and every input row paid one buffer update per BIT. 16-bit lanes
-    # keep the aggregate at 32 (resp. 16) columns — whole-stage codegen
-    # compiles again — and each update is one shift-or-mask sum per 4
-    # bits. Signatures are bit-for-bit identical (equality-tested against
-    # the per-bit form); lane width bounds distinct tokens per document
-    # at 65535, guarded loudly below (a counter overflow would corrupt
-    # the neighboring lane's count silently).
-    def lane_pack(j: int, g: int):
-        ch = F.col(f"ch{j}")
+    # and every input row paid one buffer update per BIT.
+    #
+    # r12 (ADVICE r11): THREE lanes per column (shifts 0/16/32), not
+    # four — with a 4th lane at shift 48 the per-row term reaches 2^48,
+    # so a document with >32767 tokens setting that lane's bit pushed
+    # the running SUM past 2^63 and threw a raw ANSI
+    # ARITHMETIC_OVERFLOW *during aggregation*, before the intended
+    # raise_error guard below could fire. With 3 lanes the per-row term
+    # is < 2^33 and the sum stays < 2^63 for any document up to ~2^30
+    # distinct tokens, so the loud guard is always the failure path for
+    # the full guarded range (65535). ceil(bits/3) = 43 (resp. 22) agg
+    # columns — still well under codegen's 100-field limit. Signatures
+    # are bit-for-bit identical (the ones_b counts are unchanged; only
+    # their column layout moved); lane width still bounds distinct
+    # tokens per document at 65535, guarded loudly below (a counter
+    # overflow past 16 bits would corrupt the neighboring lane's count
+    # silently).
+    def lane_pack(c: int):
         acc = None
-        for i in range(4):
-            p = 4 * g + i  # bit p of chunk j = digest bit 16j + p
+        for i in range(3):
+            b = 3 * c + i  # global digest bit packed at shift 16*i
+            if b >= bits:
+                break
+            j, p = b // 16, b % 16  # bit p of chunk j = digest bit 16j+p
             term = F.shiftleft(
-                F.shiftright(ch, 15 - p).bitwiseAND(F.lit(1)), 16 * i
+                F.shiftright(F.col(f"ch{j}"), 15 - p).bitwiseAND(F.lit(1)),
+                16 * i,
             )
             acc = term if acc is None else acc + term
         return F.coalesce(acc, F.lit(0))
 
+    ncols = -(-bits // 3)
     sums = nibbled.groupBy("doc_id").agg(
         F.sum("one").alias("ntok"),
-        *[
-            F.sum(lane_pack(j, g)).alias(f"p{j}_{g}")
-            for j in range(bits // 16)
-            for g in range(4)
-        ],
+        *[F.sum(lane_pack(c)).alias(f"p{c}") for c in range(ncols)],
     )
     guard = F.when(
         F.col("ntok") > 0xFFFF,
@@ -652,9 +682,8 @@ def simhash_packed(
         terms = []
         for j64 in range(64):
             b = 64 * w + j64
-            j, p = b // 16, b % 16
-            g, i = p // 4, p % 4
-            ones = F.shiftright(F.col(f"p{j}_{g}"), 16 * i).bitwiseAND(
+            c, i = b // 3, b % 3
+            ones = F.shiftright(F.col(f"p{c}"), 16 * i).bitwiseAND(
                 F.lit(0xFFFF)
             )
             terms.append(
@@ -1011,6 +1040,14 @@ def phash_near_dup_pairs(
             )
         ).alias("c"),
     ).select("h_lo", "h_hi", "c.pos", "c.chunk")
+    # Exact-Hamming verification inside the join condition, same move
+    # as simhash_near_dup_pairs (r12, guide §2.3): false candidates die
+    # at the join's consume instead of crossing the distinct's exchange.
+    # Output provably unchanged — the predicate IS the verify filter,
+    # which commutes with distinct.
+    ham_join = F.bit_count(
+        F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo"))
+    ) + F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
     cand = (
         banded.alias("a")
         .join(
@@ -1020,7 +1057,8 @@ def phash_near_dup_pairs(
             & (
                 F.struct(F.col("a.h_lo"), F.col("a.h_hi"))
                 < F.struct(F.col("b.h_lo"), F.col("b.h_hi"))
-            ),
+            )
+            & (ham_join <= F.lit(max_hamming)),
         )
         .select(
             F.col("a.h_lo").alias("lo_a"),
